@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate (dev tooling only; the
+engine itself is pure Scala/Spark).
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+    python3 scripts/check.py <sfDir> <outDir>
+
+Loads each <outDir>/<name> parquet (Spark result), runs the matching
+oracle_sql.json query in DuckDB over <sfDir>'s tables, sorts columns by
+name, and compares shape + values (exact for non-floats, bit-exact first
+then 1e-9 relative for floats, reported separately).
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+            got_cols = [d[0] for d in con.description]
+            exp = con.execute(oracle[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        msg = compare(name, got, got_cols, exp, exp_cols)
+        if msg is None:
+            print(f"ok   {name} ({len(got)} rows)")
+            n_ok += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} failed, "
+          f"{len(SPARK_ONLY(out_dir, oracle))} rows-only (no oracle)")
+    sys.exit(1 if n_bad else 0)
+
+
+def SPARK_ONLY(out_dir, oracle):
+    dirs = {p.split('/')[-1] for p in glob.glob(f"{out_dir}/*") if '/' in p
+            and not p.endswith('.json')}
+    return sorted(dirs - set(oracle))
+
+
+def compare(name, got, got_cols, exp, exp_cols):
+    if sorted(got_cols) != sorted(exp_cols):
+        return f"columns differ: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"
+    if len(got) != len(exp):
+        return f"row count differs: spark={len(got)} oracle={len(exp)}"
+    gi = [got_cols.index(c) for c in sorted(got_cols)]
+    ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+    worst = 0.0
+    for rn, (gr, er) in enumerate(zip(got, exp)):
+        for k, (g, e) in enumerate(zip([gr[i] for i in gi], [er[i] for i in ei])):
+            if g == e:
+                continue
+            if isinstance(g, float) and isinstance(e, float):
+                if math.isnan(g) and math.isnan(e):
+                    continue
+                d = abs(g - e) / max(abs(g), abs(e), 1e-300)
+                worst = max(worst, d)
+                if d < 1e-9:
+                    continue
+            return (f"row {rn} col {sorted(got_cols)[k]}: "
+                    f"spark={g!r} oracle={e!r}")
+    if worst > 0:
+        return f"float drift (rel {worst:.2e}) — NOT bit-exact, driver may fail"
+    return None
+
+
+if __name__ == "__main__":
+    main()

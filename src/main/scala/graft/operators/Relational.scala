@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{Q, QModule, Tables}
+import graft.Tables.{davg, dsum, t}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator inventory (SURVEY.md §2.1–§2.3, §2.8) expressed
+  * over the driver testdata tables, one DuckDB-oracled query per operator.
+  *
+  * Reference semantics being re-expressed (citations are reference files):
+  *  - S3 full scan: load_warehouse/src/main/java/ETLMain.java:195-220
+  *  - S4 filtered scan: transform_staging/.../LotteryTransform.java:113-114
+  *  - S5 point lookup: crawl_data/.../LotteryCrawler.java:115-137
+  *  - S7 existence probe: StagingDW/.../StagingController.java:41-67
+  *  - F2-F8 predicates: LotteryTransform.java:113-152, CsvLoader.java:39
+  */
+object Relational extends QModule {
+
+  def qs: Seq[Q] = Seq(
+    // Flagship: TPC-H Q1-shaped wide aggregation — full scan, hash agg,
+    // map-side partial aggregation, 6 aggregates in one pass.
+    Q("q1_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" < lit("2001-01-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_discount", 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, sql = Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '2001-01-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """), headline = true),
+
+    // S3: full-table scan (ETLMain.java:195-220's SELECT *), small dim.
+    Q("s3_full_scan", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "region").orderBy($"r_regionkey")
+    }, sql = Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // S4+F2: filtered scan with projection — the reference's central
+    // `WHERE prize = 'Giải Bảy'` filter shape; predicate+pruning must reach
+    // the parquet scan (checked in PlanHygieneSpec).
+    Q("s4_filtered_scan", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_totalprice" > 100000.0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }, sql = Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+      ORDER BY o_orderkey
+    """)),
+
+    // S5: key-lookup point query (config_source WHERE source_id = ?).
+    Q("s5_point_lookup", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation").filter($"n_nationkey" === 7)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+    }, sql = Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey = 7")),
+
+    // S7: existence probe — ORDER BY ... LIMIT 1 over a predicate
+    // (StagingController.java:41-44 gating pattern).
+    Q("s7_exists_probe", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        .select($"o_orderkey")
+        .limit(1)
+    }, sql = Some("""
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """)),
+
+    // F3/F5/F6: row-validity + null-guard + cast-quarantine in one pass —
+    // the CsvLoader.java:39 / LotteryTransform.java:127-152 pattern: parse,
+    // quarantine unparseable rows by cast-null, keep the good ones.
+    Q("f6_cast_quarantine", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .filter($"k".isNotNull && $"user_id".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_valid"), dsum($"k".cast("double"), 0).as("sum_k"))
+        .orderBy($"event_type")
+    }, sql = Some("""
+      SELECT event_type, COUNT(*) AS n_valid,
+             CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,0))) AS DOUBLE) AS sum_k
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY event_type ORDER BY event_type
+    """)),
+
+    // F8: date-validity predicate (reject "future" rows relative to a gate
+    // date — crawler's draw-time gate, LotteryCrawler.java:96-112).
+    Q("f8_date_guard", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderdate" <= lit("1996-12-31").cast("timestamp"))
+        .agg(count(lit(1)).as("n_past"),
+             max($"o_orderdate").cast("date").cast("string").as("max_date"))
+    }, sql = Some("""
+      SELECT COUNT(*) AS n_past,
+             CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+      FROM orders WHERE o_orderdate <= TIMESTAMP '1996-12-31'
+    """))
+  )
+}
