@@ -11,7 +11,12 @@ object SparkEntry {
 
   /** All query modules, in SURVEY §7.1 build order. */
   def modules: Seq[QModule] = Seq(
-    operators.Relational
+    operators.Relational,
+    operators.Joins,
+    operators.Aggregations,
+    operators.Windows,
+    operators.Scalars,
+    operators.SetOps
   )
 
   def all: Seq[Q] = modules.flatMap(_.qs)

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{Q, QModule}
+import graft.Tables.{dsum, t}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation inventory (SURVEY.md §2.5) plus the free Spark extensions the
+  * reference lacks (rollup/cube/distinct/statistical aggregates).
+  *
+  * Reference semantics re-expressed:
+  *  - G1 group-count: ETLMain.java:363-368 (draws per date_key)
+  *  - G2 scalar count: ETLMain.java:222,444-450
+  *  - G4 MAX scalar: Backend/.../MartRepository.java:28-33
+  *  - G5 argmax with tie-break: MartRepository.java:14-27 (JPQL throws on
+  *    ties; we canonicalize to lowest key, SURVEY §7.2)
+  *  - G6 group-by MAX: ETLMain.java:361,394-429 (last appearance)
+  *  - G7 mart aggregate: Backend/.../entity/Mart.java:14-34 (build SQL
+  *    missing from the repo; reconstruction per SURVEY §2.9)
+  *
+  * Scale posture: every groupBy here is a hash aggregate with map-side
+  * partial aggregation (one shuffle of the *aggregated* partials, not rows).
+  * Scalar totals joined back in are broadcast, never recomputed per row.
+  * Double-typed measures are summed in exact decimal (order-independent)
+  * then emitted as double — see Tables.dsum.
+  */
+object Aggregations extends QModule {
+
+  def qs: Seq[Q] = Seq(
+    // G1: group-by count — total draws per day analog.
+    Q("g1_group_count", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").cast("string").as("order_date"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"order_date")
+    }, sql = Some("""
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY order_date
+    """)),
+
+    // G2: scalar COUNT(*).
+    Q("g2_scalar_count", (s, _dir) => {
+      t(s, _dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+    }, sql = Some("SELECT COUNT(*) AS n_rows FROM lineitem")),
+
+    // G4: scalar MIN/MAX aggregates (dashboard last-update pattern).
+    Q("g4_scalar_max", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").agg(
+        max($"o_orderdate").cast("date").cast("string").as("max_date"),
+        max($"o_totalprice").as("max_price"),
+        min($"o_totalprice").as("min_price"))
+    }, sql = Some("""
+      SELECT CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date,
+             MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+      FROM orders
+    """)),
+
+    // G5: argmax with deterministic tie-break (lowest key) — the
+    // "hottest number" query. orderBy desc + limit 1 beats max_by here
+    // because max_by's tie choice is engine-dependent.
+    Q("g5_argmax", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(dsum($"o_totalprice").as("total_spend"))
+        .orderBy($"total_spend".desc, $"o_custkey".asc)
+        .limit(1)
+    }, sql = Some("""
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+      ORDER BY total_spend DESC, o_custkey ASC LIMIT 1
+    """)),
+
+    // G6: group-by MAX — last appearance date per key (K4's recompute form:
+    // no point updates in Spark, recompute the dim aggregate wholesale).
+    Q("g6_group_max", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").cast("date").cast("string").as("last_order_date"))
+        .orderBy($"o_custkey")
+    }, sql = Some("""
+      SELECT o_custkey, CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_order_date
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """)),
+
+    // G7: the reconstructed mart_two_digit_probability over testdata:
+    // "number" := l_partkey % 100 (two-digit string), "draw date" :=
+    // l_shipdate. Per number: occurrences, global distinct-draw-days
+    // denominator, probability, last appearance + recency. The global
+    // denominator is a 1-row aggregate cross-joined back (broadcast), the
+    // reference's total_draws (Mart.java:21-28).
+    Q("g7_mart_aggregate", (s, dir) => {
+      import s.implicits._
+      val facts = t(s, dir, "lineitem").select(
+        lpad(pmod($"l_partkey", lit(100)).cast("string"), 2, "0").as("number_value"),
+        $"l_shipdate".cast("date").as("d"))
+      val totals = facts.agg(
+        countDistinct($"d").as("total_draws"), max($"d").as("global_last"))
+      facts.groupBy($"number_value")
+        .agg(count(lit(1)).as("total_occurrences"), max($"d").as("last_d"))
+        .crossJoin(broadcast(totals))
+        .select(
+          $"number_value", $"total_occurrences", $"total_draws",
+          ($"total_occurrences".cast("double") / $"total_draws").as("probability"),
+          $"last_d".cast("string").as("last_appeared_date"),
+          datediff($"global_last", $"last_d").cast("long").as("days_since_last"))
+        .orderBy($"number_value")
+    }, sql = Some("""
+      WITH facts AS (
+        SELECT lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS number_value,
+               CAST(l_shipdate AS DATE) AS d
+        FROM lineitem),
+      totals AS (
+        SELECT COUNT(DISTINCT d) AS total_draws, MAX(d) AS global_last FROM facts)
+      SELECT number_value, COUNT(*) AS total_occurrences, total_draws,
+             CAST(COUNT(*) AS DOUBLE) / total_draws AS probability,
+             CAST(MAX(d) AS VARCHAR) AS last_appeared_date,
+             date_diff('day', MAX(d), global_last) AS days_since_last
+      FROM facts CROSS JOIN totals
+      GROUP BY number_value, total_draws, global_last
+      ORDER BY number_value
+    """), headline = true),
+
+    // ROLLUP (absent in reference; SURVEY §2.5 last row). Null ordering
+    // pinned explicitly: Spark sorts NULLS FIRST asc by default; DuckDB
+    // defaults NULLS LAST, so the oracle says NULLS FIRST.
+    Q("g8_rollup", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }, sql = Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """)),
+
+    // CUBE.
+    Q("g9_cube", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, sql = Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)),
+
+    // Exact distinct count (two-phase partial → merge under the hood).
+    Q("g10_distinct_count", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").agg(
+        countDistinct($"o_custkey").as("n_customers"),
+        countDistinct($"o_orderstatus").as("n_statuses"))
+    }, sql = Some("""
+      SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+             COUNT(DISTINCT o_orderstatus) AS n_statuses
+      FROM orders
+    """)),
+
+    // Approximate distinct (HLL++) — sketch values are engine-specific, so
+    // no SQL oracle (driver rows-only check); the ScalaTest spec bounds the
+    // relative error against the exact count instead.
+    Q("g11_approx_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+    }),
+
+    // Statistical aggregates, made order-independent: stddev/var computed
+    // from exact decimal sums of x and x² (a distributed double stddev is
+    // not bit-stable across partitionings, SURVEY §7.4 risk 2).
+    Q("g13_stats", (s, dir) => {
+      import s.implicits._
+      val x = $"l_quantity"
+      t(s, dir, "lineitem")
+        .agg(
+          sum(x.cast(DecimalType(18, 2))).cast("double").as("sx"),
+          sum((x * x).cast(DecimalType(18, 4))).cast("double").as("sxx"),
+          count(lit(1)).as("n"))
+        .select(
+          ($"sx" / $"n").as("mean_qty"),
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("stddev_qty"),
+          $"n".as("n"))
+    }, sql = Some("""
+      WITH s AS (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+               COUNT(*) AS n
+        FROM lineitem)
+      SELECT sx / n AS mean_qty,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+             n AS n
+      FROM s
+    """))
+  )
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{Q, QModule}
+import graft.Tables.{dsum, t}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join inventory (SURVEY.md §2.4). The reference hand-rolls every join as a
+  * HashMap/HashSet probe (J1 build ETLMain.java:329-339 probe :383-385; anti
+  * joins A1-A3 ETLMain.java:235-255,291-327,348-356); here each is the
+  * declarative Spark join so Catalyst picks broadcast-hash vs sort-merge.
+  *
+  * Scale posture (100 TB): dimension sides are `broadcast()`ed explicitly —
+  * a 1000-executor cluster must never shuffle the fact for a ≤MB dim. The
+  * as-of and range joins are written in their *scalable* forms (union+window,
+  * bucketed equi-join) instead of inequality joins, which Spark would execute
+  * as broadcast-nested-loop at O(n·m).
+  */
+object Joins extends QModule {
+
+  def qs: Seq[Q] = Seq(
+    // J1: surrogate-key lookup join, fact ⋈ small dims (broadcast-hash).
+    // Reference shape: Map<number_value→number_key> probe per fact row.
+    Q("j1_broadcast_dim_join", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    }, sql = Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name
+    """), headline = true),
+
+    // Left-outer join preserving unmatched rows (absent in the reference;
+    // part of the complete Dataset.join surface, SURVEY §2.4 last row).
+    Q("j2_left_outer_join", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+             dsum(coalesce($"o_totalprice", lit(0.0)), 2).as("spend"))
+        .orderBy($"c_custkey")
+    }, sql = Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey
+    """)),
+
+    // Left-semi join: EXISTS reduction (the reference's preloaded-HashSet
+    // idempotence probes are semi-join shaped, ETLMain.java:348-356).
+    Q("j3_semi_join", (s, dir) => {
+      import s.implicits._
+      val deepDisc = t(s, dir, "lineitem").filter($"l_discount" > 0.06)
+      t(s, dir, "orders")
+        .join(deepDisc, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+    }, sql = Some("""
+      SELECT COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+    """)),
+
+    // A1-A3: left-anti join — the reference's "preload existing keys, skip
+    // matches" dedupe/idempotence pattern (ETLMain.java:235-255,291-327).
+    Q("a1_anti_join", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_customers"),
+             min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+    }, sql = Some("""
+      SELECT COUNT(*) AS n_customers, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      FROM customer WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """)),
+
+    // As-of join (extension; absent in reference): for each 'view' event,
+    // the most recent 'purchase' at-or-before it by the same user.
+    // Scalable form: union both sides tagged, one window pass with
+    // last(ignoreNulls) — a single shuffle on user_id, no inequality join
+    // (which would be a broadcast-nested-loop O(n·m) at 100 TB).
+    // Tie-break: at equal ts, purchases sort before views and the larger
+    // event_id wins (matches the oracle's arg_max on [ts, event_id]).
+    Q("j4_asof_join", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events") // ts is LongType nanos (nanosAsLong)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("is_p"), $"event_id".as("p_event_id"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", lit(0).as("is_p"), $"event_id".as("p_event_id"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_p".desc, $"p_event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(views)
+        .withColumn("matched_purchase",
+          last(when($"is_p" === 1, $"p_event_id"), ignoreNulls = true).over(w))
+        .filter($"is_p" === 0)
+        .select($"p_event_id".as("view_event_id"), $"matched_purchase")
+        .orderBy($"view_event_id")
+    }, sql = Some("""
+      SELECT v.event_id AS view_event_id,
+             arg_max(p.event_id,
+                     CAST(epoch_ns(p.ts) AS HUGEINT) * 10000000 + p.event_id)
+               AS matched_purchase
+      FROM events v
+      LEFT JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+                        AND p.ts <= v.ts
+      WHERE v.event_type = 'view'
+      GROUP BY v.event_id ORDER BY v.event_id
+    """)),
+
+    // Range join (extension): orders bucketed into uniform price bands.
+    // Scalable form: uniform bands ⇒ band membership is a computed equi-key
+    // (floor(price/width)); the general interval-join collapses to a
+    // broadcast equi-join instead of a nested-loop range probe.
+    Q("j5_range_join", (s, dir) => {
+      import s.implicits._
+      val bandW = 25000.0
+      val bands = s.range(20).select(
+        $"id".cast("int").as("band_id"),
+        ($"id" * bandW).as("lo"),
+        (($"id" + 1) * bandW).as("hi"))
+      val bucketed = t(s, dir, "orders")
+        .withColumn("band_id", floor($"o_totalprice" / bandW).cast("int"))
+      bands.join(bucketed, Seq("band_id"), "left_outer")
+        .groupBy($"lo")
+        .agg(count($"o_orderkey").as("n_orders"),
+             dsum(coalesce($"o_totalprice", lit(0.0))).as("band_value"))
+        .orderBy($"lo")
+    }, sql = Some("""
+      WITH bands AS (
+        SELECT g * 25000.0 AS lo, (g + 1) * 25000.0 AS hi
+        FROM generate_series(0, 19) t(g))
+      SELECT lo, COUNT(o_orderkey) AS n_orders,
+             CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+      FROM bands LEFT JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY lo ORDER BY lo
+    """)),
+
+    // Cross join (small×small only — at scale a guarded operation).
+    Q("j6_cross_join", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select($"r_name", $"n_name")
+        .orderBy($"r_name", $"n_name")
+    }, sql = Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name
+    """))
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Q, QModule}
+import graft.Tables.t
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window / ordered-stateful inventory (SURVEY.md §2.6).
+  *
+  * The reference's only ordered-stateful logic is one date-sorted driver loop
+  * (W1 sort ETLMain.java:358-359; W2 per-key gap-days :394-397,412; W3
+  * running last-value :412,419-429; W4 presentation row number
+  * TableComponent.jsx:21-26). Each becomes a declarative Window; rank /
+  * ntile / frame specs are the free extensions the reference lacks.
+  *
+  * Scale posture: every window partitions by a real key (custkey / brand),
+  * so state is distributed — one shuffle on the partition key, per-partition
+  * sort, no driver-side loop. The single global-order window (w4) is
+  * restricted to a top-k, which Spark executes as per-partition top-k +
+  * final merge (TakeOrderedAndProject), not a global sort.
+  */
+object Windows extends QModule {
+
+  def qs: Seq[Q] = Seq(
+    // W2: per-key lag → gap-days since previous order (the reference's
+    // days_since_last, canonicalized to full-history per SURVEY §7.2).
+    Q("w2_lag_gap_days", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+        .select($"o_orderkey",
+          datediff($"o_orderdate".cast("date"), $"prev_date".cast("date"))
+            .cast("long").as("days_since_prev"))
+        .orderBy($"o_orderkey")
+    }, sql = Some("""
+      SELECT o_orderkey,
+             date_diff('day',
+               CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS days_since_prev
+      FROM orders ORDER BY o_orderkey
+    """), headline = true),
+
+    // W3: running total per key (explicit ROWS frame). Decimal accumulation
+    // for cross-engine determinism, emitted as double.
+    Q("w3_running_sum", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy($"o_orderkey")
+    }, sql = Some("""
+      SELECT o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+      FROM orders ORDER BY o_orderkey
+    """)),
+
+    // W4: global sequence number, top-k only (presentation STT analog).
+    Q("w4_row_number_topk", (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      t(s, dir, "customer")
+        .select(row_number().over(w).as("stt"), $"c_custkey", $"c_acctbal")
+        .filter($"stt" <= 100)
+        .orderBy($"stt")
+    }, sql = Some("""
+      SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS stt,
+             c_custkey, c_acctbal
+      FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 100
+    """)),
+
+    // Rank within group: top-3 parts per brand by retail price.
+    // rank() is a pure function of the peer ordering, so ties are
+    // deterministic; output order pinned by (brand, rank, partkey).
+    Q("w5_rank_per_group", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc)
+      t(s, dir, "part")
+        .withColumn("rnk", rank().over(w))
+        .filter($"rnk" <= 3)
+        .select($"p_brand", $"rnk", $"p_partkey", $"p_retailprice")
+        .orderBy($"p_brand", $"rnk", $"p_partkey")
+    }, sql = Some("""
+      SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+        FROM part) t
+      WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey
+    """)),
+
+    // ntile quartiles over a total (tie-broken) ordering, then aggregated.
+    Q("w6_ntile_quartiles", (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
+      t(s, dir, "customer")
+        .select(ntile(4).over(w).as("quartile"), $"c_acctbal")
+        .groupBy($"quartile")
+        .agg(count(lit(1)).as("n"),
+             sum($"c_acctbal".cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .orderBy($"quartile")
+    }, sql = Some("""
+      SELECT quartile, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM (SELECT ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+                   c_acctbal FROM customer) t
+      GROUP BY quartile ORDER BY quartile
+    """)),
+
+    // Sliding frame: 7-row moving average of daily order counts.
+    // avg over ≤2^53 integers is exact in double regardless of order.
+    Q("w7_moving_avg", (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy($"d").rowsBetween(-6, Window.currentRow)
+      daily
+        .select($"d".cast("string").as("order_date"), $"n",
+          avg($"n").over(w).as("ma7"))
+        .orderBy($"order_date")
+    }, sql = Some("""
+      SELECT CAST(d AS VARCHAR) AS order_date, n,
+             AVG(n) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+      FROM (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+            FROM orders GROUP BY 1) t
+      ORDER BY order_date
+    """))
+  )
+}
