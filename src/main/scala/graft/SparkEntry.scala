@@ -16,7 +16,10 @@ object SparkEntry {
     operators.Aggregations,
     operators.Windows,
     operators.Scalars,
-    operators.SetOps
+    operators.SetOps,
+    ext.TextAnalysis,
+    ext.DedupQueries,
+    ext.SimilarityQueries
   )
 
   def all: Seq[Q] = modules.flatMap(_.qs)

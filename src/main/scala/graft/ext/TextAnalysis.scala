@@ -1,0 +1,137 @@
+package graft.ext
+
+import graft.{Q, QModule}
+import graft.Tables.t
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (extension tier, BASELINE.json north star; no reference counterpart —
+  * the reference's only text handling is trim/equalsIgnoreCase, SURVEY §2.7
+  * X12).
+  *
+  * All pure column compositions (regexp/split built-ins) — codegen'd, no
+  * UDFs, embarrassingly parallel: at 100 TB each operator is a map-only
+  * stage over the document scan with no shuffle (aggregations below exist
+  * only to keep oracle outputs small).
+  */
+object TextAnalysis extends QModule {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish lexer tokens: letter runs, digit runs, single symbols. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-language stopword hit counts (word-boundary regex). */
+  def hits(c: Column, pat: String): Column =
+    size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+
+  val enPat = "\\b(the|of|and|to|is|a)\\b"
+  val dePat = "\\b(der|die|das|und|ist|nicht)\\b"
+  val esPat = "\\b(el|los|que|y|es|una)\\b"
+  val frPat = "\\b(le|les|et|des|est|une)\\b"
+  val zhPat = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Language-ID by stopword profile: argmax with fixed priority order
+    * en > de > es > fr; any CJK character wins for zh. */
+  def langId(text: Column): Column = {
+    val (en, de, es, fr, zh) =
+      (hits(text, enPat), hits(text, dePat), hits(text, esPat),
+       hits(text, frPat), hits(text, zhPat))
+    when(zh > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Document fingerprint: md5 of case/whitespace/punctuation-normalized
+    * text — the canonical exact-dedup key (same bytes in any engine). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""),
+        "\\s+", " "))
+
+  def qs: Seq[Q] = Seq(
+    // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
+    // "token counting" op). Int outputs → exact cross-engine.
+    Q("t_token_stats", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(tokens($"text")).as("n_ws_tokens"),
+          size(regexp_extract_all($"text", lit(bpeishPattern), lit(0)))
+            .as("n_bpeish_tokens"),
+          length($"text").as("n_chars"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      SELECT doc_id,
+             length(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+             length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
+             length(text) AS n_chars
+      FROM documents ORDER BY doc_id
+    """)),
+
+    // Quality scoring: structural ratios (length / punctuation / stopword
+    // density). One double division per row — deterministic IEEE.
+    Q("t_quality_score", (s, dir) => {
+      import s.implicits._
+      val txt = $"text"
+      val nTok = size(tokens(txt))
+      val nPunct = size(regexp_extract_all(txt, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      val nStop = hits(txt, enPat)
+      t(s, dir, "documents")
+        .select($"doc_id", nTok.as("n_tokens"), nPunct.as("n_punct"),
+          nStop.as("n_stopwords"),
+          (nStop.cast("double") / nTok).as("stopword_ratio"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      SELECT doc_id,
+             length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+             length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS n_stopwords,
+             CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
+               / length(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+      FROM documents ORDER BY doc_id
+    """)),
+
+    // Language-ID confusion matrix vs the labeled lang column.
+    Q("t_langid_confusion", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang".as("actual"), langId($"text").as("predicted"))
+        .groupBy($"actual", $"predicted").agg(count(lit(1)).as("n"))
+        .orderBy($"actual", $"predicted")
+    }, sql = Some("""
+      WITH scored AS (
+        SELECT lang AS actual,
+          length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS c_en,
+          length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS c_de,
+          length(regexp_extract_all(lower(text), '\b(el|los|que|y|es|una)\b')) AS c_es,
+          length(regexp_extract_all(lower(text), '\b(le|les|et|des|est|une)\b')) AS c_fr,
+          length(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS c_zh
+        FROM documents)
+      SELECT actual,
+             CASE WHEN c_zh > 0 THEN 'zh'
+                  WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                  WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                  WHEN c_es >= c_fr THEN 'es'
+                  ELSE 'fr' END AS predicted,
+             COUNT(*) AS n
+      FROM scored GROUP BY 1, 2 ORDER BY actual, predicted
+    """)),
+
+    // Document fingerprinting (md5 of normalized text) — one row per doc.
+    Q("t_fingerprint", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      SELECT doc_id,
+             md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                 '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id
+    """))
+  )
+}

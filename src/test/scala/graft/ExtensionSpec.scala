@@ -1,0 +1,85 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Specs for the approximate/randomized operators that have no SQL oracle
+  * (driver records rows-only): MinHash-LSH recall, SimHash candidates,
+  * LSH-ANN vs brute force, approx_count_distinct error bound. Run at
+  * sf0.001 (500 docs / 500 vecs) for speed.
+  */
+class ExtensionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = t(spark, dir, "documents")
+  private lazy val embs = t(spark, dir, "embeddings")
+
+  test("minhash-lsh: full recall of strong near-dup pairs, strong pruning") {
+    val exact = Dedup.jaccardPairs(docs, threshNum = 5) // jaccard >= 0.5
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain strong near-dups")
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
+    // candidate set must be ~linear, not O(n²)=124750
+    assert(cand.size < 5000, s"candidate explosion: ${cand.size}")
+  }
+
+  test("simhash: chunk-collision candidates contain the top jaccard pairs") {
+    val strong = Dedup.jaccardPairs(docs, threshNum = 8) // jaccard >= 0.8
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.simhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = strong -- cand
+    assert(missed.isEmpty, s"simhash missed near-identical pairs: $missed")
+  }
+
+  test("ann-lsh: returns same-bucket vectors ranked like brute force") {
+    val brute = Similarity.topK(embs, 0L, 50)
+      .collect().map(_.getLong(0))
+    val ann = Similarity.annTopK(embs, 0L, 10).collect().map(_.getLong(0))
+    assert(ann.nonEmpty, "query bucket should not be a singleton")
+    // every ANN hit must be a genuine neighbor ordering-wise: the ANN list
+    // must preserve the brute-force relative order of its members
+    val pos = brute.zipWithIndex.toMap
+    val annPos = ann.flatMap(pos.get)
+    assert(annPos.sameElements(annPos.sorted),
+      "ANN results out of brute-force order")
+  }
+
+  test("approx_count_distinct within configured 2% rsd (5 sigma)") {
+    val exact = t(spark, dir, "lineitem").select(countDistinct(col("l_partkey")))
+      .collect().head.getLong(0)
+    val approx = t(spark, dir, "lineitem")
+      .select(approx_count_distinct(col("l_partkey"), 0.02))
+      .collect().head.getLong(0)
+    val rel = math.abs(approx.toDouble - exact) / exact
+    assert(rel < 0.1, s"approx=$approx exact=$exact rel=$rel")
+  }
+
+  test("cosine fold matches hand-computed value") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 2.0f)), (2L, Array(2.0f, 4.0f, 4.0f)),
+                 (3L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.topK(df, 1L, 2).collect()
+    assert(got.head.getLong(0) === 2L)
+    assert(got.head.getLong(1) === 1000000000L) // cosine 1.0 in nano-units
+    assert(got(1).getLong(0) === 3L)            // cosine -1/3
+    assert(got(1).getLong(1) === -333333333L)
+  }
+
+  test("exact jaccard agrees with a hand-computed pair") {
+    import spark.implicits._
+    // doc 1: tokens a..f → shingles {a b c d e, b c d e f}
+    // doc 2: tokens a..e → shingles {a b c d e}; shared=1, union=2, jac=0.5
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, k = 5, threshNum = 3).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      === ((1L, 2L, 1L, 2L, 0.5)))
+  }
+}
