@@ -19,7 +19,8 @@ object SparkEntry {
     operators.SetOps,
     ext.TextAnalysis,
     ext.DedupQueries,
-    ext.SimilarityQueries
+    ext.SimilarityQueries,
+    streaming.EventQueries
   )
 
   def all: Seq[Q] = modules.flatMap(_.qs)

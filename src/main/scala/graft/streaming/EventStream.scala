@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.{Q, QModule}
+import graft.Tables.{dsum, t}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming-capable event transforms (extension tier — the reference is a
+  * once-daily batch, SURVEY §2.8 "Streaming: none"; its only temporal gate
+  * is the 19:00 draw-time check, LotteryCrawler.java:106-110).
+  *
+  * Every transform here is expressed on a plain DataFrame so the SAME code
+  * runs in batch (`spark.read` → oracled below) and in Structured Streaming
+  * (`spark.readStream` → StreamingSpec with watermarks over MemoryStream).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), read as Long nanos
+  * (nanosAsLong). Sessionization is done in *integer nanos* — exact,
+  * engine-independent arithmetic; the timestamp cast happens only for
+  * window bucketing where both engines truncate identically.
+  *
+  * Scale posture: windowed counts shuffle once on (window, type) with
+  * map-side partial aggregation; sessionization shuffles once on user_id.
+  * In streaming mode the watermark bounds state; in batch mode the same
+  * plan is a plain window/agg. Skewed users would get salted pre-agg —
+  * not needed at these volumes.
+  */
+object EventStream {
+
+  /** ts (long nanos) → timestamp at microsecond precision. */
+  def tsCol: Column = timestamp_micros(expr("ts div 1000"))
+
+  /** Tumbling-window counts per event_type (the canonical streaming agg).
+    * `df` may be a batch read or a readStream with watermark applied. */
+  def windowedCounts(df: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    df.withColumn("tss", tsCol)
+      .groupBy(window(col("tss"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Exactly-once-style dedupe by event_id (streaming: pair with
+    * withWatermark + dropDuplicatesWithinWatermark). */
+  def dedupeEvents(df: DataFrame): DataFrame = df.dropDuplicates("event_id")
+
+  /** Gap-based sessionization in integer nanos: a new session starts when
+    * the gap since the user's previous event exceeds `gapNanos`. Batch
+    * form (lag + running sum); the streaming twin is session_window /
+    * flatMapGroupsWithState in StreamingSpec. */
+  def sessionize(df: DataFrame, gapNanos: Long = 30L * 60 * 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts") - lag(col("ts"), 1).over(byUser) > gapNanos, 1)
+      .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+      .otherwise(0)
+    df.withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats from the sessionized frame. */
+  def sessionStats(df: DataFrame): DataFrame =
+    sessionize(df)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+}
+
+object EventQueries extends QModule {
+  import EventStream._
+
+  def qs: Seq[Q] = Seq(
+    // Tumbling 1h windowed aggregation (streaming-equivalent batch form).
+    Q("e1_window_counts", (s, dir) =>
+      windowedCounts(t(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type")),
+      sql = Some("""
+      SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """), headline = true),
+
+    // Gap-based sessionization (30 min), integer-nanos exact.
+    Q("e2_sessionize", (s, dir) =>
+      sessionStats(t(s, dir, "events")),
+      sql = Some("""
+      WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                         > CAST(1800 AS BIGINT) * 1000000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+      FROM g GROUP BY user_id ORDER BY user_id
+    """))
+  )
+}

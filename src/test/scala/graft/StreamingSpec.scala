@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.Tables.t
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming parity: the SAME transforms used by the oracled
+  * batch queries (e1/e2) run over a MemoryStream with watermarks and give
+  * the same results once the stream is drained (SURVEY §2.8 streaming
+  * extension).
+  */
+case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
+              value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed counts: streaming result == batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect()
+
+    val stream = MemoryStream[Ev]
+    // two micro-batches to exercise incremental state
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    stream.addData(b1.toSeq)
+    val sdf = stream.toDF()
+      .withColumn("tss", EventStream.tsCol)
+      .withWatermark("tss", "1 hour")
+    val query = EventStream.windowedCounts(sdf)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      stream.addData(b2.toSeq)
+      query.processAllAvailable()
+      val streamed = rows(spark.table("wc"))
+      val batch = rows(EventStream.windowedCounts(batchDf))
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
+  test("streaming dedupe by event_id within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = t(spark, dir, "events").as[Ev].take(50)
+    val stream = MemoryStream[Ev]
+    stream.addData(base.toSeq)
+    stream.addData(base.take(20).toSeq) // duplicate replay
+    val sdf = stream.toDF()
+      .withColumn("tss", EventStream.tsCol)
+      .withWatermark("tss", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = sdf.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dd").count() === 50)
+    } finally q.stop()
+  }
+
+  test("sessionize: batch nanos-exact form agrees with session_window built-in") {
+    import spark.implicits._
+    val events = t(spark, dir, "events")
+    val viaLag = EventStream.sessionStats(events)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // session_window on the microsecond timestamp; gaps are minutes-scale
+    // in this data so µs truncation can't flip a 30-minute boundary here.
+    val viaBuiltin = events
+      .withColumn("tss", EventStream.tsCol)
+      .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaLag === viaBuiltin)
+  }
+}
