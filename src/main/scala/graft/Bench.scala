@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline query suite on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":{...}}.
   *
-  * Each query is forced with a count() action (full plan execution without
-  * driver-side materialization of wide results).
+  * Each query is forced with `queryExecution.toRdd.count()` — that executes
+  * the exact optimized physical plan. (A plain `df.count()` would let
+  * Catalyst prune the aggregate expressions out from under the count and
+  * under-measure the real work.)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,12 +27,14 @@ object Bench {
       val hs = SparkEntry.all.filter(_.headline)
       if (hs.nonEmpty) hs else SparkEntry.all
     }
+    def force(q: Q): Unit =
+      try q.fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     // one warm-up pass amortizes codegen + parquet footer reads
-    suite.foreach(q => try q.fn(spark, sfDir).count()
-      catch { case _: Throwable => () })
+    suite.foreach(force)
     val results = suite.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+      force(q)
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }

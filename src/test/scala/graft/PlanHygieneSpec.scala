@@ -1,0 +1,80 @@
+package graft
+
+/** Physical-plan hygiene (the 100 TB posture, SURVEY §4.2): filters and
+  * pruning reach the parquet scan, dimension joins broadcast, top-k never
+  * global-sorts, hot paths stay in whole-stage codegen. These assertions
+  * pin the *plan shape*, so a regression that silently de-optimizes a
+  * query fails CI even though results stay correct.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.toRdd.count() // let AQE finalize the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s4: predicate and projection are pushed into the parquet scan") {
+    val p = planOf("s4_filtered_scan")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(o_orderstatus)") || p.contains("EqualTo(o_orderstatus"), p)
+    // pruned read schema: only the 4 referenced columns, not all 6
+    assert(!p.contains("o_orderpriority"), "projection not pruned:\n" + p)
+  }
+
+  test("j1: dimension joins are broadcast-hash, fact is never shuffled for the join") {
+    val p = planOf("j1_broadcast_dim_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ:\n" + p)
+  }
+
+  test("a1/j3: anti and semi joins use hash strategies, not nested loops") {
+    assert(!planOf("a1_anti_join").contains("BroadcastNestedLoopJoin"))
+    assert(!planOf("j3_semi_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("topk: orderBy.limit plans as TakeOrderedAndProject, no global Sort+Exchange") {
+    val p = planOf("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is two-phase (partial before shuffle)") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_"), "no map-side partial aggregation:\n" + p)
+    // whole-stage codegen stages render as "*(n)" in the final plan
+    assert(p.contains("*("), "no whole-stage codegen span:\n" + p)
+  }
+
+  test("j5: range join executes as equi-join on the computed band key") {
+    val p = planOf("j5_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join degraded to nested loop:\n" + p)
+  }
+
+  test("j4: as-of join is one shuffle on user_id, not an inequality join") {
+    val p = planOf("j4_asof_join")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("w4: global row_number top-k stays bounded via the stt filter") {
+    // rank-filter keeps a single-partition window but only k rows survive;
+    // plan must not contain a second unbounded global sort after the window
+    val p = planOf("w4_row_number_topk")
+    assert(p.contains("Window"), p)
+  }
+
+  test("dedup_ngram_jaccard: inverted index, no cartesian pair generation") {
+    val p = planOf("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sim_topk_cosine: map-only scoring + TakeOrderedAndProject") {
+    val p = planOf("sim_topk_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
