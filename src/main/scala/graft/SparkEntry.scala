@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Windows,
     operators.Scalars,
     operators.SetOps,
+    operators.Analytics,
     ext.TextAnalysis,
     ext.DedupQueries,
     ext.SimilarityQueries,

@@ -1,0 +1,79 @@
+package graft
+
+import graft.pipeline.{Control, Lottery}
+import graft.sources.Upsert
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sink inventory (SURVEY §2.2): CSV writer (K1), parquet append (K2),
+  * anti-join upsert (K3 — UpsertSpec in LotteryPipelineSpec), run-log
+  * append + gate (K5/S7), partitioned fact layout (§4.2 scale posture),
+  * and the S6 config scan.
+  */
+class IoSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("K1: CSV write round-trips with header and proper quoting") {
+    import spark.implicits._
+    val out = tmp("csv") + "/out"
+    val df = Seq(("Giải Bảy", "09", "a,b comma"), ("Giải Nhất", "12345", "plain"))
+      .toDF("prize", "number_value", "note")
+    df.write.option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(rows(back) === rows(df))  // quoting survives the comma
+  }
+
+  test("K2: parquet append accumulates batches") {
+    import spark.implicits._
+    val out = tmp("pq") + "/t"
+    Seq((1, "a")).toDF("k", "v").write.mode("append").parquet(out)
+    Seq((2, "b")).toDF("k", "v").write.mode("append").parquet(out)
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
+  test("K2+scale: fact written partitionBy(year) prunes partitions on read") {
+    val out = tmp("fact") + "/fact"
+    val dir = "/root/testdata/sf0.001"
+    Tables.t(spark, dir, "orders")
+      .withColumn("year_value", year(col("o_orderdate")))
+      .write.partitionBy("year_value").parquet(out)
+    val one = spark.read.parquet(out).filter(col("year_value") === 1996)
+    val plan = one.queryExecution.executedPlan.toString
+    // partition pruning: the scan must carry the partition filter
+    assert(plan.contains("PartitionFilters: [isnotnull(year_value"), plan)
+    assert(one.count() > 0)
+  }
+
+  test("K5+S7: run-log append and stage-dependency gate") {
+    val logDir = tmp("log") + "/process_log"
+    Control.logStatus(spark, logDir, "P2", "RUNNING", "start")
+    Control.logStatus(spark, logDir, "P2", "SUCCESS", "loaded 12 rows")
+    Control.logStatus(spark, logDir, "P3", "FAIL", "boom")
+    assert(Control.lastStatusIsSuccess(spark, logDir, "P2"))
+    assert(!Control.lastStatusIsSuccess(spark, logDir, "P3"))
+    assert(!Control.lastStatusIsSuccess(spark, logDir, "P4")) // never ran
+  }
+
+  test("S6: config scans") {
+    import spark.implicits._
+    val kv = Seq(("db_host", "x"), ("staging_schema", "stg"))
+      .toDF("config_key", "config_value")
+    assert(Control.configMap(kv) === Map("db_host" -> "x", "staging_schema" -> "stg"))
+    assert(Control.parseKvString("host: a, port: 33, weird") ===
+      Map("host" -> "a", "port" -> "33"))
+  }
+
+  test("idempotent re-load through a real sink (A1-A3 contract end-to-end)") {
+    val out = tmp("upsert") + "/dim"
+    val dimDate = Lottery.run(spark,
+      getClass.getResource("/lottery").getPath).dimDate
+    dimDate.write.mode("append").parquet(out)
+    // second load: only genuinely-new rows appended
+    val existing = spark.read.parquet(out)
+    Upsert.newRows(existing, dimDate, Seq("date_key"))
+      .write.mode("append").parquet(out)
+    assert(spark.read.parquet(out).count() === dimDate.count())
+  }
+}

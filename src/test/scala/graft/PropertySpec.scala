@@ -1,0 +1,81 @@
+package graft
+
+import graft.pipeline.Lottery
+import graft.sources.Upsert
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.2 item 2): load idempotence, per-day
+  * probability mass, gap-day consistency, number normalization round-trip —
+  * over generated crawler-shaped batches (scalacheck Gen, fixed seeds for
+  * reproducibility; the scalatest bridge artifact is not in the offline
+  * cache, so sampling is driven manually).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Run `body` over `n` deterministic samples of `gen`. */
+  def forAllSamples[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong))
+        .getOrElse(fail(s"gen failed at sample $i")))
+    }
+
+  import org.apache.spark.sql.functions._
+
+  private val genDay: Gen[String] = Gen.chooseNum(1, 28).map(d => f"$d%02d-03-2025")
+  private val genNum: Gen[String] = Gen.chooseNum(0, 99).map(n => f"$n%02d")
+  private val genRow: Gen[(String, String, String, String)] = for {
+    d <- genDay; n <- genNum
+  } yield ("Giải Bảy", n, d, "2025-03-01T19:05:00.000Z")
+
+  private def stagingOf(rows: List[(String, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("prize", "number_value", "full_date", "created_at")
+      .withColumn("load_timestamp", current_timestamp())
+  }
+
+  test("per-day probability mass sums to 1 (X11 invariant)") {
+    forAllSamples(Gen.nonEmptyListOf(genRow)) { rows =>
+      val tr = Lottery.transform(stagingOf(rows))
+      val fact = Lottery.factPrize(tr, Lottery.dimNumber(tr))
+      // each day's Σ occurrence_count/total_draws = 1 exactly
+      val perDay = fact.groupBy(col("date_key"))
+        .agg(sum(col("occurrence_count").cast("double") / col("total_draws")).as("mass"))
+        .collect()
+      perDay.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+        s"day ${r.get(0)} mass ${r.getDouble(1)}"))
+    }
+  }
+
+  test("days_since_last is positive and consistent with sorted dates (W2)") {
+    forAllSamples(Gen.nonEmptyListOf(genRow)) { rows =>
+      val tr = Lottery.transform(stagingOf(rows))
+      val fact = Lottery.factPrize(tr, Lottery.dimNumber(tr))
+      val bad = fact.filter(col("days_since_last").isNotNull &&
+        col("days_since_last") <= 0).count()
+      assert(bad === 0)
+    }
+  }
+
+  test("upsert idempotence: load(load(t,b),b) == load(t,b) (A1-A3)") {
+    forAllSamples(Gen.nonEmptyListOf(genRow)) { rows =>
+      val tr = Lottery.transform(stagingOf(rows))
+      val dim = Lottery.dimDate(tr)
+      val once = Upsert.appendNew(dim, dim, Seq("date_key"))
+      val twice = Upsert.appendNew(once, dim, Seq("date_key"))
+      assert(twice.count() === dim.count())
+    }
+  }
+
+  test("number normalization round-trip (X10): parse(normalize(x)) == parse(x)") {
+    forAllSamples(Gen.listOfN(30, genNum)) { nums =>
+      import spark.implicits._
+      val df = nums.toDF("raw")
+      val normalized = df.select(
+        expr("try_cast(raw AS int)").as("direct"),
+        expr("try_cast(coalesce(cast(try_cast(raw AS int) AS string), trim(raw)) AS int)")
+          .as("viaNorm"))
+      assert(normalized.filter(col("direct") =!= col("viaNorm")).count() === 0)
+    }
+  }
+}
