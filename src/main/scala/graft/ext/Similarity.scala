@@ -21,16 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** In-order fold sum of a double-array SQL expression. */
+  /** In-order fold sum of a double-array SQL expression (reference
+    * semantics for the native expression below; kept for documentation
+    * and spec cross-checks). */
   private def foldSum(arrExpr: String): String =
     s"aggregate($arrExpr, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  /** dot(a, b) with per-element double casts, in list order. */
-  def dot(a: String, b: String): Column = expr(foldSum(
+  /** HOF-fold dot product — semantically identical to vecDot but
+    * CodegenFallback (interpreted per element); used only as the
+    * cross-check baseline in SimilarityExprSpec. */
+  def dotHof(a: String, b: String): Column = expr(foldSum(
     s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"))
 
-  def norm(a: String): Column =
-    sqrt(expr(foldSum(s"transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+  /** dot(a, b): native codegen'd expression, double accumulation in
+    * element order (graft.functions.FloatVectorDot). */
+  def dot(a: String, b: String): Column =
+    graft.functions.VectorFunctions.vecDot(col(a), col(b))
+
+  def norm(a: String): Column = sqrt(dot(a, a))
 
   def cosine(a: String, b: String): Column = dot(a, b) / norm(a) / norm(b)
 

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, Shims}
+
+/** Public surface for the native vector expressions (implementation:
+  * org.apache.spark.sql.graftshim.FloatVectorDot — see its scaladoc for
+  * why it is a custom codegen Expression rather than a HOF fold). */
+object VectorFunctions {
+  /** Column API for the native dot product. */
+  def vecDot(a: Column, b: Column): Column =
+    Shims.column(FloatVectorDot(Shims.expression(a), Shims.expression(b)))
+
+  val fnId: FunctionIdentifier = FunctionIdentifier("vec_dot")
+
+  val fnInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[FloatVectorDot].getCanonicalName, null, "vec_dot",
+    "_FUNC_(a, b) - dot product of two float vectors, accumulated in double in element order.",
+    "")
+
+  val fnBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => FloatVectorDot(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects 2 arguments, got ${other.size}")
+  }
+
+  /** Imperative registration (safe under any externally-created session —
+    * the round driver builds its own SparkSession without extensions). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    Shims.registerFunction(spark, fnId, fnInfo, fnBuilder)
+}
+
+/** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * makes `vec_dot` available as a SQL function in any session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((VectorFunctions.fnId, VectorFunctions.fnInfo,
+      VectorFunctions.fnBuilder))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.VectorFunctions
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** The native FloatVectorDot expression: bit-identical to the HOF fold it
+  * replaces, registered as a SQL function, and inside whole-stage codegen.
+  */
+class VectorExprSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native dot == HOF fold, bit-exact, on real embeddings") {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        reverse(col("embedding")).as("other"))
+    val both = e.select(col("vec_id"),
+      VectorFunctions.vecDot(col("embedding"), col("other")).as("native"),
+      Similarity.dotHof("embedding", "other").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // sanity: non-trivial values
+    assert(both.filter(col("native") =!= 0.0).count() > 0)
+  }
+
+  test("null and empty arrays behave like the built-ins") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (2L, None, Some(Array(1.0f))),
+      (3L, Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === Some(11.0))
+    assert(got(2L) === None)   // null-intolerant like built-in binary exprs
+    assert(got(3L) === Some(0.0))
+  }
+
+  test("vec_dot is callable from SQL after registration") {
+    VectorFunctions.ensureRegistered(spark)
+    t(spark, dir, "embeddings").limit(5).createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS n2 FROM emb_v ORDER BY vec_id")
+      .collect()
+    assert(r.length === 5)
+    assert(r.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("expression participates in whole-stage codegen (not CodegenFallback)") {
+    val e = t(spark, dir, "embeddings")
+    val df = e.select(VectorFunctions.vecDot(col("embedding"), col("embedding")).as("n2"))
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "vec_dot fell out of codegen:\n" + plan)
+  }
+}
