@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Skew
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Scale-posture mechanics that need real evidence, not scaladoc claims:
+  * bucketed co-located joins (no shuffle at join time) and salted
+  * aggregation (exactness under skew).
+  */
+class ScaleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    // tables land in the default spark-warehouse dir (gitignored)
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+    joined.queryExecution.toRdd.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key → no shuffle before the join
+    val exchangesBeforeJoin = plan.split("SortMergeJoin|ShuffledHashJoin").head
+    assert(!exchangesBeforeJoin.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffled:\n" + plan)
+    // cross-check result vs plain join
+    val expected = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+    assert(rows(joined) === rows(expected))
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+
+  test("salted sum/count is exact vs direct aggregation") {
+    val li = t(spark, dir, "lineitem")
+    val direct = li.groupBy(col("l_returnflag").as("k"))
+      .agg(sum(col("l_quantity")).as("sum_v"), count(lit(1)).as("n"))
+    val salted = Skew.saltedSumCount(li, col("l_returnflag"), col("l_quantity"))
+    // doubles: compare sums via rounding (salting changes add order)
+    val d = direct.collect().map(r => r.getString(0) -> ((math.rint(r.getDouble(1) * 100) / 100), r.getLong(2))).toMap
+    val s = salted.collect().map(r => r.getString(0) -> ((math.rint(r.getDouble(1) * 100) / 100), r.getLong(2))).toMap
+    assert(d === s)
+  }
+
+  test("salted distinct-count is exact vs countDistinct") {
+    val o = t(spark, dir, "orders")
+    val direct = o.groupBy(col("o_orderstatus").as("k"))
+      .agg(countDistinct(col("o_custkey")).as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedDistinctCount(o, col("o_orderstatus"), col("o_custkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct === salted)
+  }
+}
