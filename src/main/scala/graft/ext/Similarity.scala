@@ -78,6 +78,55 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  // --- IVF-style ANN (coarse quantizer + probed lists) -------------------
+
+  /** Deterministic coarse centroids: every (n/nlist)-th vector by vec_id —
+    * a seedless, reproducible stand-in for k-means (at 100 TB you train
+    * centroids once offline; assignment below is the scale path). */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    embeddings
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("rn") % greatest(floor(col("n") / nlist), lit(1)) === 0)
+      .limit(nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast centroid table;
+    * one map-side argmax per vector — no shuffle of the vectors). */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine("embedding", "centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF ANN: rank centroids against the query, probe the top `nprobe`
+    * inverted lists, exact re-rank inside them. */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nlist)
+    val assigned = ivfAssign(embeddings, centroids)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .withColumn("sim", cosine("centroid", "q"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned.join(broadcast(probed), Seq("centroid_id"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine("embedding", "q").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ANN: probe the query's LSH bucket only, exact re-rank inside it. */
   def annTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket("embedding"))
@@ -136,6 +185,11 @@ object SimilarityQueries extends QModule {
     // → rows-only for the driver; SimilaritySpec checks bucket containment
     // and ordering against the brute-force baseline.
     Q("sim_ann_lsh", (s, dir) =>
-      annTopK(t(s, dir, "embeddings"), 0L, 10))
+      annTopK(t(s, dir, "embeddings"), 0L, 10)),
+
+    // ANN via IVF coarse quantizer (nlist lists, nprobe probed) —
+    // engine-specific index → rows-only; recall spec in ExtensionSpec.
+    Q("sim_ann_ivf", (s, dir) =>
+      ivfTopK(t(s, dir, "embeddings"), 0L, 10))
   )
 }

@@ -52,6 +52,16 @@ object TextAnalysis extends QModule {
     md5(regexp_replace(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""),
         "\\s+", " "))
 
+  /** Polynomial rolling-hash fingerprint over tokens (north-star "document
+    * fingerprinting (rolling hash)"): Rabin-Karp form h = (h*31 + hash(tok))
+    * mod 1e9+7, folded in token order — modular so it never overflows under
+    * ANSI arithmetic. Engine-specific hash → spec-checked, not oracled. */
+  def rollingHash(text: Column): Column = {
+    val m = 1000000007L
+    aggregate(tokens(text), lit(7L),
+      (acc, tok) => pmod(acc * 31 + pmod(xxhash64(tok), lit(m)), lit(m)))
+  }
+
   def qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
     // "token counting" op). Int outputs → exact cross-engine.
