@@ -190,6 +190,27 @@ object SimilarityQueries extends QModule {
     // ANN via IVF coarse quantizer (nlist lists, nprobe probed) —
     // engine-specific index → rows-only; recall spec in ExtensionSpec.
     Q("sim_ann_ivf", (s, dir) =>
-      ivfTopK(t(s, dir, "embeddings"), 0L, 10))
+      ivfTopK(t(s, dir, "embeddings"), 0L, 10)),
+
+    // Cross-modal join: text table ⋈ vector table on the shared id, per
+    // language: doc count, total chars, Σ‖v‖² in micro-units (per-row fold
+    // rounded to ints BEFORE summing → order-independent, drift-immune).
+    Q("m1_crossmodal_join", (s, dir) => {
+      import s.implicits._
+      val norm2e6 = floor(dot("embedding", "embedding") * 1e6 + 0.5).cast("long")
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+             sum(norm2e6).as("sum_norm2_e6"))
+        .orderBy($"lang")
+    }, sql = Some("""
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+             SUM(CAST(floor(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6 + 0.5) AS BIGINT))
+               AS sum_norm2_e6
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      GROUP BY lang ORDER BY lang
+    """))
   )
 }

@@ -176,6 +176,20 @@ object Aggregations extends QModule {
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
     }),
 
+    // Exact percentiles (sort-based; both engines use linear interpolation).
+    Q("g14_percentiles", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+    }, sql = Some("""
+      SELECT quantile_cont(l_quantity, 0.5) AS p50_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             quantile_cont(l_extendedprice, 0.5) AS p50_price
+      FROM lineitem
+    """)),
+
     // Statistical aggregates, made order-independent: stddev/var computed
     // from exact decimal sums of x and x² (a distributed double stddev is
     // not bit-stable across partitionings, SURVEY §7.4 risk 2).
