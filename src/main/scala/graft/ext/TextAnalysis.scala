@@ -131,6 +131,23 @@ object TextAnalysis extends QModule {
       FROM scored GROUP BY 1, 2 ORDER BY actual, predicted
     """)),
 
+    // Word count over the corpus: explode + hash agg + top-k — the
+    // canonical map-reduce shape (one shuffle of (token, partial-count)
+    // pairs thanks to map-side combine, then TakeOrdered).
+    Q("t_top_tokens", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(tokens(lower($"text"))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(20)
+    }, sql = Some("""
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents) t
+      GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """)),
+
     // Document fingerprinting (md5 of normalized text) — one row per doc.
     Q("t_fingerprint", (s, dir) => {
       import s.implicits._

@@ -82,6 +82,23 @@ object EventQueries extends QModule {
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """), headline = true),
 
+    // Schema'd JSON parsing of event props (SURVEY §1.4: from_json with a
+    // declared schema, not per-field string extraction).
+    Q("e3_json_props", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("p", from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy(($"p.k" % 10).as("k_mod10"))
+        .agg(count(lit(1)).as("n"), sum($"p.k").as("sum_k"))
+        .orderBy($"k_mod10")
+    }, sql = Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+             COUNT(*) AS n,
+             SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+      FROM events GROUP BY 1 ORDER BY k_mod10
+    """)),
+
     // Gap-based sessionization (30 min), integer-nanos exact.
     Q("e2_sessionize", (s, dir) =>
       sessionStats(t(s, dir, "events")),
