@@ -76,16 +76,19 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: 64-bit signature as 4×16-bit chunks. Bit j of the signature
-    * is the sign of Σ_tokens (±1 by bit j of xxhash64(token)), weighted by
-    * token frequency. Candidates = pairs sharing ≥1 chunk (catches all
-    * pairs within Hamming distance 3 by pigeonhole; near-dups land far
-    * inside that). */
-  def simhashChunks(docs: DataFrame, chunks: Int = 8, bitsPerChunk: Int = 8): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
+  /** SimHash: 64-bit signature as 8×8-bit chunks. Bit j of the signature
+    * is the sign of Σ_features (±1 by bit j of xxhash64(feature)), weighted
+    * by feature frequency. Features are k-word SHINGLES, not unigrams: over
+    * a corpus with a small shared vocabulary, unigram signatures cluster
+    * and chunk collisions approach O(n²) (measured 42% of all pairs on the
+    * word-soup testdata); shingles are doc-specific and keep candidates
+    * ~linear. Candidates = pairs sharing ≥1 of the 8 chunks (pigeonhole:
+    * catches every pair within Hamming distance 7). */
+  def simhashChunks(docs: DataFrame, chunks: Int = 8, bitsPerChunk: Int = 8,
+                    shingleK: Int = 3): DataFrame = {
+    val toks = shingles(docs, shingleK)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("shingle")))
     val chunkCols: Seq[Column] = (0 until chunks).map { c =>
       val bitSum = (0 until bitsPerChunk).map { b =>
         val j = c * bitsPerChunk + b
