@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-word shingles per doc: (doc_id, shingle). */
+  /** Distinct k-word shingles per doc: (doc_id, shingle).
+    *
+    * The input is repartitioned to the session's parallelism first:
+    * shingling is the CPU-heavy per-row stage, and when the source has
+    * fewer splits than cores (small files / single parquet row group —
+    * exactly the testdata shape) it would otherwise serialize on one task.
+    * The repartition shuffles only the raw docs (cheap) and is what you'd
+    * do at 100 TB too for an under-split input. */
   def shingles(docs: DataFrame, k: Int = 5): DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(
