@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Scalars,
     operators.SetOps,
     operators.Analytics,
+    operators.Functions,
     ext.TextAnalysis,
     ext.DedupQueries,
     ext.SimilarityQueries,

@@ -63,6 +63,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lottery transform runs unchanged as a file-source stream") {
+    import graft.pipeline.Lottery
+    val dir = getClass.getResource("/lottery").getPath
+    // same transform code, streaming source (one file per micro-batch)
+    val stream = spark.readStream
+      .schema(Lottery.crawlSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("header", "true")
+      .csv(dir)
+      .na.drop("any", Seq("prize", "number_value", "full_date"))
+      .withColumn("load_timestamp", current_timestamp())
+    val q = Lottery.transform(stream)
+      .writeStream.format("memory").queryName("lt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = rows(spark.table("lt")
+        .select("number_value", "full_date", "range_group", "is_weekend", "is_even"))
+      val batch = rows(Lottery.transform(Lottery.staging(spark, dir))
+        .select("number_value", "full_date", "range_group", "is_weekend", "is_even"))
+      assert(streamed === batch)
+      assert(spark.table("lt").count() === 7) // dup 09 kept (append stream)
+    } finally q.stop()
+  }
+
   test("sessionize: batch nanos-exact form agrees with session_window built-in") {
     import spark.implicits._
     val events = t(spark, dir, "events")
