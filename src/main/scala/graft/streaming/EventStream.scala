@@ -24,10 +24,44 @@ import org.apache.spark.sql.functions._
   * plan is a plain window/agg. Skewed users would get salted pre-agg —
   * not needed at these volumes.
   */
+/** Typed event row (Dataset[T] surface; FIXTURES.md §B events schema with
+  * ts as Long nanos under nanosAsLong). */
+final case class Event(event_id: Long, ts: Long, user_id: Long,
+                       event_type: String, value: Double, props: String)
+
+/** Per-user running state for the custom-state operator. */
+final case class UserAgg(n_events: Long, n_purchases: Long, last_ts: Long)
+
 object EventStream {
 
   /** ts (long nanos) → timestamp at microsecond precision. */
   def tsCol: Column = timestamp_micros(expr("ts div 1000"))
+
+  /** Custom arbitrary state via mapGroupsWithState (the brief's
+    * KeyValueGroupedDataset path): per-user running totals that survive
+    * across micro-batches. Works identically over a batch Dataset (state
+    * folds within the single "batch") and a stream (state persists in the
+    * state store, bounded by the group key cardinality).
+    *
+    * Scale posture: state is per-key and O(1) per user; the state store
+    * shuffles once on user_id. */
+  def runningUserStats(ds: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[(Long, UserAgg)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, (Long, UserAgg)](GroupStateTimeout.NoTimeout) {
+        (uid, events, state) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0L, Long.MinValue))
+          val next = events.foldLeft(prev) { (acc, e) =>
+            UserAgg(acc.n_events + 1,
+              acc.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+              math.max(acc.last_ts, e.ts))
+          }
+          state.update(next)
+          (uid, next)
+      }
+  }
 
   /** Tumbling-window counts per event_type (the canonical streaming agg).
     * `df` may be a batch read or a readStream with watermark applied. */

@@ -63,6 +63,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user custom state accumulates across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val evs = t(spark, dir, "events").as[Event].take(200)
+    val stream = MemoryStream[Event]
+    val q = EventStream.runningUserStats(stream.toDS())
+      .map { case (uid, agg) => (uid, agg.n_events, agg.n_purchases, agg.last_ts) }
+      .toDF("user_id", "n_events", "n_purchases", "last_ts")
+      .writeStream.format("memory").queryName("us")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = evs.splitAt(100)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      // latest state per user (update mode emits one row per batch per key)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      val finalState = spark.table("us")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("user_id", "n_events", "n_purchases")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // oracle: plain batch aggregation over the same 200 events
+      val expected = evs.groupBy(_.user_id).map { case (u, es) =>
+        u -> ((es.length.toLong, es.count(_.event_type == "purchase").toLong))
+      }
+      assert(finalState === expected)
+    } finally q.stop()
+  }
+
   test("lottery transform runs unchanged as a file-source stream") {
     import graft.pipeline.Lottery
     val dir = getClass.getResource("/lottery").getPath
