@@ -75,8 +75,10 @@ object Pipeline {
       dn.write.mode("overwrite").parquet(lay.dimNumber)
       val fp = Lottery.factPrize(tr, dn)
       // materialize before appending into the directory we just read from
+      // fact-sized key set: shuffled anti-join, never broadcast (at scale
+      // the existing-facts projection is itself fact-sized)
       val newFacts = Upsert.newRows(readOrEmpty(spark, lay.factPrize, fp), fp,
-        Seq("date_key", "number_key")).cache()
+        Seq("date_key", "number_key"), broadcastExisting = false).cache()
       newFacts.count()
       newFacts.write.mode("append").parquet(lay.factPrize)
       newFacts.unpersist()
