@@ -1,0 +1,33 @@
+package graft
+
+/** The driver's oracle gate hash-compares rows IN ORDER, so every oracled
+  * query must be fully deterministic across runs — total ORDER BY, no
+  * partition-order leakage, no unstable tie-breaks. This spec executes the
+  * whole oracled surface twice at sf0.001 and diffs the ordered results.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every oracled query is run-to-run deterministic (ordered rows equal)") {
+    val oracled = SparkEntry.oracleSql.keySet
+    val bad = oracled.toSeq.sorted.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, dir).collect().map(_.toSeq).toSeq
+      val b = fn(spark, dir).collect().map(_.toSeq).toSeq
+      if (a == b) None else Some(name)
+    }
+    assert(bad.isEmpty, s"nondeterministic queries: $bad")
+  }
+
+  test("rows-only queries are deterministic too (seeded hashes, fixed probes)") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val bad = rowsOnly.toSeq.sorted.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, dir).collect().map(_.toSeq).toSeq
+      val b = fn(spark, dir).collect().map(_.toSeq).toSeq
+      if (a == b) None else Some(name)
+    }
+    assert(bad.isEmpty, s"nondeterministic rows-only queries: $bad")
+  }
+}
