@@ -120,6 +120,6 @@ object Analytics extends QModule {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY c_custkey, c_name, n_name, c_acctbal
       ORDER BY revenue DESC, c_custkey ASC LIMIT 20
-    """))
+    """), headline = true)
   )
 }

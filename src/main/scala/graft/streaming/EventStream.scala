@@ -147,6 +147,6 @@ object EventQueries extends QModule {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
       FROM g GROUP BY user_id ORDER BY user_id
-    """))
+    """), headline = true)
   )
 }
