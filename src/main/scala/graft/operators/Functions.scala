@@ -81,6 +81,26 @@ object Functions extends QModule {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
+    // Regex family: extract / replace / position over part type strings.
+    Q("fn_regex", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          regexp_extract($"p_type", "^(\\w+)", 1).as("first_word"),
+          length(regexp_replace($"p_type", "[aeiou]", "")).as("len_novowels"),
+          instr($"p_type", " ").as("first_space"))
+        .groupBy($"first_word")
+        .agg(count(lit(1)).as("n"), sum($"len_novowels").as("sum_len"),
+             min($"first_space").as("min_space"))
+        .orderBy($"first_word")
+    }, sql = Some("""
+      SELECT regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+             COUNT(*) AS n,
+             SUM(length(regexp_replace(p_type, '[aeiou]', '', 'g'))) AS sum_len,
+             MIN(strpos(p_type, ' ')) AS min_space
+      FROM part GROUP BY 1 ORDER BY first_word
+    """)),
+
     // first/last_value with explicit frames over a total per-key order.
     Q("fn_first_last_window", (s, dir) => {
       import s.implicits._

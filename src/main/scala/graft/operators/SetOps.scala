@@ -70,6 +70,22 @@ object SetOps extends QModule {
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t
     """)),
 
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep multiplicity).
+    Q("set_intersect_all", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        .intersectAll(o.filter($"o_orderstatus" === "O").select($"o_custkey"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy($"o_custkey")
+    }, sql = Some("""
+      SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      GROUP BY o_custkey ORDER BY o_custkey
+    """)),
+
     // Top-k by measure (argmax family, MartRepository.java:14-27 writ large).
     Q("topk_orders", (s, dir) => {
       import s.implicits._
