@@ -205,9 +205,9 @@ object SimilarityQueries extends QModule {
              sum(norm2e6).as("sum_norm2_e6"))
         .orderBy($"lang")
     }, sql = Some("""
-      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-             SUM(CAST(floor(list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6 + 0.5) AS BIGINT))
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CAST(floor(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
                AS sum_norm2_e6
       FROM documents JOIN embeddings ON doc_id = vec_id
       GROUP BY lang ORDER BY lang

@@ -42,7 +42,7 @@ object Functions extends QModule {
     }, sql = Some("""
       SELECT COUNT(*) AS n_rows,
              COUNT(nullif(o_orderstatus, 'P')) AS n_nonnull,
-             SUM(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS n_null,
+             CAST(SUM(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              MAX(COALESCE(nullif(o_orderstatus, 'P'), '?')) AS max_or_default
       FROM orders
     """)),
@@ -96,7 +96,7 @@ object Functions extends QModule {
     }, sql = Some("""
       SELECT regexp_extract(p_type, '^(\w+)', 1) AS first_word,
              COUNT(*) AS n,
-             SUM(length(regexp_replace(p_type, '[aeiou]', '', 'g'))) AS sum_len,
+             CAST(SUM(length(regexp_replace(p_type, '[aeiou]', '', 'g'))) AS BIGINT) AS sum_len,
              MIN(strpos(p_type, ' ')) AS min_space
       FROM part GROUP BY 1 ORDER BY first_word
     """)),

@@ -112,7 +112,7 @@ object Scalars extends QModule {
         .orderBy($"initial")
     }, sql = Some("""
       SELECT upper(substr(trim(p_name), 1, 1)) AS initial, COUNT(*) AS n,
-             SUM(length(string_split(p_name, ' '))) AS total_words
+             CAST(SUM(length(string_split(p_name, ' '))) AS BIGINT) AS total_words
       FROM part GROUP BY 1 ORDER BY initial
     """)),
 
@@ -130,8 +130,8 @@ object Scalars extends QModule {
              max(date_format($"parsed", "yyyy-MM-dd'T'00:00:00'Z'")).as("max_iso"))
     }, sql = Some("""
       SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y')::DATE
-                           = o_orderdate::DATE THEN 1 ELSE 0 END) AS n_roundtrip_ok,
+             CAST(SUM(CASE WHEN strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y')::DATE
+                           = o_orderdate::DATE THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
              MAX(strftime(strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y'),
                           '%Y-%m-%dT00:00:00Z')) AS max_iso
       FROM orders

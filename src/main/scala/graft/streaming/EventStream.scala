@@ -129,7 +129,7 @@ object EventQueries extends QModule {
     }, sql = Some("""
       SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
              COUNT(*) AS n,
-             SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
       FROM events GROUP BY 1 ORDER BY k_mod10
     """)),
 
@@ -145,7 +145,7 @@ object EventQueries extends QModule {
                     ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-      SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM g GROUP BY user_id ORDER BY user_id
     """), headline = true)
   )
