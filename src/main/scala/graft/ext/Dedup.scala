@@ -56,24 +56,47 @@ object Dedup {
         (col("shared").cast("double") / col("union_n")).as("jaccard"))
   }
 
-  /** MinHash signatures: numHashes seeded xxhash64 mins per doc.
-    * Seeds make it fully deterministic (and thus testable). */
+  /** Engine-portable 60-bit shingle hash: the first 15 hex chars of
+    * md5(shingle) parsed as an integer. md5 over UTF-8 bytes is identical
+    * in Spark and DuckDB (proven by `dedup_exact`'s hash match), so every
+    * hash-derived operator built on this is oracle-checkable bit-for-bit —
+    * unlike xxhash64, which no other engine reproduces. Still a single
+    * codegen'd expression per row. */
+  private def shingleHash60: Column =
+    conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  private val M = 2147483647L // 2^31 - 1; keeps a*x below 2^62 (no overflow)
+
+  /** i-th affine "permutation" of the base hash: (a_i·x + b_i) mod M with
+    * deterministic a_i, b_i derived from i (same formula inlined in the
+    * DuckDB oracle SQL). */
+  private def perm(i: Int, x: Column): Column = {
+    val a = (1103515245L * (i + 1) + 12345L) % M
+    val b = (362436069L * (i + 1) + 521288629L) % M
+    (lit(a) * x + lit(b)) % lit(M)
+  }
+
+  /** MinHash signatures: numHashes affine-permutation mins per doc over the
+    * md5-based 60-bit shingle hash (mod M). Fully deterministic and
+    * reproducible in any engine with md5 — and thus oracle-checkable. */
   def minhash(docs: DataFrame, k: Int = 5, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(docs, k)
-    val mins = (0 until numHashes).map(s =>
-      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+    val sh = shingles(docs, k).withColumn("x", shingleHash60 % lit(M))
+    val mins = (0 until numHashes).map(i => min(perm(i, col("x"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash+LSH candidate pairs: band the signature (bands×rowsPerBand =
     * numHashes), bucket-join per band, distinct pairs. With 16 bands × 2
-    * rows the s-curve threshold is (1/16)^(1/2) ≈ 0.25 Jaccard. */
+    * rows the s-curve threshold is (1/16)^(1/2) ≈ 0.25 Jaccard. The bucket
+    * key is the exact struct of the band's min values (no re-hash → no
+    * false bucket collisions, and engines agree on the grouping). */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, bands: Int = 16,
                       rowsPerBand: Int = 2): DataFrame = {
     val sig = minhash(docs, k, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      struct(lit(b).as("band"), array(cols: _*).as("bucket"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -84,24 +107,22 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: 64-bit signature as 8×8-bit chunks. Bit j of the signature
-    * is the sign of Σ_features (±1 by bit j of xxhash64(feature)), weighted
-    * by feature frequency. Features are k-word SHINGLES, not unigrams: over
-    * a corpus with a small shared vocabulary, unigram signatures cluster
-    * and chunk collisions approach O(n²) (measured 42% of all pairs on the
-    * word-soup testdata); shingles are doc-specific and keep candidates
-    * ~linear. Candidates = pairs sharing ≥1 of the 8 chunks (pigeonhole:
-    * catches every pair within Hamming distance 7). */
-  def simhashChunks(docs: DataFrame, chunks: Int = 8, bitsPerChunk: Int = 8,
+  /** SimHash: 56-bit signature as 8×7-bit chunks over the 60-bit md5
+    * shingle hash. Bit j of the signature is the sign of Σ_shingles
+    * (±1 by bit j of the shingle hash). Features are k-word SHINGLES, not
+    * unigrams: over a corpus with a small shared vocabulary, unigram
+    * signatures cluster and chunk collisions approach O(n²) (measured 42%
+    * of all pairs on the word-soup testdata); shingles are doc-specific
+    * and keep candidates ~linear. Candidates = pairs sharing ≥1 of the 8
+    * chunks (pigeonhole: catches every pair within Hamming distance 7). */
+  def simhashChunks(docs: DataFrame, chunks: Int = 8, bitsPerChunk: Int = 7,
                     shingleK: Int = 3): DataFrame = {
-    val toks = shingles(docs, shingleK)
-      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("shingle")))
+    val toks = shingles(docs, shingleK).withColumn("h", shingleHash60)
     val chunkCols: Seq[Column] = (0 until chunks).map { c =>
       val bitSum = (0 until bitsPerChunk).map { b =>
         val j = c * bitsPerChunk + b
         val bit = shiftright(col("h"), j).bitwiseAND(1)
-        val signed = sum(when(bit === 1, col("w")).otherwise(-col("w")))
+        val signed = sum(when(bit === 1, lit(1)).otherwise(lit(-1)))
         when(signed >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       bitSum.as(s"c$c")
@@ -165,16 +186,63 @@ object DedupQueries extends QModule {
       ORDER BY doc_i, doc_j
     """), headline = true),
 
-    // MinHash+LSH candidates — seeded-hash determinism, but the banding
-    // scheme is engine-specific → rows-only for the driver; DedupSpec
-    // asserts recall against the exact Jaccard pairs instead.
+    // MinHash+LSH candidates. The md5-based hash makes the whole banding
+    // pipeline engine-portable, so the oracle replays it exactly: base
+    // hash = first 15 md5 hex chars mod 2^31-1, 32 affine permutations,
+    // 16 bands × 2 rows, bucket = the band's (h_even, h_odd) min pair.
     Q("dedup_minhash_lsh", (s, dir) =>
       minhashLshPairs(t(s, dir, "documents"))
-        .orderBy(col("doc_i"), col("doc_j"))),
+        .orderBy(col("doc_i"), col("doc_j")), sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+      hx AS (
+        SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647 AS x
+        FROM sh),
+      mins AS (
+        SELECT doc_id, i,
+               MIN((((1103515245 * (i + 1) + 12345) % 2147483647) * x
+                    + (362436069 * (i + 1) + 521288629) % 2147483647) % 2147483647) AS h
+        FROM hx CROSS JOIN UNNEST(range(0, 32)) t(i)
+        GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 2 AS band,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN h * 2147483648 ELSE h END) AS BIGINT) AS bucket
+        FROM mins GROUP BY doc_id, i // 2)
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ORDER BY doc_i, doc_j
+    """)),
 
-    // SimHash chunk-collision candidates — rows-only, spec-checked.
+    // SimHash chunk-collision candidates — same portable hash, so the
+    // 8×7-bit signature is replayed verbatim by the oracle.
     Q("dedup_simhash", (s, dir) =>
       simhashCandidates(t(s, dir, "documents"))
-        .orderBy(col("doc_i"), col("doc_j")))
+        .orderBy(col("doc_i"), col("doc_j")), sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 3 THEN len(toks) - 1 ELSE 1 END)) t(i)),
+      hx AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        FROM sh),
+      bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hx CROSS JOIN UNNEST(range(0, 56)) t(j)
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id, j // 7 AS c,
+               CAST(SUM(CASE WHEN s >= 0 THEN 1 << (j % 7) ELSE 0 END) AS BIGINT) AS cv
+        FROM bits GROUP BY doc_id, j // 7)
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM sig a JOIN sig b
+        ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+      ORDER BY doc_i, doc_j
+    """))
   )
 }
