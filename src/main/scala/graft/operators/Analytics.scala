@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * aggregate.
   *
   * Scale posture: filters land on the dimension side *before* the join
-  * (Catalyst pushes them into the scans), small sides broadcast, the only
-  * big shuffles are lineitem⋈orders on orderkey and the final aggregation.
-  * AQE re-plans the join strategy at runtime if a filtered side turns out
-  * broadcast-size.
+  * (Catalyst pushes them into the scans). Only fixed-cardinality dims
+  * (nation=25, region=5) carry an explicit `broadcast()` hint; customer
+  * and supplier GROW with the dataset (TPC-H scaling), so hinting them
+  * would force an impossible broadcast at 100 TB — AQE decides for them
+  * at runtime and still picks broadcast when the filtered side is small.
   */
 object Analytics extends QModule {
 
@@ -30,7 +31,7 @@ object Analytics extends QModule {
         .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate")
         .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
         .select($"l_orderkey",
@@ -67,8 +68,8 @@ object Analytics extends QModule {
       val li = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-        .join(broadcast(sup),
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(sup,
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(natInRegion), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
@@ -102,7 +103,7 @@ object Analytics extends QModule {
         .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
       val nat = t(s, dir, "nation").select($"n_nationkey", $"n_name")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
         .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * joins A1-A3 ETLMain.java:235-255,291-327,348-356); here each is the
   * declarative Spark join so Catalyst picks broadcast-hash vs sort-merge.
   *
-  * Scale posture (100 TB): dimension sides are `broadcast()`ed explicitly —
-  * a 1000-executor cluster must never shuffle the fact for a ≤MB dim. The
+  * Scale posture (100 TB): only FIXED-cardinality dims (nation=25) carry an
+  * explicit `broadcast()` hint — a 1000-executor cluster must never shuffle
+  * the fact for a ≤MB dim, but supplier/customer grow with the dataset, so
+  * their join strategy is left to AQE (broadcast when small, shuffle when
+  * not). The
   * as-of and range joins are written in their *scalable* forms (union+window,
   * bucketed equi-join) instead of inequality joins, which Spark would execute
   * as broadcast-nested-loop at O(n·m).
@@ -26,7 +29,7 @@ object Joins extends QModule {
       val li = t(s, dir, "lineitem")
       val sup = t(s, dir, "supplier")
       val nat = t(s, dir, "nation")
-      li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      li.join(sup, $"l_suppkey" === $"s_suppkey")
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(
