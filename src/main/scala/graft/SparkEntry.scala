@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Windows,
     operators.Scalars,
     operators.SetOps,
+    operators.Reshape,
     operators.Analytics,
     operators.Functions,
     ext.TextAnalysis,

@@ -60,20 +60,31 @@ object Similarity {
 
   // --- LSH-bucketed ANN (the 100 TB path) --------------------------------
 
-  /** Deterministic ±1 hyperplane weights (LCG seeded per plane/dim). */
-  def planeWeights(planes: Int, dim: Int): Array[Array[Double]] =
+  /** Deterministic ±1 hyperplane weights: the low bit of the first byte of
+    * md5("p:d"). md5 is computable identically in any engine (and in the
+    * DuckDB oracle as ('0x'||substr(md5(p||':'||d),1,2))::INT & 1), so the
+    * bucketing is replayable outside Spark. */
+  def planeWeights(planes: Int, dim: Int): Array[Array[Int]] =
     Array.tabulate(planes, dim) { (p, d) =>
-      val x = (p * 1315423911L + d * 2654435761L + 97531L) * 6364136223846793005L + 1442695040888963407L
-      if (((x >>> 33) & 1L) == 1L) 1.0 else -1.0
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b = md.digest(s"$p:$d".getBytes("UTF-8"))
+      if ((b(0) & 1) == 1) 1 else -1
     }
 
-  /** Random-hyperplane signature bucket (int of `planes` sign bits). */
+  /** Random-hyperplane signature bucket (int of `planes` sign bits). The
+    * projection quantizes each element to integer micro-units BEFORE the
+    * signed sum — integer addition is fold-order-independent, so the sign
+    * (unlike a float fold) is bit-identical across engines. */
   def lshBucket(embCol: String, planes: Int = 12, dim: Int = 64): Column = {
     val ws = planeWeights(planes, dim)
     val bits = (0 until planes).map { p =>
       val arr = ws(p).mkString("array(", ",", ")")
-      when(expr(foldSum(s"zip_with($embCol, $arr, (x, w) -> CAST(x AS DOUBLE) * w)")) >= 0,
-        lit(1 << p)).otherwise(lit(0))
+      val proj = expr(
+        s"""aggregate(
+           |  zip_with($embCol, $arr,
+           |    (x, w) -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) * w),
+           |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
@@ -82,7 +93,9 @@ object Similarity {
 
   /** Deterministic coarse centroids: every (n/nlist)-th vector by vec_id —
     * a seedless, reproducible stand-in for k-means (at 100 TB you train
-    * centroids once offline; assignment below is the scale path). */
+    * centroids once offline; assignment below is the scale path). The
+    * trailing orderBy+limit keeps exactly the first nlist strides when the
+    * stride doesn't divide n evenly. */
   def ivfCentroids(embeddings: DataFrame, nlist: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
     embeddings
@@ -90,18 +103,20 @@ object Similarity {
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(col("rn") % greatest(floor(col("n") / nlist), lit(1)) === 0)
+      .orderBy(col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
   }
 
   /** Assign each vector to its nearest centroid (broadcast centroid table;
-    * one map-side argmax per vector — no shuffle of the vectors). */
+    * one map-side argmax per vector — no shuffle of the vectors). Ranking
+    * uses the e9-quantized cosine so the argmax is engine-independent. */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine("embedding", "centroid"))
+      .withColumn("sim_e9", cosineE9(cosine("embedding", "centroid")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
+      .orderBy(col("sim_e9").desc, col("centroid_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
@@ -115,8 +130,8 @@ object Similarity {
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"))
     val probed = centroids.crossJoin(broadcast(q))
-      .withColumn("sim", cosine("centroid", "q"))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
+      .withColumn("sim_e9", cosineE9(cosine("centroid", "q")))
+      .orderBy(col("sim_e9").desc, col("centroid_id").asc)
       .limit(nprobe)
       .select(col("centroid_id"))
     assigned.join(broadcast(probed), Seq("centroid_id"))
@@ -125,6 +140,7 @@ object Similarity {
       .select(col("vec_id"), cosine("embedding", "q").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+      .select(col("vec_id"), cosineE9(col("cosine")).as("cosine_e9"))
   }
 
   /** ANN: probe the query's LSH bucket only, exact re-rank inside it. */
@@ -137,17 +153,22 @@ object Similarity {
       .select(col("vec_id"), cosine("embedding", "q").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+      .select(col("vec_id"), cosineE9(col("cosine")).as("cosine_e9"))
   }
 }
 
 object SimilarityQueries extends QModule {
   import Similarity._
 
-  private val duckCosine =
-    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      | / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      | / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+  /** DuckDB cosine between two list expressions (per-element double casts;
+    * e9 rounding at the output edge absorbs the engines' fold-order ulp). */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+       |                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       | / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private val duckCosine = duckCos("a.embedding", "b.embedding")
 
   def qs: Seq[Q] = Seq(
     // Brute-force cosine top-10 for query vector 0 (the exact baseline).
@@ -181,16 +202,68 @@ object SimilarityQueries extends QModule {
       ORDER BY vec_i, vec_j
     """)),
 
-    // ANN via random-hyperplane LSH bucket probe — engine-specific bucketing
-    // → rows-only for the driver; SimilaritySpec checks bucket containment
-    // and ordering against the brute-force baseline.
+    // ANN via random-hyperplane LSH bucket probe. The md5-derived ±1
+    // hyperplanes and integer-quantized projections make the bucketing
+    // engine-portable, so the oracle replays the full index + probe.
     Q("sim_ann_lsh", (s, dir) =>
-      annTopK(t(s, dir, "embeddings"), 0L, 10)),
+      annTopK(t(s, dir, "embeddings"), 0L, 10), sql = Some(s"""
+      WITH planes AS (
+        SELECT p, list_transform(range(0, 64), d ->
+          CASE WHEN (('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1) = 1
+               THEN 1 ELSE -1 END) AS w
+        FROM UNNEST(range(0, 12)) t(p)),
+      proj AS (
+        SELECT e.vec_id, pl.p,
+               list_sum(list_transform(range(1, 65), d ->
+                 CAST(floor(CAST(e.embedding[d] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) * pl.w[d])) AS s
+        FROM embeddings e CROSS JOIN planes pl),
+      buckets AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id)
+      SELECT vec_id, CAST(floor(cosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9 FROM (
+        SELECT b.vec_id, $duckCosine AS cosine
+        FROM embeddings b
+        JOIN buckets bb ON bb.vec_id = b.vec_id
+        JOIN buckets qb ON qb.vec_id = 0 AND bb.bucket = qb.bucket
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
+        WHERE b.vec_id <> 0
+        ORDER BY cosine DESC, b.vec_id ASC LIMIT 10) t
+    """)),
 
-    // ANN via IVF coarse quantizer (nlist lists, nprobe probed) —
-    // engine-specific index → rows-only; recall spec in ExtensionSpec.
+    // ANN via IVF coarse quantizer (nlist=16 lists, nprobe=4 probed).
+    // Stride centroids + e9-quantized assignment are deterministic, so the
+    // oracle rebuilds the same index and probes the same lists.
     Q("sim_ann_ivf", (s, dir) =>
-      ivfTopK(t(s, dir, "embeddings"), 0L, 10)),
+      ivfTopK(t(s, dir, "embeddings"), 0L, 10), sql = Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid FROM (
+          SELECT vec_id, embedding,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+                 COUNT(*) OVER () AS n
+          FROM embeddings) t
+        WHERE rn % greatest(CAST(floor(n / 16) AS BIGINT), 1) = 0
+        ORDER BY centroid_id LIMIT 16),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   CAST(floor(${duckCos("e.embedding", "c.centroid")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM embeddings e CROSS JOIN cent c) t
+        WHERE rk = 1),
+      probe AS (
+        SELECT centroid_id FROM (
+          SELECT c.centroid_id,
+                 CAST(floor(${duckCos("c.centroid", "q.qe")} * 1e9 + 0.5) AS BIGINT) AS sim_e9
+          FROM cent c CROSS JOIN q
+          ORDER BY sim_e9 DESC, c.centroid_id ASC LIMIT 4) t)
+      SELECT vec_id, CAST(floor(cosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9 FROM (
+        SELECT a.vec_id, ${duckCos("a.embedding", "q.qe")} AS cosine
+        FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY cosine DESC, a.vec_id ASC LIMIT 10) t
+    """)),
 
     // Cross-modal join: text table ⋈ vector table on the shared id, per
     // language: doc count, total chars, Σ‖v‖² in micro-units (per-row fold

@@ -159,6 +159,49 @@ object TextAnalysis extends QModule {
              md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
                  '\s+', ' ', 'g')) AS fp
       FROM documents ORDER BY doc_id
+    """)),
+
+    // TF-IDF: top-3 terms per document, idf as the raw inverse document
+    // frequency N/df. Score stays hash-comparable because every float step
+    // is a single IEEE op on exact integers (divide, multiply, floor) —
+    // identical in any IEEE-754 engine, unlike ln()-based idf whose libm
+    // rounding differs. At 100 TB: two hash aggregations (term counts,
+    // doc frequencies) + a broadcast of the tiny df-side join.
+    Q("t_tfidf", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val toks = docs.select($"doc_id",
+        explode(split(trim(lower($"text")), "\\s+")).as("token"))
+      val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "token").crossJoin(broadcast(total))
+        .withColumn("tfidf_e6",
+          floor($"tf" * ($"n_docs".cast("double") / $"df") * 1e6 + 0.5)
+            .cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf_e6".desc, $"token".asc)
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"token", $"tfidf_e6")
+        .orderBy($"doc_id", $"rk")
+    }, sql = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      total AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token,
+               CAST(floor(tf * (CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT)
+                 AS tfidf_e6
+        FROM tf JOIN dfreq USING (token) CROSS JOIN total)
+      SELECT doc_id, rk, token, tfidf_e6 FROM (
+        SELECT doc_id, token, tfidf_e6,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf_e6 DESC, token ASC) AS rk
+        FROM scored) t
+      WHERE rk <= 3 ORDER BY doc_id, rk
     """))
   )
 }

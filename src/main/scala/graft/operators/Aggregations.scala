@@ -176,6 +176,38 @@ object Aggregations extends QModule {
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
     }),
 
+    // G12: KMV (bottom-k) distinct sketch — the oracle-checkable sibling of
+    // g11's HLL. h = 60-bit md5 prefix of the key; keep the k=256 smallest
+    // distinct h; estimate = (k-1)·2^60 / h_k. All arithmetic is IEEE-
+    // deterministic, so unlike HLL the sketch replays bit-exactly in any
+    // engine. At 100 TB the bottom-k is a mergeable per-partition TopK
+    // (partial min-heaps, one tiny shuffle), the classic distributed
+    // distinct sketch.
+    Q("g12_kmv_distinct", (s, dir) => {
+      import s.implicits._
+      val k = 256
+      val h = conv(substring(md5($"o_custkey".cast("string").cast("binary")),
+        1, 15), 16, 10).cast("long")
+      t(s, dir, "orders")
+        .select(h.as("h")).distinct()
+        .orderBy($"h").limit(k)
+        .agg(count(lit(1)).as("n_mins"), max($"h").as("h_k"))
+        .select($"n_mins",
+          when($"n_mins" < k, $"n_mins")
+            .otherwise(floor(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+              / $"h_k".cast("double")).cast("long")).as("est_distinct"))
+    }, sql = Some("""
+      WITH h AS (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM orders),
+      mins AS (SELECT h FROM h ORDER BY h LIMIT 256)
+      SELECT COUNT(*) AS n_mins,
+             CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                  ELSE CAST(floor(255.0 * 1152921504606846976.0
+                                  / CAST(MAX(h) AS DOUBLE)) AS BIGINT) END AS est_distinct
+      FROM mins
+    """)),
+
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {
       import s.implicits._

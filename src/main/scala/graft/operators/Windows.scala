@@ -132,6 +132,38 @@ object Windows extends QModule {
       FROM (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
             FROM orders GROUP BY 1) t
       ORDER BY order_date
+    """)),
+
+    // W8: the remaining rank-function family — dense_rank, percent_rank,
+    // cume_dist, nth_value — per-segment, top-3 by dense rank.
+    // percent_rank/cume_dist are single IEEE divisions of exact integers,
+    // so they hash-match across engines (no float-fold drift).
+    Q("w8_rank_family", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+          dense_rank().over(w).as("drk"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"),
+          nth_value($"c_acctbal", 2).over(wFull).as("second_bal"))
+        .filter($"drk" <= 3)
+        .orderBy($"c_mktsegment", $"drk", $"c_custkey")
+    }, sql = Some("""
+      SELECT c_mktsegment, c_custkey, c_acctbal, drk, prk, cd, second_bal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               dense_rank() OVER w AS drk,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd,
+               nth_value(c_acctbal, 2) OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)) t
+      WHERE drk <= 3 ORDER BY c_mktsegment, drk, c_custkey
     """))
   )
 }
