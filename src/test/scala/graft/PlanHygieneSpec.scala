@@ -77,4 +77,20 @@ class PlanHygieneSpec extends SparkSpec {
     val p = planOf("sim_topk_cosine")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("dedup_embedding_cosine: grid equi-join, never a broadcast nested loop") {
+    val p = planOf("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_ann_ivf: centroid selection has no single-partition window") {
+    // the stride predicate replaced the global row_number pass; the only
+    // window left in the full query is ivfAssign's KEYED one (by vec_id)
+    val embs = graft.Tables.t(spark, dir, "embeddings")
+    val cents = graft.ext.Similarity.ivfCentroids(embs, 16)
+    cents.queryExecution.toRdd.count()
+    val p = cents.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "global window crept back into IVF centroids:\n" + p)
+  }
 }
