@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * At 100 TB the shingle explode is the dominant shuffle; band-bucketing
   * (MinHash/SimHash) exists precisely to keep candidate pairs ~linear.
   * Exact-frequency hot shingles (stopword runs) would skew the shuffle —
-  * the `df` inverted index drops shingles appearing in > maxDf docs, the
-  * standard guard.
+  * `jaccardPairs` drops shingles appearing in > maxDf docs from the
+  * inverted index before pair generation, the standard guard.
   */
 object Dedup {
 
@@ -37,11 +37,27 @@ object Dedup {
         .as("shingle"))
 
   /** Exact n-gram Jaccard over an inverted shingle index: pairs with
-    * 10·|∩| >= threshNum·|∪| (integer predicate — no float boundary). */
-  def jaccardPairs(docs: DataFrame, k: Int = 5, threshNum: Int = 3): DataFrame = {
+    * 10·|∩| >= threshNum·|∪| (integer predicate — no float boundary).
+    *
+    * `maxDf` is the hot-shingle skew guard: a shingle occurring in d
+    * documents contributes d² candidate pairs to the self-join, so one
+    * boilerplate phrase shared by 1 % of a 100 TB corpus would pin a
+    * single shuffle key. Shingles with document frequency > maxDf are
+    * dropped from the INDEX before pair generation (the per-doc sizes —
+    * the Jaccard denominator — still count them, so capped similarity
+    * only ever under-estimates; the standard conservative semantics).
+    * The df filter joins on the same key as the pair self-join, so the
+    * index shuffle is reused, not doubled. On the test corpus max df is
+    * 4, so the default cap of 10 changes nothing — DedupSkewSpec plants
+    * a 50-doc hot phrase to prove the guard works. */
+  def jaccardPairs(docs: DataFrame, k: Int = 5, threshNum: Int = 3,
+                   maxDf: Int = 10): DataFrame = {
     val sh = shingles(docs, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val idx = sh.join(rare, Seq("shingle"))
+    val pairs = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .agg(count(lit(1)).as("shared"))
@@ -162,7 +178,9 @@ object DedupQueries extends QModule {
       FROM documents GROUP BY 1 ORDER BY fp
     """)),
 
-    // Exact 5-gram Jaccard near-dup pairs (inverted-index plan).
+    // Exact 5-gram Jaccard near-dup pairs (inverted-index plan with the
+    // maxDf=10 hot-shingle cap replayed: the index drops shingles whose
+    // document frequency exceeds the cap before pair generation).
     Q("dedup_ngram_jaccard", (s, dir) => {
       jaccardPairs(t(s, dir, "documents"))
         .orderBy(col("doc_i"), col("doc_j"))
@@ -173,9 +191,11 @@ object DedupQueries extends QModule {
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
         FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+      idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
       pairs AS (
         SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_i, doc_j, shared, si.n_sh + sj.n_sh - shared AS union_n,
              CAST(shared AS DOUBLE) / (si.n_sh + sj.n_sh - shared) AS jaccard

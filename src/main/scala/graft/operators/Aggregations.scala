@@ -94,34 +94,53 @@ object Aggregations extends QModule {
     // denominator, probability, last appearance + recency. The global
     // denominator is a 1-row aggregate cross-joined back (broadcast), the
     // reference's total_draws (Mart.java:21-28).
+    // Single-scan shape: pre-aggregate once to the tiny (number_value, d)
+    // grid (≤100 numbers × distinct days); both consumers — per-number
+    // stats and the global distinct-day denominator — re-aggregate that
+    // grid, so their subtrees are IDENTICAL below the (number_value, d)
+    // exchange and ReuseExchange serves the second branch from the first's
+    // shuffle output: one lineitem scan total (plan-asserted in
+    // PlanHygieneSpec). A ROLLUP formulation does NOT work here: the
+    // grouping-flag filters get rewritten into structurally different
+    // aggregates per branch, defeating exchange reuse.
     Q("g7_mart_aggregate", (s, dir) => {
       import s.implicits._
-      val facts = t(s, dir, "lineitem").select(
-        lpad(pmod($"l_partkey", lit(100)).cast("string"), 2, "0").as("number_value"),
-        $"l_shipdate".cast("date").as("d"))
-      val totals = facts.agg(
-        countDistinct($"d").as("total_draws"), max($"d").as("global_last"))
-      facts.groupBy($"number_value")
-        .agg(count(lit(1)).as("total_occurrences"), max($"d").as("last_d"))
+      val grid = t(s, dir, "lineitem").select(
+          lpad(pmod($"l_partkey", lit(100)).cast("string"), 2, "0").as("number_value"),
+          $"l_shipdate".cast("date").as("d"))
+        .groupBy($"number_value", $"d")
+        .agg(count(lit(1)).as("cnt"))
+      // `when(cnt >= 1, d)` ≡ `d` (cnt is a count(*), always ≥ 1) but keeps
+      // `cnt` referenced in this branch: otherwise column pruning drops the
+      // count from totals' copy of the grid aggregate, the two exchange
+      // subtrees stop being identical, and ReuseExchange can no longer
+      // serve this branch from the per-number branch's shuffle — costing a
+      // second full lineitem scan.
+      val totals = grid.agg(
+        countDistinct(when($"cnt" >= 1, $"d")).as("total_draws"),
+        max(when($"cnt" >= 1, $"d")).as("global_last"))
+      grid.groupBy($"number_value")
+        .agg(sum($"cnt").as("occ"), max($"d").as("last_d"))
         .crossJoin(broadcast(totals))
         .select(
-          $"number_value", $"total_occurrences", $"total_draws",
-          ($"total_occurrences".cast("double") / $"total_draws").as("probability"),
+          $"number_value", $"occ".as("total_occurrences"), $"total_draws",
+          ($"occ".cast("double") / $"total_draws").as("probability"),
           $"last_d".cast("string").as("last_appeared_date"),
           datediff($"global_last", $"last_d").cast("long").as("days_since_last"))
         .orderBy($"number_value")
     }, sql = Some("""
-      WITH facts AS (
+      WITH grid AS (
         SELECT lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS number_value,
-               CAST(l_shipdate AS DATE) AS d
-        FROM lineitem),
+               CAST(l_shipdate AS DATE) AS d, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
       totals AS (
-        SELECT COUNT(DISTINCT d) AS total_draws, MAX(d) AS global_last FROM facts)
-      SELECT number_value, COUNT(*) AS total_occurrences, total_draws,
-             CAST(COUNT(*) AS DOUBLE) / total_draws AS probability,
+        SELECT COUNT(DISTINCT d) AS total_draws, MAX(d) AS global_last FROM grid)
+      SELECT number_value, CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+             CAST(total_draws AS BIGINT) AS total_draws,
+             CAST(SUM(cnt) AS DOUBLE) / total_draws AS probability,
              CAST(MAX(d) AS VARCHAR) AS last_appeared_date,
              date_diff('day', MAX(d), global_last) AS days_since_last
-      FROM facts CROSS JOIN totals
+      FROM grid CROSS JOIN totals
       GROUP BY number_value, total_draws, global_last
       ORDER BY number_value
     """), headline = true),

@@ -78,6 +78,14 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("g7: single lineitem scan — both aggregate branches reuse the pre-agg exchange") {
+    // AQE's toString appends an "== Initial Plan ==" section; judge the
+    // finalized current plan only
+    val p = planOf("g7_mart_aggregate").split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, saw $scans:\n$p")
+  }
+
   test("dedup_embedding_cosine: grid equi-join, never a broadcast nested loop") {
     val p = planOf("dedup_embedding_cosine")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
