@@ -9,7 +9,7 @@ check.py's tolerant fetchall compare misses:
 
 Usage: python3 scripts/check_exact.py <sfDir> <outDir> [name ...]
 """
-import sys, glob, json
+import sys, json
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -29,6 +29,10 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        # Positional row compare relies on DuckDB enumerating part files in
+        # sorted filename order — which matches Spark's part-NNNNN write
+        # order. (Queries here also end in an explicit ORDER BY, so a
+        # re-sorted glob would still compare equal.)
         got = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         exp = con.execute(oracle[name]).df()

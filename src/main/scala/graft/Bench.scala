@@ -9,8 +9,23 @@ import org.apache.spark.sql.SparkSession
   * the exact optimized physical plan. (A plain `df.count()` would let
   * Catalyst prune the aggregate expressions out from under the count and
   * under-measure the real work.)
+  *
+  * Regression guard: `BENCH_BASELINE.json` pins the round-2 per-query
+  * numbers; when the bench runs at the baseline's SF, any query > 1.5× its
+  * pinned time is reported in a `"regressions"` key of the output line
+  * (empty object = no regressions).
   */
 object Bench {
+
+  /** (sf, per-query seconds) from BENCH_BASELINE.json, if present. */
+  private def baseline(): Option[(String, Map[String, Double])] =
+    try {
+      val txt = scala.io.Source.fromFile("BENCH_BASELINE.json").mkString
+      val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
+      val qs = """"(\w+)"\s*:\s*([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      Some((sf, qs))
+    } catch { case _: Throwable => None }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,7 +55,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val regs = baseline() match {
+      case Some((bSf, bQs)) if bSf == sfDir =>
+        results.collect {
+          case (k, v) if bQs.get(k).exists(b => v > 1.5 * b) =>
+            f""""$k":{"now":$v%.4f,"baseline":${bQs(k)}%.4f}"""
+        }.mkString("{", ",", "}")
+      case _ => "{}"
+    }
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

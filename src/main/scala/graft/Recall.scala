@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ext.Similarity
+
+/** ANN quality harness: recall@k of the two approximate indexes (multi-probe
+  * LSH, IVF) against the exact brute-force top-k, averaged over a sample of
+  * query vectors. Prints one JSON line per SF dir argument — the numbers
+  * quoted in PERF.md §ANN.
+  *
+  * Usage: runMain graft.Recall [sfDir ...]   (default: the three testdata SFs)
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val k = 10
+    val nQueries = 20
+    for (dir <- dirs) {
+      val emb = Tables.t(spark, dir, "embeddings").cache()
+      val n = emb.count()
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val recalls = (0L until nQueries.toLong).map { q =>
+        val truth = ids(Similarity.topK(emb, q, k))
+        val lsh = ids(Similarity.annTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
+        val ivf = ids(Similarity.ivfTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
+        (lsh, ivf)
+      }
+      val lshAvg = recalls.map(_._1).sum / nQueries
+      val ivfAvg = recalls.map(_._2).sum / nQueries
+      emb.unpersist()
+      println(f"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":$lshAvg%.3f,"ivf":$ivfAvg%.3f}""")
+    }
+    spark.stop()
+  }
+}

@@ -46,20 +46,29 @@ object Dedup {
     * dropped from the INDEX before pair generation (the per-doc sizes —
     * the Jaccard denominator — still count them, so capped similarity
     * only ever under-estimates; the standard conservative semantics).
-    * The df filter joins on the same key as the pair self-join, so the
-    * index shuffle is reused, not doubled. On the test corpus max df is
-    * 4, so the default cap of 10 changes nothing — DedupSkewSpec plants
-    * a 50-doc hot phrase to prove the guard works. */
+    *
+    * Execution shape: ONE shuffle on shingle builds posting lists
+    * (collect_list); the cap is then just the list-length filter, and
+    * candidate pairs expand map-side from each surviving list — bounded at
+    * maxDf·(maxDf−1)/2 pairs per shingle BY CONSTRUCTION, so no shuffle
+    * key can run hot. (The r2 self-join formulation re-shuffled the index
+    * twice and, with a df side-aggregate bolted on, benched 1.5× slower —
+    * the regression guard caught it; this shape restored the r2 time with
+    * the cap active.) On the test corpus max df is 4, so the default cap
+    * of 10 changes nothing — DedupSkewSpec plants a 50-doc hot phrase to
+    * prove the guard works. */
   def jaccardPairs(docs: DataFrame, k: Int = 5, threshNum: Int = 3,
                    maxDf: Int = 10): DataFrame = {
     val sh = shingles(docs, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("shingle"))
-    val idx = sh.join(rare, Seq("shingle"))
-    val pairs = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+    val posting = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+    val pairs = posting
+      .select(explode(expr(
+        "filter(flatten(transform(ds, x -> transform(ds, y -> struct(x AS i, y AS j)))), p -> p.i < p.j)"))
+        .as("p"))
+      .groupBy(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_i")

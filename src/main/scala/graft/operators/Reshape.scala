@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * Scale posture: pivot with an EXPLICIT value list is one hash aggregate
   * (no extra pass to discover values — at 100 TB value discovery is its own
   * job); unpivot is a map-side generate (no shuffle); sampling is a
-  * pushdown-friendly deterministic predicate, never `rand()` (reproducible
-  * across retries and engines — a failed task re-samples identically).
+  * deterministic predicate, never `rand()` (reproducible across retries
+  * and engines — a failed task re-samples identically).
   */
 object Reshape extends QModule {
 
@@ -75,8 +75,9 @@ object Reshape extends QModule {
     """)),
 
     // R4: deterministic hash sample (~5%) — md5-keyed predicate, not
-    // rand(): reproducible across engines, retries, and partitionings,
-    // and it pushes down to the scan like any other filter.
+    // rand(): reproducible across engines, retries, and partitionings.
+    // (A computed md5 can't prune parquet row groups, so it evaluates
+    // post-scan; determinism, not pushdown, is the win over rand().)
     Q("r4_hash_sample", (s, dir) => {
       import s.implicits._
       val slot = conv(substring(md5($"o_orderkey".cast("string")
