@@ -97,6 +97,11 @@ object Windows extends QModule {
     """)),
 
     // ntile quartiles over a total (tie-broken) ordering, then aggregated.
+    // SCALE NOTE: an exact global ntile is inherently a single-partition
+    // sort (every row's bucket depends on its global position), so this is
+    // a correctness query for the operator's semantics. The 100 TB
+    // substitute is w6b below: percentile boundaries from a mergeable
+    // aggregate, then a map-side bucket comparison — no global window.
     Q("w6_ntile_quartiles", (s, dir) => {
       import s.implicits._
       val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
@@ -111,6 +116,50 @@ object Windows extends QModule {
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM (SELECT ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
                    c_acctbal FROM customer) t
+      GROUP BY quartile ORDER BY quartile
+    """)),
+
+    // Quartiles, the distributed way: boundary values from percentile_disc
+    // (SQL-standard: first value whose cume_dist >= p — an ACTUAL data
+    // value, no interpolation, so the boundary is bit-exact across
+    // engines), broadcast back, bucket by comparison map-side. Differs
+    // from exact ntile only in tie handling (ties never straddle a
+    // boundary here); at 100 TB the boundary agg is the only non-map
+    // stage, and swapping percentile_disc for approx_percentile makes it
+    // fully mergeable with bounded memory (loses oracle exactness, keeps
+    // the shape). The oracle replays the same cume_dist >= p convention
+    // explicitly (value at sorted position ceil(p·n)) rather than trusting
+    // DuckDB's quantile_disc convention to agree.
+    Q("w6b_quartiles_bucketed", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").select($"c_acctbal")
+      val bounds = c.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)").as("b1"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal)").as("b2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)").as("b3"))
+      c.crossJoin(broadcast(bounds))
+        .select(when($"c_acctbal" <= $"b1", 1)
+          .when($"c_acctbal" <= $"b2", 2)
+          .when($"c_acctbal" <= $"b3", 3).otherwise(4).as("quartile"), $"c_acctbal")
+        .groupBy($"quartile")
+        .agg(count(lit(1)).as("n"),
+             sum($"c_acctbal".cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .orderBy($"quartile")
+    }, sql = Some("""
+      WITH ord AS (
+        SELECT c_acctbal, row_number() OVER (ORDER BY c_acctbal) AS rn,
+               COUNT(*) OVER () AS n
+        FROM customer),
+      bounds AS (
+        SELECT max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN c_acctbal END) AS b1,
+               max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN c_acctbal END) AS b2,
+               max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN c_acctbal END) AS b3
+        FROM ord)
+      SELECT quartile, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM (SELECT CASE WHEN c_acctbal <= b1 THEN 1 WHEN c_acctbal <= b2 THEN 2
+                        WHEN c_acctbal <= b3 THEN 3 ELSE 4 END AS quartile, c_acctbal
+            FROM customer CROSS JOIN bounds) t
       GROUP BY quartile ORDER BY quartile
     """)),
 
