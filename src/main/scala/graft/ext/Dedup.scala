@@ -81,6 +81,51 @@ object Dedup {
         (col("shared").cast("double") / col("union_n")).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: every doc in a dup cluster
+    * mapped to the cluster's canonical representative (min doc_id) — the
+    * "keep one copy per cluster" step a training pipeline runs after pair
+    * generation (pairs alone under-delete: A~B and B~C with A≁C must
+    * still collapse to one keeper).
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * min of its own label and its neighbors' labels; fixpoint = each
+    * component labeled by its min id. Rounds = graph diameter; near-dup
+    * clusters are dense (LSH candidates approximate cliques), so 2-3
+    * rounds in practice. Each round is one shuffle (edges ⋈ labels +
+    * groupBy); `localCheckpoint` truncates lineage so round N doesn't
+    * replay rounds 1..N-1 (and the whole upstream shingle pipeline). At
+    * 100 TB with adversarial long-chain graphs, swap the inner loop for
+    * alternating star contraction (O(log n) rounds, same join+groupBy
+    * primitive, Kiveris et al., "Connected Components in MapReduce") —
+    * the fixpoint, and hence the oracle, is identical.
+    *
+    * The result is the UNIQUE fixpoint, so it is algorithm-independent
+    * and replayable in the oracle as a recursive transitive closure. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var lab = edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
+      .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("rep"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(lab.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("brep")).as("nrep"))
+        .withColumnRenamed("a", "doc_id")
+      val next = lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"), least(col("prev"), col("nrep")).as("rep"))
+        .localCheckpoint()
+      changed = next.withColumnRenamed("rep", "nr").join(lab, Seq("doc_id"))
+        .filter(col("nr") =!= col("rep")).count()
+      lab = next
+    }
+    val sizes = lab.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("rep"))
+      .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
+  }
+
   /** Engine-portable 60-bit shingle hash: the first 15 hex chars of
     * md5(shingle) parsed as an integer. md5 over UTF-8 bytes is identical
     * in Spark and DuckDB (proven by `dedup_exact`'s hash match), so every
@@ -214,6 +259,44 @@ object DedupQueries extends QModule {
       WHERE shared * 10 >= (si.n_sh + sj.n_sh - shared) * 3
       ORDER BY doc_i, doc_j
     """), headline = true),
+
+    // Dup-cluster collapse: connected components over the Jaccard pairs,
+    // each doc mapped to its cluster's min-id representative. The oracle
+    // replays the same pairs CTE chain, then closes it transitively with
+    // a recursive CTE — the fixpoint is unique, so the iterative Spark
+    // algorithm and the recursive SQL agree exactly.
+    Q("dedup_clusters", (s, dir) => {
+      dupClusters(jaccardPairs(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }, sql = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+      idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+      cand AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT doc_i, doc_j FROM cand
+        JOIN sizes si ON si.doc_id = doc_i
+        JOIN sizes sj ON sj.doc_id = doc_j
+        WHERE shared * 10 >= (si.n_sh + sj.n_sh - shared) * 3),
+      edges AS (SELECT doc_i AS a, doc_j AS b FROM jp
+                UNION ALL SELECT doc_j, doc_i FROM jp),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
+      sz AS (SELECT rep_id, COUNT(*) AS cluster_size FROM rep GROUP BY 1)
+      SELECT doc_id, rep_id, cluster_size
+      FROM rep JOIN sz USING (rep_id) ORDER BY doc_id
+    """)),
 
     // MinHash+LSH candidates. The md5-based hash makes the whole banding
     // pipeline engine-portable, so the oracle replays it exactly: base

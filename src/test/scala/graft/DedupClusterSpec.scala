@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.Dedup
+
+/** `Dedup.dupClusters`: connected components over near-dup pairs — the
+  * keep-one-copy-per-cluster step. Pairs alone under-delete on chains
+  * (A~B, B~C, A≁C), so transitivity is the load-bearing property.
+  */
+class DedupClusterSpec extends SparkSpec {
+
+  private def clusters(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Dedup.dupClusters(pairs.toDF("doc_i", "doc_j"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("a chain collapses transitively to one representative") {
+    // 1-2, 2-3, 3-4: no direct 1-4 pair, but one cluster of 4
+    val got = clusters(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got === Map(
+      1L -> ((1L, 4L)), 2L -> ((1L, 4L)), 3L -> ((1L, 4L)), 4L -> ((1L, 4L))))
+  }
+
+  test("disjoint clusters keep separate representatives and sizes") {
+    val got = clusters(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L)))
+    assert(got(10L) === ((10L, 3L)) && got(12L) === ((10L, 3L)))
+    assert(got(21L) === ((20L, 2L)))
+    assert(got(30L) === ((30L, 2L)) && got(31L) === ((30L, 2L)))
+  }
+
+  test("real corpus: every rep is the min doc_id of its cluster") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.dupClusters(Dedup.jaccardPairs(docs)).collect()
+    assert(got.nonEmpty)
+    val byRep = got.groupBy(_.getLong(1))
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_.getLong(0)).min === rep)
+      assert(members.forall(_.getLong(2) === members.length.toLong))
+    }
+  }
+}
