@@ -1,0 +1,40 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.pipeline.{Lottery, Serving}
+
+/** §2.9 REST surface (MartController.java:19-31): /mart/all and
+  * /mart/statistic served as JSON snapshots of the pipeline outputs.
+  */
+class ServingSpec extends SparkSpec {
+
+  test("GET /mart/all and /mart/statistic serve the pipeline outputs as JSON") {
+    val res = Lottery.run(spark, getClass.getResource("/lottery").getPath)
+    val server = Serving.start(0, Map(
+      "/mart/all" -> res.mart,
+      "/mart/statistic" -> res.statistic))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      val all = get("/mart/all")
+      assert(all.statusCode() === 200)
+      assert(all.headers().firstValue("Content-Type").get.startsWith("application/json"))
+      // the snapshot is exactly Spark's own JSON rendering of the mart
+      assert(all.body() === Serving.snapshot(res.mart))
+      assert(all.body().startsWith("[{") && all.body().contains("\"number_value\""))
+
+      val stat = get("/mart/statistic")
+      assert(stat.statusCode() === 200)
+      assert(stat.body() === Serving.snapshot(res.statistic))
+
+      assert(get("/mart/nope").statusCode() === 404)
+    } finally server.stop(0)
+  }
+}
