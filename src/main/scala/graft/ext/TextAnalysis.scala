@@ -202,6 +202,74 @@ object TextAnalysis extends QModule {
                  ORDER BY tfidf_e6 DESC, token ASC) AS rk
         FROM scored) t
       WHERE rk <= 3 ORDER BY doc_id, rk
+    """)),
+
+    // Quality gate, the distributed way: keep documents at or above their
+    // LANGUAGE's median stopword ratio (a per-stratum quality floor — the
+    // filter step after t_quality_score). The median is percentile_disc
+    // per group: an ACTUAL data value (no interpolation), computed by a
+    // mergeable aggregate and broadcast back — no global window, one scan
+    // + one tiny join at any scale. The ratio itself is one IEEE divide
+    // on exact ints (bit-equal cross-engine, proven by t_quality_score),
+    // so the >= boundary row never flips. Oracle replays the SQL-standard
+    // cume_dist >= p convention explicitly (value at position ceil(p·n)).
+    Q("t_quality_filter", (s, dir) => {
+      import s.implicits._
+      val txt = $"text"
+      val ratio = (hits(txt, enPat).cast("double") / size(tokens(txt)))
+      val q = t(s, dir, "documents")
+        .select($"doc_id", $"lang", ratio.as("r"))
+      val med = q.groupBy($"lang")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
+      q.join(broadcast(med), Seq("lang"))
+        .filter($"r" >= $"m")
+        .select($"doc_id", $"lang", $"r".as("stopword_ratio"), $"m".as("lang_median"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH q AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')) AS r
+        FROM documents),
+      ord AS (
+        SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM q),
+      med AS (
+        SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN r END) AS m
+        FROM ord GROUP BY lang)
+      SELECT doc_id, lang, r AS stopword_ratio, m AS lang_median
+      FROM q JOIN med USING (lang)
+      WHERE r >= m ORDER BY doc_id
+    """)),
+
+    // Shard packing: assign docs to fixed token-budget output shards per
+    // language — the "write ~N-token training files" step. Running token
+    // total over (lang, doc_id) via a PARTITIONED window (per-lang keys →
+    // scale-safe, unlike a global running sum), shard = exclusive-prefix
+    // div budget. Integer arithmetic end-to-end → exact cross-engine.
+    Q("t_shard_assign", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang", size(tokens($"text")).as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .select($"doc_id", $"lang", $"n_tok",
+          floor(($"cum" - $"n_tok") / 2000).cast("long").as("shard_id"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      SELECT doc_id, lang, n_tok,
+             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, lang,
+               length(string_split_regex(trim(text), '\s+')) AS n_tok,
+               SUM(length(string_split_regex(trim(text), '\s+')))
+                 OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents) t
+      ORDER BY doc_id
     """))
   )
 }

@@ -93,6 +93,27 @@ object Reshape extends QModule {
              MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM orders
       WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+    """)),
+
+    // R5: deterministic STRATIFIED sample — per-language rates (downsample
+    // the dominant language, keep the tail: the training-mix rebalancing
+    // move). Same md5-slot predicate as r4 with the rate a per-row CASE on
+    // the stratum: still one map-side filter, no shuffle, no per-stratum
+    // passes, reproducible across engines/retries/partitionings.
+    Q("r5_stratified_sample", (s, dir) => {
+      import s.implicits._
+      val slot = conv(substring(md5($"doc_id".cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+      val rate = when($"lang" === "en", 5).otherwise(20)
+      t(s, dir, "documents")
+        .filter(slot < rate)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
+      ORDER BY doc_id
     """))
   )
 }

@@ -92,6 +92,32 @@ object EventStream {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Stream-stream interval join: every `view` matched with the same
+    * user's `click`s landing within [0, gap] after it (attribution /
+    * funnel enrichment). The SAME expression runs batch and streaming;
+    * in streaming both inputs carry watermarks and the interval predicate
+    * upper-bounds how long either side waits, so the join state store
+    * evicts old rows instead of growing forever — the condition Spark
+    * requires to run a stream-stream inner join at all, and the property
+    * that keeps state bounded at 100 TB/day event volumes. Each side
+    * pre-filters its event_type BEFORE the join, so state holds only the
+    * joining subset. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    gap: String = "30 minutes"): DataFrame = {
+    val l = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event"),
+        col("tss").as("view_ts"))
+    val r = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("event_id").as("click_event"),
+        col("tss").as("click_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("click_ts") >= col("view_ts") &&
+      col("click_ts") <= col("view_ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("view_event"), col("click_event"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Per-user session stats from the sessionized frame. */
   def sessionStats(df: DataFrame): DataFrame =
     sessionize(df)

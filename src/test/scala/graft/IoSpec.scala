@@ -46,6 +46,18 @@ class IoSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("K2 alt format: ORC round-trip with predicate pushdown") {
+    val out = tmp("orc") + "/t"
+    val dir = "/root/testdata/sf0.001"
+    Tables.t(spark, dir, "orders").write.orc(out)
+    val back = spark.read.orc(out).filter(col("o_orderkey") === 1L)
+    // ORC scans take pushed filters like parquet ones do
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)"), plan)
+    assert(rows(back) === rows(
+      Tables.t(spark, dir, "orders").filter(col("o_orderkey") === 1L)))
+  }
+
   test("K5+S7: run-log append and stage-dependency gate") {
     val logDir = tmp("log") + "/process_log"
     Control.logStatus(spark, logDir, "P2", "RUNNING", "start")

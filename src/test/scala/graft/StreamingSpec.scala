@@ -63,6 +63,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events").withColumn("tss", EventStream.tsCol)
+    val evs = batchDf.drop("tss").as[Ev].collect()
+
+    val sv = MemoryStream[Ev]; val sc = MemoryStream[Ev]
+    // both streams carry ALL events (the join filters its side's type) in
+    // time order, split into two micro-batches at the median timestamp:
+    // views from batch 1 must stay buffered in the join state to meet
+    // clicks arriving in batch 2. (Feeding halves in OPPOSITE order per
+    // side would instead test watermark LATE-DROP: batch 1 advances the
+    // watermark past the old half, and the join correctly discards it.)
+    val ordered = evs.sortBy(_.ts)
+    val (h1, h2) = ordered.splitAt(ordered.length / 2)
+    sv.addData(h1.toSeq); sc.addData(h1.toSeq)
+    def wm(s: MemoryStream[Ev]) = s.toDF()
+      .withColumn("tss", EventStream.tsCol).withWatermark("tss", "2 hours")
+    val q = EventStream.viewClickJoin(wm(sv), wm(sc))
+      .writeStream.format("memory").queryName("vcj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      sv.addData(h2.toSeq); sc.addData(h2.toSeq)
+      q.processAllAvailable()
+      val streamed = rows(spark.table("vcj").orderBy("view_event", "click_event"))
+      val batch = rows(EventStream.viewClickJoin(batchDf, batchDf)
+        .orderBy("view_event", "click_event"))
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-user custom state accumulates across micro-batches") {
     import spark.implicits._
     import graft.streaming.{Event, EventStream}
