@@ -124,6 +124,29 @@ object Relational extends QModule {
       SELECT COUNT(*) AS n_past,
              CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date
       FROM orders WHERE o_orderdate <= TIMESTAMP '1996-12-31'
-    """))
+    """)),
+
+    // The spark.sql(...) entry path: ONE ANSI SQL text (TPC-H Q6 shape —
+    // the classic pushdown showcase) runs verbatim through both
+    // spark.sql over a temp view AND the DuckDB oracle. Catalyst plans it
+    // identically to the DataFrame API (same parquet scan with
+    // PushedFilters on shipdate/discount/quantity), demonstrating the SQL
+    // surface costs nothing over the typed one.
+    Q("sql_q6_revenue", (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q6Sql)
+    }, sql = Some(q6Sql))
   )
+
+  /** Shared verbatim between Spark SQL and DuckDB: ANSI subset, decimal
+    * sums for order-independence (the dsum contract in SQL form). */
+  private val q6Sql = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+  """
 }

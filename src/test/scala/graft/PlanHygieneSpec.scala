@@ -24,6 +24,15 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("o_orderpriority"), "projection not pruned:\n" + p)
   }
 
+  test("sql_q6: spark.sql over a view pushes the same filters as the DataFrame API") {
+    val p = planOf("sql_q6_revenue")
+    // the plan toString truncates the PushedFilters list, so assert on the
+    // visible prefix: all three filter columns reach the scan (the date
+    // CAST is rewritten into a pushable timestamp range)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), p)
+  }
+
   test("j1: dimension joins are broadcast-hash, fact is never shuffled for the join") {
     val p = planOf("j1_broadcast_dim_join")
     assert(p.contains("BroadcastHashJoin"), p)
