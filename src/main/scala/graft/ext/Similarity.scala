@@ -128,7 +128,7 @@ object Similarity {
   /** IVF ANN: rank centroids against the query, probe the top `nprobe`
     * inverted lists, exact re-rank inside them. */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 6): DataFrame = {
     val centroids = ivfCentroids(embeddings, nlist)
     val assigned = ivfAssign(embeddings, centroids)
     val q = embeddings.filter(col("vec_id") === queryVecId)
@@ -287,7 +287,7 @@ object SimilarityQueries extends QModule {
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
     """)),
 
-    // ANN via IVF coarse quantizer (nlist=16 lists, nprobe=4 probed).
+    // ANN via IVF coarse quantizer (nlist=16 lists, nprobe=6 probed).
     // Stride centroids + e9-quantized assignment are deterministic, so the
     // oracle rebuilds the same index and probes the same lists.
     Q("sim_ann_ivf", (s, dir) =>
@@ -312,7 +312,7 @@ object SimilarityQueries extends QModule {
           SELECT c.centroid_id,
                  CAST(floor(${duckCos("c.centroid", "q.qe")} * 1e9 + 0.5) AS BIGINT) AS sim_e9
           FROM cent c CROSS JOIN q
-          ORDER BY sim_e9 DESC, c.centroid_id ASC LIMIT 4) t)
+          ORDER BY sim_e9 DESC, c.centroid_id ASC LIMIT 6) t)
       SELECT vec_id, cosine_e9 FROM (
         SELECT a.vec_id,
                CAST(floor(${duckCos("a.embedding", "q.qe")} * 1e9 + 0.5) AS BIGINT) AS cosine_e9
