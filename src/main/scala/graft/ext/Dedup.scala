@@ -296,7 +296,7 @@ object DedupQueries extends QModule {
       sz AS (SELECT rep_id, COUNT(*) AS cluster_size FROM rep GROUP BY 1)
       SELECT doc_id, rep_id, cluster_size
       FROM rep JOIN sz USING (rep_id) ORDER BY doc_id
-    """)),
+    """), headline = true),
 
     // MinHash+LSH candidates. The md5-based hash makes the whole banding
     // pipeline engine-portable, so the oracle replays it exactly: base

@@ -202,7 +202,7 @@ object TextAnalysis extends QModule {
                  ORDER BY tfidf_e6 DESC, token ASC) AS rk
         FROM scored) t
       WHERE rk <= 3 ORDER BY doc_id, rk
-    """)),
+    """), headline = true),
 
     // Quality gate, the distributed way: keep documents at or above their
     // LANGUAGE's median stopword ratio (a per-stratum quality floor — the
