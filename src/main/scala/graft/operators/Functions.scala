@@ -4,6 +4,7 @@ import graft.{Q, QModule}
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Function-level coverage beyond the X-inventory: array aggregation,
   * null-handling, date arithmetic, min_by/max_by, first/last window frames.
@@ -120,6 +121,89 @@ object Functions extends QModule {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_custkey
+    """)),
+
+    // Higher-order array functions (filter / exists / zip_with+aggregate)
+    // over the embedding vectors — all codegen'd lambda expressions, no
+    // UDFs; the float fold is e6-quantized AFTER the sum (same contract
+    // as m1's norm).
+    Q("fn_higher_order", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings").filter($"vec_id" < 5)
+        .select($"vec_id",
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+          expr("""CAST(floor(aggregate(
+                    zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                    CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1e6 + 0.5) AS BIGINT)""")
+            .as("sum_sq_e6"),
+          expr("exists(embedding, x -> x < -0.5)").as("has_lt_m05"))
+        .orderBy($"vec_id")
+    }, sql = Some("""
+      SELECT vec_id,
+             length(list_filter(embedding, x -> x > 0)) AS n_pos,
+             CAST(floor(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+               AS sum_sq_e6,
+             length(list_filter(embedding, x -> x < -0.5)) > 0 AS has_lt_m05
+      FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+    """)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match NULL — the semantics a plain equi-join silently drops. The
+    // nullable key is derived (nullif), the dim side is its distinct
+    // grouping; a regular join would lose the NULL stratum entirely.
+    Q("j7_null_safe_join", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select(expr("nullif(o_orderstatus, 'P')").as("k"), $"o_totalprice")
+      val dim = o.groupBy($"k").agg(count(lit(1)).as("n_in_dim"))
+        .withColumnRenamed("k", "dk")
+      o.join(dim, $"k" <=> $"dk")
+        .groupBy($"k".as("status_key"))
+        .agg(count(lit(1)).as("n_rows"), max($"n_in_dim").as("n_in_dim"))
+        .orderBy($"status_key".asc_nulls_first)
+    }, sql = Some("""
+      WITH o AS (SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice FROM orders),
+      dim AS (SELECT k, COUNT(*) AS n_in_dim FROM o GROUP BY k)
+      SELECT o.k AS status_key, COUNT(*) AS n_rows, MAX(dim.n_in_dim) AS n_in_dim
+      FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+      GROUP BY o.k ORDER BY status_key ASC NULLS FIRST
+    """)),
+
+    // Pearson correlation + population covariance from EXACT decimal sums
+    // (the g13 pattern extended to two variables): a distributed
+    // corr()/covar_pop() is not bit-stable across partitionings, but six
+    // exact sums are, and the closed-form derivation is the same IEEE op
+    // sequence in both engines.
+    Q("g15_corr", (s, dir) => {
+      import s.implicits._
+      val (x, y) = ($"l_quantity", $"l_extendedprice")
+      t(s, dir, "lineitem")
+        .agg(
+          sum(x.cast(DecimalType(28, 2))).cast("double").as("sx"),
+          sum(y.cast(DecimalType(28, 2))).cast("double").as("sy"),
+          sum((x * y).cast(DecimalType(28, 4))).cast("double").as("sxy"),
+          sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+          sum((y * y).cast(DecimalType(28, 4))).cast("double").as("syy"),
+          count(lit(1)).cast("double").as("n"))
+        .select(
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+             sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
+          (($"sxy" - $"sx" * $"sy" / $"n") / $"n").as("covar_pop"))
+    }, sql = Some("""
+      WITH s AS (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM lineitem)
+      SELECT (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+             (sxy - sx * sy / n) / n AS covar_pop
+      FROM s
     """))
   )
 }
