@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Reshape,
     operators.Analytics,
     operators.Functions,
+    sources.UpsertQueries,
     ext.TextAnalysis,
     ext.DedupQueries,
     ext.SimilarityQueries,

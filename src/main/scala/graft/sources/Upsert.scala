@@ -1,7 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import graft.{Q, QModule}
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Idempotent-append helpers — the reference's "preload existing keys, skip
   * matches" pattern (A1 dim_date ETLMain.java:235-255, A2 dim_number
@@ -28,4 +30,113 @@ object Upsert {
     * rows — `load(load(t, b), b) == load(t, b)` (SURVEY §5.2 idempotence). */
   def appendNew(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.unionByName(newRows(existing, incoming, keys))
+
+  /** SCD Type-2 merge — the versioned generalization of the reference's
+    * K4 keyed UPDATE (ETLMain.java:291-327 overwrites in place and loses
+    * history; a warehouse dim keeps every version with validity windows).
+    *
+    * `dim` carries `keys ++ attrs ++ (valid_from, valid_to, is_current)`;
+    * `batch` carries `keys ++ attrs`. Per joined row:
+    *   - key only in dim, or attrs unchanged  → current row passes through
+    *   - attrs changed → current row closes (`valid_to = effDate`) AND a
+    *     new current version opens at `effDate`
+    *   - key only in batch → new current version opens at `effDate`
+    * History rows (`is_current = false`) never join — they union through.
+    *
+    * Scale shape: ONE equi-join of the current slice against the batch
+    * (broadcast when the batch is dim-sized, else shuffled hash), then a
+    * map-side explode of 1-or-2 output structs per row. No window, no
+    * driver loop; applying the same batch twice is a fixed point (spec'd).
+    * Dates travel as strings so outputs hash identically across engines. */
+  def scd2Merge(dim: DataFrame, batch: DataFrame, keys: Seq[String],
+                attrs: Seq[String], effDate: String): DataFrame = {
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    val cur  = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val bat  = batch.select((keys ++ attrs).map(c => col(c).as(s"b_$c")): _*)
+
+    val inCur   = col(keys.head).isNotNull
+    val inBatch = col(s"b_${keys.head}").isNotNull
+    val changed = attrs.map(a => !(col(a) <=> col(s"b_$a"))).reduce(_ || _)
+
+    def row(keyOf: String => Column, attrOf: String => Column,
+            vf: Column, vt: Column, ic: Column): Column =
+      struct(keys.map(k => keyOf(k).as(k)) ++ attrs.map(a => attrOf(a).as(a)) ++
+        Seq(vf.as("valid_from"), vt.cast("string").as("valid_to"),
+            ic.as("is_current")): _*)
+
+    val curRow    = row(col, col, col("valid_from"), col("valid_to"), col("is_current"))
+    val closedRow = row(col, col, col("valid_from"), lit(effDate), lit(false))
+    val freshRow  = row(k => col(s"b_$k"), a => col(s"b_$a"),
+                        lit(effDate), lit(null), lit(true))
+
+    val merged = cur
+      .join(bat, keys.map(k => col(k) === col(s"b_$k")).reduce(_ && _), "full_outer")
+      .select(explode(
+        when(!inBatch, array(curRow))
+          .when(!inCur, array(freshRow))
+          .when(changed, array(closedRow, freshRow))
+          .otherwise(array(curRow))).as("r"))
+      .select((keys ++ attrs ++ meta).map(c => col(s"r.$c")): _*)
+
+    hist.unionByName(merged)
+  }
+}
+
+object UpsertQueries extends QModule {
+  import Upsert._
+
+  def qs: Seq[Q] = Seq(
+    // SCD2 merge demo on the customer dim: a deterministic batch moves the
+    // segment of custkey%10∈{0,1,2}, re-sends {3,4} unchanged, and adds
+    // brand-new keys — exercising close+reopen, pass-through, and insert
+    // in one merge. Output is the full versioned dim, totally ordered.
+    Q("k6_scd2_merge", (s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "customer").select(
+        $"c_custkey".cast("long").as("c_custkey"), $"c_mktsegment",
+        lit("1990-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"), lit(true).as("is_current"))
+      val batch = t(s, dir, "customer").filter($"c_custkey" % 10 < 5)
+        .select($"c_custkey".cast("long").as("c_custkey"),
+          when($"c_custkey" % 10 < 3, concat(lit("MOVED-"), $"c_mktsegment"))
+            .otherwise($"c_mktsegment").as("c_mktsegment"))
+        .unionByName(t(s, dir, "customer").filter($"c_custkey" % 500 === 0)
+          .select(($"c_custkey" + 1000000).cast("long").as("c_custkey"),
+            lit("NEWSEG").as("c_mktsegment")))
+      scd2Merge(dim, batch, Seq("c_custkey"), Seq("c_mktsegment"), "2000-01-01")
+        .orderBy($"c_custkey", $"valid_from")
+    }, sql = Some("""
+      WITH dim AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+               '1990-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+               TRUE AS is_current
+        FROM customer),
+      batch AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CASE WHEN c_custkey % 10 < 3 THEN 'MOVED-' || c_mktsegment
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 < 5
+        UNION ALL
+        SELECT CAST(c_custkey + 1000000 AS BIGINT), 'NEWSEG'
+        FROM customer WHERE c_custkey % 500 = 0),
+      j AS (
+        SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to,
+               d.is_current, b.c_custkey AS bk, b.c_mktsegment AS bseg
+        FROM dim d FULL OUTER JOIN batch b ON d.c_custkey = b.c_custkey)
+      SELECT * FROM (
+        SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
+        FROM j WHERE c_custkey IS NOT NULL
+          AND (bk IS NULL OR c_mktsegment IS NOT DISTINCT FROM bseg)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, valid_from, '2000-01-01', FALSE
+        FROM j WHERE c_custkey IS NOT NULL AND bk IS NOT NULL
+          AND c_mktsegment IS DISTINCT FROM bseg
+        UNION ALL
+        SELECT bk, bseg, '2000-01-01', CAST(NULL AS VARCHAR), TRUE
+        FROM j WHERE bk IS NOT NULL
+          AND (c_custkey IS NULL OR c_mktsegment IS DISTINCT FROM bseg))
+      ORDER BY c_custkey, valid_from
+    """))
+  )
 }

@@ -67,6 +67,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SCD2 merge: invariants hold and re-applying the same batch is a fixed point") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "A", "1990-01-01", null.asInstanceOf[String], true),
+      (2L, "B", "1990-01-01", null.asInstanceOf[String], true),
+      (3L, "C", "1985-01-01", "1990-01-01", false), // history passes through
+      (3L, "C2", "1990-01-01", null.asInstanceOf[String], true)
+    ).toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val batch = Seq((1L, "A9"), (2L, "B"), (4L, "D")).toDF("k", "seg")
+
+    val once = Upsert.scd2Merge(dim, batch, Seq("k"), Seq("seg"), "2000-01-01")
+      .cache()
+    // changed key 1: closed old + new current; unchanged 2: untouched;
+    // absent 3: untouched (history + current); new 4: one current row.
+    assert(once.count() === 6)
+    // exactly one current version per key
+    assert(once.filter($"is_current").groupBy($"k").count()
+      .filter($"count" =!= 1).count() === 0)
+    // every non-current row has a valid_to; every current row has none
+    assert(once.filter($"is_current" && $"valid_to".isNotNull).count() === 0)
+    assert(once.filter(!$"is_current" && $"valid_to".isNull).count() === 0)
+    assert(once.filter($"k" === 1 && !$"is_current")
+      .select($"valid_to").as[String].head() === "2000-01-01")
+
+    // fixed point: the batch's attrs now ARE the current attrs
+    val twice = Upsert.scd2Merge(once, batch, Seq("k"), Seq("seg"), "2010-01-01")
+    assert(twice.count() === once.count())
+    assert(twice.filter(!$"is_current" && $"valid_to" === "2010-01-01").count() === 0)
+  }
+
   test("number normalization round-trip (X10): parse(normalize(x)) == parse(x)") {
     forAllSamples(Gen.listOfN(30, genNum)) { nums =>
       import spark.implicits._
