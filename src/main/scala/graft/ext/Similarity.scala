@@ -321,6 +321,80 @@ object SimilarityQueries extends QModule {
         ORDER BY cosine_e9 DESC, a.vec_id ASC LIMIT 10) t
     """)),
 
+    // Per-language embedding centroid (mean pooling — the "cluster/domain
+    // prototype" step of a training-mix pipeline). Elements are e6-quantized
+    // PER ROW before the cross-row sum, so the aggregation is integer and
+    // order-independent; the mean is one IEEE divide + floor at the end.
+    // Shape at 100 TB: join on the id, posexplode, ONE hash agg keyed by
+    // (lang, dim) — 5×64 cells, partials map-side; no window, no collect.
+    Q("m2_lang_centroid", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
+        .select($"lang", posexplode($"embedding").as(Seq("d", "x")))
+        .groupBy($"lang", $"d")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"x".cast("double") * 1e6 + 0.5).cast("long")).as("sum_e6"))
+        .select($"lang", $"d", $"n", $"sum_e6",
+          floor($"sum_e6".cast("double") / $"n" + 0.5).cast("long").as("mean_e6"))
+        .orderBy($"lang", $"d")
+    }, sql = Some("""
+      SELECT lang, d - 1 AS d, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_e6,
+             CAST(floor(CAST(SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*) + 0.5) AS BIGINT) AS mean_e6
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      CROSS JOIN UNNEST(range(1, 65)) t(d)
+      GROUP BY lang, d ORDER BY lang, d
+    """)),
+
+    // Int8 symmetric quantization round-trip (the embedding-compression
+    // step before ANN serving): per vector, scale = max|x|/127,
+    // qᵢ = floor(xᵢ/scale + 0.5) clamped to [-127,127], and the
+    // dequantization error maxᵢ|xᵢ - qᵢ·scale|. Every step is either an
+    // exact comparison (max) or the same IEEE op sequence per element in
+    // both engines; errors are e9-quantized per element before the
+    // (integer) cross-element sum. Map-only — no shuffle at any scale.
+    // Invariant spec'd: max_err <= scale/2 (half-ulp of the int8 grid).
+    Q("sim_quantize_error", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .withColumn("scale", expr(
+          "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"))
+        .withColumn("errs", expr(
+          """transform(embedding, x ->
+             abs(CAST(x AS DOUBLE) -
+                 greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+                   floor(CAST(x AS DOUBLE) / scale + 0.5))) * scale))"""))
+        .select($"vec_id",
+          floor($"scale" * 1e9 + 0.5).cast("long").as("scale_e9"),
+          expr("CAST(floor(array_max(errs) * 1e9 + 0.5) AS BIGINT)").as("max_err_e9"),
+          expr("""aggregate(errs, CAST(0 AS BIGINT),
+                  (acc, e) -> acc + CAST(floor(e * 1e9 + 0.5) AS BIGINT))""")
+            .as("sum_err_e9"))
+        .orderBy($"vec_id")
+    }, sql = Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale,
+               embedding
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, x ->
+                 abs(CAST(x AS DOUBLE) -
+                     greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+                       floor(CAST(x AS DOUBLE) / scale + 0.5))) * scale)) AS errs
+        FROM q)
+      SELECT vec_id,
+             CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+             CAST(floor(list_max(errs) * 1e9 + 0.5) AS BIGINT) AS max_err_e9,
+             CAST(list_sum(list_transform(errs,
+                    e -> CAST(floor(e * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS sum_err_e9
+      FROM e ORDER BY vec_id
+    """)),
+
     // Cross-modal join: text table ⋈ vector table on the shared id, per
     // language: doc count, total chars, Σ‖v‖² in micro-units (per-row fold
     // rounded to ints BEFORE summing → order-independent, drift-immune).

@@ -62,6 +62,29 @@ object TextAnalysis extends QModule {
       (acc, tok) => pmod(acc * 31 + pmod(xxhash64(tok), lit(m)), lit(m)))
   }
 
+  /** Word-level repetition metrics per document (see t_repetition). */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("w"))
+    val uniStats = toks.select(col("doc_id"), explode(col("w")).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tok"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_tok"))
+    val bigStats = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    uniStats.join(bigStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("n_dup_tok"),
+        (col("n_dup_tok").cast("double") / col("n_tok")).as("dup_tok_frac"),
+        col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
     // "token counting" op). Int outputs → exact cross-engine.
@@ -241,6 +264,43 @@ object TextAnalysis extends QModule {
       SELECT doc_id, lang, r AS stopword_ratio, m AS lang_median
       FROM q JOIN med USING (lang)
       WHERE r >= m ORDER BY doc_id
+    """)),
+
+    // Repetition quality signals (the Gopher-rule family, word-level —
+    // these docs are single-line so line-dup metrics degenerate): per doc,
+    // the fraction of tokens belonging to repeated unigrams and the mass
+    // of the single most frequent bigram. High values flag boilerplate /
+    // degenerate generations for corpus filtering. Shape at 100 TB: two
+    // explode → hash-agg chains keyed by (doc_id, gram) — partial aggs
+    // map-side, shuffle only (gram, count) pairs, no window, no collect.
+    // Fractions are one IEEE divide on exact ints → bit-equal engines.
+    Q("t_repetition", (s, dir) =>
+      repetitionStats(t(s, dir, "documents")), sql = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+      uni AS (
+        SELECT doc_id, tk, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tk FROM toks) t GROUP BY 1, 2),
+      unis AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_tok
+        FROM uni GROUP BY 1),
+      big AS (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM toks WHERE len(w) >= 2) t GROUP BY 1, 2),
+      bigs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        FROM big GROUP BY 1)
+      SELECT doc_id, n_tok, n_dup_tok,
+             CAST(n_dup_tok AS DOUBLE) / n_tok AS dup_tok_frac,
+             n_bigrams, top_bigram_n,
+             CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
+      FROM unis JOIN bigs USING (doc_id)
+      ORDER BY doc_id
     """)),
 
     // Shard packing: assign docs to fixed token-budget output shards per

@@ -73,6 +73,21 @@ class ExtensionSpec extends SparkSpec {
       s"IVF found none of the true top-10: ${ivf.toSeq}")
   }
 
+  test("repetition stats: planted boilerplate scores 1.0, distinct text 0.0") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "spam spam spam spam"),     // all dup tokens, top bigram = all
+      (1L, "alpha beta gamma delta")   // fully distinct
+    ).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.repetitionStats(planted)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_tok_frac") === 1.0)
+    assert(r(0).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(r(0).getAs[Long]("top_bigram_n") === 3L)
+    assert(r(1).getAs[Double]("dup_tok_frac") === 0.0)
+    assert(r(1).getAs[Long]("top_bigram_n") === 1L)
+  }
+
   test("rolling-hash fingerprint: deterministic, order-sensitive") {
     import spark.implicits._
     import graft.ext.TextAnalysis
@@ -81,6 +96,14 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(1L) === got(2L))   // same tokens, same order → same hash
     assert(got(1L) !== got(3L))   // order matters (rolling, not bag-of-words)
+  }
+
+  test("int8 quantization: max dequant error bounded by half a grid step") {
+    val r = graft.SparkEntry.queries("sim_quantize_error")(spark, dir)
+    import spark.implicits._
+    // max_err <= scale/2 element-wise ⇒ e9 units: max_err_e9 <= scale_e9/2 + 1
+    assert(r.filter($"max_err_e9" > $"scale_e9" / 2 + 1).count() === 0)
+    assert(r.count() === 500)
   }
 
   test("cosine fold matches hand-computed value") {
