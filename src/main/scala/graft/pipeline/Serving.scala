@@ -26,24 +26,65 @@ object Serving {
   def snapshot(df: DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
 
-  /** Start serving `routes` (path → DataFrame) on `port` (0 = ephemeral;
-    * read the bound port off the returned server). Caller stops it. */
-  def start(port: Int, routes: Map[String, DataFrame]): HttpServer = {
+  /** Keyed snapshot for parameterized lookups: key-column string value →
+    * JSON array of that key's rows. One collect at registration; every
+    * HTTP hit is a driver-side hash-map get (the serving analog of the S5
+    * point lookup — never a distributed query per request). */
+  def keyedSnapshot(df: DataFrame, keyCol: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(keyCol).cast("string").as("__k"),
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(df.columns.map(col): _*)).as("__j"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getString(1)).mkString("[", ",", "]") }
+  }
+
+  /** Start serving `routes` (path → whole-table snapshot) and `lookups`
+    * (path → (DataFrame, keyCol): `GET path?<keyCol>=v` returns v's rows,
+    * an empty array for unknown keys, 400 for a missing/foreign param) on
+    * `port` (0 = ephemeral; read the bound port off the returned server).
+    * Caller stops it. */
+  def start(port: Int, routes: Map[String, DataFrame],
+            lookups: Map[String, (DataFrame, String)] = Map.empty): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def respond(ex: HttpExchange, status: Int, body: Option[Array[Byte]]): Unit =
+      try {
+        body match {
+          case Some(b) =>
+            ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+            ex.sendResponseHeaders(status, b.length.toLong)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(status, -1L)
+        }
+      } finally ex.close()
+
     routes.foreach { case (path, df) =>
       val body = snapshot(df).getBytes(UTF_8)
       server.createContext(path, (ex: HttpExchange) => {
-        try {
-          if (ex.getRequestMethod == "GET" && ex.getRequestURI.getPath == path) {
-            ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
-            ex.sendResponseHeaders(200, body.length.toLong)
-            ex.getResponseBody.write(body)
-          } else {
-            ex.sendResponseHeaders(404, -1L)
-          }
-        } finally ex.close()
+        if (ex.getRequestMethod == "GET" && ex.getRequestURI.getPath == path)
+          respond(ex, 200, Some(body))
+        else respond(ex, 404, None)
       })
     }
+
+    lookups.foreach { case (path, (df, keyCol)) =>
+      val byKey = keyedSnapshot(df, keyCol)
+      val param = keyCol + "="
+      server.createContext(path, (ex: HttpExchange) => {
+        val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+        if (ex.getRequestMethod != "GET" || ex.getRequestURI.getPath != path)
+          respond(ex, 404, None)
+        else if (!query.startsWith(param))
+          respond(ex, 400, None)
+        else {
+          val v = java.net.URLDecoder.decode(query.stripPrefix(param), "UTF-8")
+          respond(ex, 200, Some(byKey.getOrElse(v, "[]").getBytes(UTF_8)))
+        }
+      })
+    }
+
     server.setExecutor(null) // serve on the dispatcher thread; tiny payloads
     server.start()
     server

@@ -37,4 +37,32 @@ class ServingSpec extends SparkSpec {
       assert(get("/mart/nope").statusCode() === 404)
     } finally server.stop(0)
   }
+
+  test("GET /mart/find?number_value=N: parameterized point lookup from the keyed snapshot") {
+    import spark.implicits._
+    val res = Lottery.run(spark, getClass.getResource("/lottery").getPath)
+    val server = Serving.start(0, Map.empty,
+      lookups = Map("/mart/find" -> (res.mart, "number_value")))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      val someKey = res.mart.select($"number_value".cast("string"))
+        .as[String].head()
+      val hit = get(s"/mart/find?number_value=$someKey")
+      assert(hit.statusCode() === 200)
+      assert(hit.body().contains(s""""number_value":"$someKey""""))
+      // every returned row is that key's row
+      assert(!hit.body().drop(1).dropRight(1).split("\\},\\{")
+        .exists(r => !r.contains(s""""number_value":"$someKey"""")))
+
+      assert(get("/mart/find?number_value=no-such-key").body() === "[]")
+      assert(get("/mart/find").statusCode() === 400)
+      assert(get("/mart/find?wrong=1").statusCode() === 400)
+    } finally server.stop(0)
+  }
 }
