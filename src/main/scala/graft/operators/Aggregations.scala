@@ -266,6 +266,37 @@ object Aggregations extends QModule {
              sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
              n AS n
       FROM s
+    """)),
+
+    // G16: incremental aggregation (materialized-view maintenance): the
+    // mart over rows before a cutoff is a STORED partial state (counts +
+    // fixed-point hi/lo sum longs, the dsum decomposition); a delta batch
+    // aggregates alone and merges by pure long addition — never
+    // rescanning the base. Because the partial state is integer, the
+    // merged result is bit-identical to a full recompute at ANY split
+    // point or partitioning — which is exactly what the oracle checks
+    // (the SQL below is the one-shot full aggregation, no split).
+    // At 100 TB: the nightly delta touches only the new partition;
+    // state size = |groups|, merge cost O(groups).
+    Q("g16_incremental_agg", (s, dir) => {
+      import s.implicits._
+      val q = floor($"o_totalprice" * 100 + 0.5).cast("long")
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderpriority", (q % 100L).as("lo"),
+            (((q - q % 100L) / 100L).cast("long")).as("hi"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum($"hi").as("shi"), sum($"lo").as("slo"))
+      val base  = state(t(s, dir, "orders").filter($"o_orderdate" < "1997-01-01"))
+      val delta = state(t(s, dir, "orders").filter($"o_orderdate" >= "1997-01-01"))
+      base.unionByName(delta).groupBy($"o_orderpriority")
+        .agg(sum($"cnt").as("n_orders"),
+          ((sum($"shi").cast("double") * 100 + sum($"slo").cast("double")) / 100)
+            .as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }, sql = Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """))
   )
 }

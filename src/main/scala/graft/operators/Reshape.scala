@@ -114,6 +114,30 @@ object Reshape extends QModule {
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
             < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
       ORDER BY doc_id
+    """)),
+
+    // R6: fixed-size per-stratum sample (k=3 per priority class) — the
+    // "exactly k examples per group" need a rate-based sample (r5) can't
+    // meet. Rank = md5 of the key: deterministic across engines, retries,
+    // partitionings — a seedless reservoir. The rank<=k filter compiles to
+    // WindowGroupLimit: each partition keeps only its top-k BEFORE the
+    // shuffle, so state is O(groups·k), never a global sort.
+    Q("r6_reservoir_per_group", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy(md5($"o_orderkey".cast("string").cast("binary")), $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rk")
+    }, sql = Some("""
+      SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+        FROM orders) t
+      WHERE rk <= 3 ORDER BY o_orderpriority, rk
     """))
   )
 }

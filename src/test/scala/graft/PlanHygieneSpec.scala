@@ -110,4 +110,16 @@ class PlanHygieneSpec extends SparkSpec {
     val p = cents.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), "global window crept back into IVF centroids:\n" + p)
   }
+
+  test("r6: per-group sample keeps only top-k per partition before the shuffle") {
+    val p = planOf("r6_reservoir_per_group")
+    assert(p.contains("WindowGroupLimit"), "rank<=k not pushed below the shuffle:\n" + p)
+  }
+
+  test("k6: SCD2 merge is one equi-join + explode, never a nested loop") {
+    val p = planOf("k6_scd2_merge")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), "explode missing — merge shape changed:\n" + p)
+  }
 }

@@ -131,6 +131,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids === base.map(_.event_id).toSet)
   }
 
+  test("foreachBatch idempotent sink: batch-id-keyed writes make replays no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = t(spark, dir, "events").orderBy("ts").as[Ev].take(40)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out").toFile
+
+    // the exactly-once sink pattern: the batch id keys the write, so a
+    // replayed micro-batch (restart re-delivery) lands on an
+    // already-committed path and is skipped — at-least-once delivery +
+    // idempotent commit = effectively-once output
+    def writeBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val dest = new java.io.File(outDir, s"batch_id=$id")
+      if (!dest.exists()) df.write.parquet(dest.getPath)
+    }
+
+    val stream = MemoryStream[Ev]
+    stream.addData(base.take(20).toSeq)
+    val q = stream.toDF().writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => writeBatch(df, id))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(base.drop(20).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(outDir.getPath).count() === 40)
+
+    // simulate the restart re-delivery of batch 0: same data, same id → no-op
+    writeBatch(base.take(20).toSeq.toDF(), 0L)
+    assert(spark.read.parquet(outDir.getPath).count() === 40)
+    // a genuinely new batch id still lands
+    writeBatch(base.take(5).toSeq.toDF(), 99L)
+    assert(spark.read.parquet(outDir.getPath).count() === 45)
+  }
+
   test("mapGroupsWithState: per-user custom state accumulates across micro-batches") {
     import spark.implicits._
     import graft.streaming.{Event, EventStream}
