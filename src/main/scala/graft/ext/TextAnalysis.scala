@@ -62,22 +62,29 @@ object TextAnalysis extends QModule {
       (acc, tok) => pmod(acc * 31 + pmod(xxhash64(tok), lit(m)), lit(m)))
   }
 
-  /** Word-level repetition metrics per document (see t_repetition). */
+  /** Word-level repetition metrics per document (see t_repetition).
+    *
+    * SINGLE scan: one generator emits every unigram tagged 'u' and every
+    * bigram tagged 'b' (tag is part of the gram-count key, so the two
+    * vocabularies never collide), then per-doc stats fall out of ONE
+    * conditional aggregation — no second scan, no per-doc self-join. */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(trim(lower(col("text"))), "\\s+").as("w"))
-    val uniStats = toks.select(col("doc_id"), explode(col("w")).as("tk"))
-      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_tok"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_tok"))
-    val bigStats = toks.filter(size(col("w")) >= 2)
+    val grams = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        """concat(
+             transform(w, t -> struct('u' AS tag, t AS gram)),
+             transform(filter(sequence(0, size(w)-2), i -> size(w) >= 2),
+                       i -> struct('b' AS tag, concat(w[i], ' ', w[i+1]) AS gram)))"""))
+        .as("g"))
+      .select(col("doc_id"), col("g.tag").as("tag"), col("g.gram").as("gram"))
+    grams.groupBy(col("doc_id"), col("tag"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
-    uniStats.join(bigStats, Seq("doc_id"))
+        sum(when(col("tag") === "u", col("c")).otherwise(0L)).as("n_tok"),
+        sum(when(col("tag") === "u" && col("c") > 1, col("c")).otherwise(0L)).as("n_dup_tok"),
+        sum(when(col("tag") === "b", col("c")).otherwise(0L)).as("n_bigrams"),
+        max(when(col("tag") === "b", col("c"))).as("top_bigram_n"))
+      .filter(col("n_bigrams") > 0) // single-token docs carry no bigram signal
       .select(col("doc_id"), col("n_tok"), col("n_dup_tok"),
         (col("n_dup_tok").cast("double") / col("n_tok")).as("dup_tok_frac"),
         col("n_bigrams"), col("top_bigram_n"),

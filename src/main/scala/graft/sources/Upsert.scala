@@ -43,19 +43,19 @@ object Upsert {
     *   - key only in batch → new current version opens at `effDate`
     * History rows (`is_current = false`) never join — they union through.
     *
-    * Scale shape: ONE equi-join of the current slice against the batch
-    * (broadcast when the batch is dim-sized, else shuffled hash), then a
-    * map-side explode of 1-or-2 output structs per row. No window, no
-    * driver loop; applying the same batch twice is a fixed point (spec'd).
-    * Dates travel as strings so outputs hash identically across engines. */
+    * Scale shape: ONE full-outer equi-join of the WHOLE dim against the
+    * batch — the join predicate includes `is_current`, so history rows
+    * simply never match and flow through unmatched (no separate
+    * current/history split, one dim scan) — then a map-side explode of
+    * 1-or-2 output structs per row. No window, no driver loop; applying
+    * the same batch twice is a fixed point (spec'd). Dates travel as
+    * strings so outputs hash identically across engines. */
   def scd2Merge(dim: DataFrame, batch: DataFrame, keys: Seq[String],
                 attrs: Seq[String], effDate: String): DataFrame = {
     val meta = Seq("valid_from", "valid_to", "is_current")
-    val cur  = dim.filter(col("is_current"))
-    val hist = dim.filter(!col("is_current"))
     val bat  = batch.select((keys ++ attrs).map(c => col(c).as(s"b_$c")): _*)
 
-    val inCur   = col(keys.head).isNotNull
+    val inDim   = col(keys.head).isNotNull
     val inBatch = col(s"b_${keys.head}").isNotNull
     val changed = attrs.map(a => !(col(a) <=> col(s"b_$a"))).reduce(_ || _)
 
@@ -65,21 +65,21 @@ object Upsert {
         Seq(vf.as("valid_from"), vt.cast("string").as("valid_to"),
             ic.as("is_current")): _*)
 
-    val curRow    = row(col, col, col("valid_from"), col("valid_to"), col("is_current"))
+    val dimRow    = row(col, col, col("valid_from"), col("valid_to"), col("is_current"))
     val closedRow = row(col, col, col("valid_from"), lit(effDate), lit(false))
     val freshRow  = row(k => col(s"b_$k"), a => col(s"b_$a"),
                         lit(effDate), lit(null), lit(true))
 
-    val merged = cur
-      .join(bat, keys.map(k => col(k) === col(s"b_$k")).reduce(_ && _), "full_outer")
+    dim
+      .join(bat,
+        keys.map(k => col(k) === col(s"b_$k")).reduce(_ && _) && col("is_current"),
+        "full_outer")
       .select(explode(
-        when(!inBatch, array(curRow))
-          .when(!inCur, array(freshRow))
+        when(!inBatch, array(dimRow)) // history rows + current rows not in batch
+          .when(!inDim, array(freshRow)) // new key (or key with no current version)
           .when(changed, array(closedRow, freshRow))
-          .otherwise(array(curRow))).as("r"))
+          .otherwise(array(dimRow))).as("r"))
       .select((keys ++ attrs ++ meta).map(c => col(s"r.$c")): _*)
-
-    hist.unionByName(merged)
   }
 }
 
