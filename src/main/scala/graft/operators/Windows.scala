@@ -213,6 +213,52 @@ object Windows extends QModule {
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)) t
       WHERE drk <= 3 ORDER BY c_mktsegment, drk, c_custkey
+    """)),
+
+    // W9: gap-fill / resample — densify a sparse daily series onto a
+    // calendar spine (Jan 1997 × priority class), zero-filling counts and
+    // forward-filling the last observed max price (last_value IGNORE
+    // NULLS). The canonical time-series-prep op before any ML windowing.
+    // Scale shape: the spine is generated (sequence+explode, never read),
+    // broadcast against the aggregated dailies (|days|·|keys| rows, tiny
+    // vs the fact table); the fact side is ONE hash agg; the ffill window
+    // is PARTITIONED by key — no global sort anywhere.
+    Q("w9_gap_fill", (s, dir) => {
+      import s.implicits._
+      val days = s.range(1).select(explode(expr(
+        "sequence(to_date('1997-01-01'), to_date('1997-01-31'), interval 1 day)")).as("d"))
+      val spine = t(s, dir, "orders").select($"o_orderpriority").distinct()
+        .crossJoin(days)
+      val daily = t(s, dir, "orders")
+        .filter($"o_orderdate" >= "1997-01-01" && $"o_orderdate" < "1997-02-01")
+        .groupBy($"o_orderpriority", to_date($"o_orderdate").as("d"))
+        .agg(count(lit(1)).as("cnt"), max($"o_totalprice").as("mx"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      broadcast(spine).join(daily, Seq("o_orderpriority", "d"), "left")
+        .select($"o_orderpriority", $"d", coalesce($"cnt", lit(0L)).as("n_orders"),
+          last($"mx", ignoreNulls = true).over(w).as("last_max_price"))
+        .select($"o_orderpriority", $"d".cast("string").as("d"),
+          $"n_orders", $"last_max_price")
+        .orderBy($"o_orderpriority", $"d")
+    }, sql = Some("""
+      WITH spine AS (
+        SELECT p.o_orderpriority, CAST(gs AS DATE) AS d
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        CROSS JOIN UNNEST(generate_series(DATE '1997-01-01', DATE '1997-01-31',
+                                          INTERVAL 1 DAY)) t(gs)),
+      daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+               COUNT(*) AS cnt, MAX(o_totalprice) AS mx
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+        GROUP BY 1, 2)
+      SELECT o_orderpriority, CAST(d AS VARCHAR) AS d,
+             CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders,
+             last_value(mx IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_max_price
+      FROM spine LEFT JOIN daily USING (o_orderpriority, d)
+      ORDER BY o_orderpriority, d
     """))
   )
 }
