@@ -135,7 +135,59 @@ object Relational extends QModule {
     Q("sql_q6_revenue", (s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(q6Sql)
-    }, sql = Some(q6Sql))
+    }, sql = Some(q6Sql)),
+
+    // F9: data-quality audit — constraint violations AS DATA (the
+    // "expectations" gate a warehouse runs before publishing a load):
+    // key uniqueness, value sanity, null guards, and referential
+    // integrity fact→dim, one row per rule. Shape at scale: the three
+    // orders-local rules share ONE scan/aggregation (stack unpivots the
+    // counts); each referential rule is a single anti-join whose build
+    // side is only the key projection. All-zero output is the expected
+    // steady state — the query proves the machinery, the oracle proves
+    // the counts.
+    Q("f9_dq_audit", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val local = o.agg(
+          (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_orderkey"),
+          sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+          sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("null_orderdate"))
+        .select(expr(
+          """stack(3, 'dup_orderkey', dup_orderkey,
+                      'nonpos_price', nonpos_price,
+                      'null_orderdate', null_orderdate) AS (rule, n_violations)"""))
+      val orphanLine = t(s, dir, "lineitem")
+        .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orphan_lineitem").as("rule"), $"n_violations")
+      val orphanCust = o
+        .join(t(s, dir, "customer").select($"c_custkey"),
+          $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orphan_order_cust").as("rule"), $"n_violations")
+      local.unionByName(orphanLine).unionByName(orphanCust).orderBy($"rule")
+    }, sql = Some("""
+      SELECT rule, n_violations FROM (
+        SELECT 'dup_orderkey' AS rule,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'nonpos_price',
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'null_orderdate',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orphan_lineitem', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orphan_order_cust', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      ) t ORDER BY rule
+    """))
   )
 
   /** Shared verbatim between Spark SQL and DuckDB: ANSI subset, decimal

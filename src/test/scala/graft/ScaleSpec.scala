@@ -49,6 +49,24 @@ class ScaleSpec extends SparkSpec {
     assert(d === s)
   }
 
+  test("order-independent aggregates survive an adversarial repartitioning") {
+    // the exactness claims (dsum fixed-point, e6/e9 per-row quantization)
+    // promise partition-layout independence, not just same-plan
+    // determinism — so force a hostile layout and diff against default
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q1_agg", "g16_incremental_agg", "m2_lang_centroid", "g13_stats")) {
+      val fn = SparkEntry.queries(name)
+      val base = fn(spark, dir).collect().map(_.toSeq).toSeq
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val jittered = fn(spark, dir).collect().map(_.toSeq).toSeq
+        assert(jittered === base, s"$name changed under repartitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("salted distinct-count is exact vs countDistinct") {
     val o = t(spark, dir, "orders")
     val direct = o.groupBy(col("o_orderstatus").as("k"))
