@@ -121,6 +121,118 @@ object Analytics extends QModule {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY c_custkey, c_name, n_name, c_acctbal
       ORDER BY revenue DESC, c_custkey ASC LIMIT 20
-    """), headline = true)
+    """), headline = true),
+
+    // Q4 shape: correlated EXISTS — orders (in a quarter) that have at
+    // least one returned line, counted per priority. The EXISTS compiles
+    // to a LEFT SEMI hash join (probe side never duplicates), then one
+    // hash agg over 5 groups.
+    Q("q4_exists_returned", (s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+      val returned = t(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      ord.join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }, sql = Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)),
+
+    // Q12 shape: two-way conditional counting after a fact-fact join —
+    // per return flag, how many 1996-shipped lines belong to high- vs
+    // low-priority orders. One join keyed on orderkey, one 3-group agg;
+    // the CASE counts are longs (exact cross-engine).
+    Q("q12_priority_class", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_returnflag")
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      li.join(t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }, sql = Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """)),
+
+    // Q14 shape: ratio of two order-independent fixed-point sums over the
+    // same joined scan (promo revenue share). The division is the single
+    // final IEEE op, so the percentage hashes identically. part SCALES
+    // with the dataset → no broadcast hint, AQE decides (policy c657512).
+    Q("q14_promo_revenue", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-09-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1995-10-01").cast("timestamp"))
+        .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      val rev = $"l_extendedprice" * (lit(1) - $"l_discount")
+      li.join(t(s, dir, "part").select($"p_partkey", $"p_type"),
+          $"l_partkey" === $"p_partkey")
+        .agg(dsum(when($"p_type" === "PROMO", rev).otherwise(0), 4).as("promo_revenue"),
+             dsum(rev, 4).as("total_revenue"))
+        .select((lit(100.0) * $"promo_revenue" / $"total_revenue").as("promo_pct"),
+          $"promo_revenue", $"total_revenue")
+    }, sql = Some("""
+      WITH r AS (
+        SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01')
+      SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+             promo_revenue, total_revenue
+      FROM r
+    """)),
+
+    // Q18 shape: HAVING over a pre-aggregated subquery, then join the
+    // qualifying keys back to the dimensions. The heavy agg runs FIRST
+    // and only survivors join — never the reverse order.
+    Q("q18_big_orders", (s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 300)
+      t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(t(s, dir, "customer").select($"c_custkey"),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"o_orderkey", $"o_totalprice", $"sum_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(20)
+    }, sql = Some("""
+      SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+      FROM orders
+      JOIN (SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300) big
+        ON o_orderkey = big.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """))
   )
 }
