@@ -142,6 +142,66 @@ object EventQueries extends QModule {
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """), headline = true),
 
+    // E4: ordered funnel (view → click-after-view → purchase-after-click).
+    // Each stage is one filtered agg keyed by user joined to the previous
+    // stage's first-hit time — stage predicates are >= comparisons on the
+    // raw integer nanos, exact in both engines. 100 TB shape: three
+    // filtered scans with map-side partial min, joins on the (tiny)
+    // per-user stage tables; no window, no ordering.
+    Q("e4_funnel", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("vts"))
+      val c = ev.filter($"event_type" === "click").join(v, Seq("user_id"))
+        .filter($"ts" >= $"vts")
+        .groupBy($"user_id").agg(min($"ts").as("cts"))
+      val p = ev.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+        .filter($"ts" >= $"cts")
+        .groupBy($"user_id").agg(min($"ts").as("pts"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+    }, sql = Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS cts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.vts GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS pts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.cts GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+             (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+             (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """)),
+
+    // E5: weekly cohort retention — users bucketed by first-active week,
+    // distinct-user counts per (cohort, week offset). All integer-nanos
+    // arithmetic (epoch-week = ts div week-nanos), so the cohort grid is
+    // exact cross-engine. Shape: one distinct on (user, week), one min
+    // per user, one join, one count agg — each a single shuffle of
+    // already-tiny intermediates.
+    Q("e5_cohort_retention", (s, dir) => {
+      import s.implicits._
+      val wkNanos = 604800000000000L // 7*24*3600 * 1e9
+      val uw = t(s, dir, "events")
+        .select($"user_id", expr(s"ts div $wkNanos").as("wk")).distinct()
+      val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_wk", $"week_offset")
+    }, sql = Some("""
+      WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk
+                  FROM events),
+      cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
+      SELECT cohort.cohort_wk, uw.wk - cohort.cohort_wk AS week_offset,
+             COUNT(*) AS n_users
+      FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+      GROUP BY 1, 2 ORDER BY cohort_wk, week_offset
+    """)),
+
     // Schema'd JSON parsing of event props (SURVEY §1.4: from_json with a
     // declared schema, not per-field string extraction).
     Q("e3_json_props", (s, dir) => {
