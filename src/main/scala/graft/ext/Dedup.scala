@@ -214,6 +214,33 @@ object Dedup {
 }
 
 object DedupQueries extends QModule {
+
+  /** Shared oracle CTEs replaying `minhashLshPairs` exactly (md5-derived
+    * base hash, 32 affine permutations, 16 bands × 2 rows, packed band
+    * bucket); terminal CTE `pairs(doc_i, doc_j)`. */
+  private val minhashPairsCtes = """
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+      hx AS (
+        SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647 AS x
+        FROM sh),
+      mins AS (
+        SELECT doc_id, i,
+               MIN((((1103515245 * (i + 1) + 12345) % 2147483647) * x
+                    + (362436069 * (i + 1) + 521288629) % 2147483647) % 2147483647) AS h
+        FROM hx CROSS JOIN UNNEST(range(0, 32)) t(i)
+        GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 2 AS band,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN h * 2147483648 ELSE h END) AS BIGINT) AS bucket
+        FROM mins GROUP BY doc_id, i // 2),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
   import Dedup._
 
   def qs: Seq[Q] = Seq(
@@ -304,29 +331,36 @@ object DedupQueries extends QModule {
     // 16 bands × 2 rows, bucket = the band's (h_even, h_odd) min pair.
     Q("dedup_minhash_lsh", (s, dir) =>
       minhashLshPairs(t(s, dir, "documents"))
-        .orderBy(col("doc_i"), col("doc_j")), sql = Some("""
-      WITH docs AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
-        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
-      hx AS (
-        SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647 AS x
-        FROM sh),
-      mins AS (
-        SELECT doc_id, i,
-               MIN((((1103515245 * (i + 1) + 12345) % 2147483647) * x
-                    + (362436069 * (i + 1) + 521288629) % 2147483647) % 2147483647) AS h
-        FROM hx CROSS JOIN UNNEST(range(0, 32)) t(i)
-        GROUP BY doc_id, i),
-      bands AS (
-        SELECT doc_id, i // 2 AS band,
-               CAST(SUM(CASE WHEN i % 2 = 0 THEN h * 2147483648 ELSE h END) AS BIGINT) AS bucket
-        FROM mins GROUP BY doc_id, i // 2)
-      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        .orderBy(col("doc_i"), col("doc_j")), sql = Some(s"""
+      $minhashPairsCtes
+      SELECT doc_i, doc_j FROM pairs
       ORDER BY doc_i, doc_j
+    """)),
+
+    // Edit-distance re-rank of the LSH candidates — the "cheap candidate
+    // generation → expensive exact verification" pipeline in its string
+    // form: levenshtein (identical definition both engines, integer
+    // output) over the first 120 chars (bounds the O(len²) DP per pair).
+    // At 100 TB the pair set stays ~linear via banding, so the quadratic
+    // DP only ever runs on candidates, never the corpus.
+    Q("dedup_edit_distance", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pa = docs.select(col("doc_id").as("doc_i"),
+        substring(col("text"), 1, 120).as("ti"))
+      val pb = docs.select(col("doc_id").as("doc_j"),
+        substring(col("text"), 1, 120).as("tj"))
+      minhashLshPairs(docs).join(pa, "doc_i").join(pb, "doc_j")
+        .select(col("doc_i"), col("doc_j"),
+          levenshtein(col("ti"), col("tj")).as("edit_dist"))
+        .orderBy(col("doc_i"), col("doc_j"))
+    }, sql = Some(s"""
+      $minhashPairsCtes
+      SELECT p.doc_i, p.doc_j,
+             levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS edit_dist
+      FROM pairs p
+      JOIN documents a ON p.doc_i = a.doc_id
+      JOIN documents b ON p.doc_j = b.doc_id
+      ORDER BY p.doc_i, p.doc_j
     """)),
 
     // SimHash chunk-collision candidates — same portable hash, so the

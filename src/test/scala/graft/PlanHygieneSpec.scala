@@ -111,6 +111,22 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("Window"), "global window crept back into IVF centroids:\n" + p)
   }
 
+  test("q4: EXISTS compiles to a left-semi hash join, never a nested loop") {
+    val p = planOf("q4_exists_returned")
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as semi join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q18: HAVING aggregate runs before the dimension joins") {
+    val p = planOf("q18_big_orders")
+    // the sum_qty filter must sit directly over the lineitem aggregate,
+    // not after the joins — survivors-only join order
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && p.lastIndexOf("HashAggregate") > joinIdx,
+      "lineitem aggregate did not run below the joins:\n" + p)
+  }
+
   test("r6: per-group sample keeps only top-k per partition before the shuffle") {
     val p = planOf("r6_reservoir_per_group")
     assert(p.contains("WindowGroupLimit"), "rank<=k not pushed below the shuffle:\n" + p)
