@@ -195,6 +195,24 @@ object Aggregations extends QModule {
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
     }),
 
+    // G17: approximate percentiles via the mergeable quantile sketch
+    // (Greenwald-Khanna; accuracy 10000 ⇒ rank error ≤ 1e-4·n). Sketch
+    // internals are engine-specific → rows-only driver check (like g11's
+    // HLL); the |approx − exact| ≤ bound invariant is spec-verified
+    // against the exact percentile instead. At 100 TB this is THE
+    // distributed percentile: per-partition sketches merge in one
+    // reduce, vs exact percentile's full sort/exchange of the column.
+    Q("g17_approx_percentile", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx_price_p50_p90_p99"))
+        .select(
+          element_at($"approx_price_p50_p90_p99", 1).as("p50"),
+          element_at($"approx_price_p50_p90_p99", 2).as("p90"),
+          element_at($"approx_price_p50_p90_p99", 3).as("p99"))
+    }),
+
     // G12: KMV (bottom-k) distinct sketch — the oracle-checkable sibling of
     // g11's HLL. h = 60-bit md5 prefix of the key; keep the k=256 smallest
     // distinct h; estimate = (k-1)·2^60 / h_k. All arithmetic is IEEE-

@@ -219,10 +219,11 @@ object Windows extends QModule {
     // calendar spine (Jan 1997 × priority class), zero-filling counts and
     // forward-filling the last observed max price (last_value IGNORE
     // NULLS). The canonical time-series-prep op before any ML windowing.
-    // Scale shape: the spine is generated (sequence+explode, never read),
-    // broadcast against the aggregated dailies (|days|·|keys| rows, tiny
-    // vs the fact table); the fact side is ONE hash agg; the ffill window
-    // is PARTITIONED by key — no global sort anywhere.
+    // Scale shape: the DATE axis is generated (sequence+explode, never
+    // read); the key axis is a distinct over one fact column here — at
+    // 100 TB you'd read the key universe from its dimension table
+    // instead. The spine broadcasts against ONE hash agg of the fact
+    // side; the ffill window is PARTITIONED by key — no global sort.
     Q("w9_gap_fill", (s, dir) => {
       import s.implicits._
       val days = s.range(1).select(explode(expr(

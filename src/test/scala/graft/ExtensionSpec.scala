@@ -52,6 +52,25 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within rank-error bound of the exact percentile") {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    val n = li.count()
+    val approx = graft.SparkEntry.queries("g17_approx_percentile")(spark, dir)
+      .collect()(0)
+    val sorted = li.select($"l_extendedprice").orderBy($"l_extendedprice")
+      .as[Double].collect()
+    // GK accuracy 10000 ⇒ rank error <= n/10000 (+1 slack for discreteness)
+    val slack = math.max(n / 10000, 1L).toInt + 1
+    for ((p, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val target = math.ceil(p * n).toInt - 1
+      val lo = sorted(math.max(target - slack, 0))
+      val hi = sorted(math.min(target + slack, sorted.length - 1))
+      val a = approx.getDouble(i)
+      assert(a >= lo && a <= hi, s"p$p: $a outside [$lo, $hi]")
+    }
+  }
+
   test("approx_count_distinct within configured 2% rsd (5 sigma)") {
     val exact = t(spark, dir, "lineitem").select(countDistinct(col("l_partkey")))
       .collect().head.getLong(0)
