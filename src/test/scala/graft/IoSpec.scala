@@ -58,6 +58,35 @@ class IoSpec extends SparkSpec {
       Tables.t(spark, dir, "orders").filter(col("o_orderkey") === 1L)))
   }
 
+  test("cache layer: dependent queries read the cached dim from memory, results unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val dim = Tables.t(spark, dir, "nation")
+    val expected = rows(dim.groupBy(col("n_regionkey")).count().orderBy("n_regionkey"))
+    val cached = dim.cache()
+    try {
+      cached.count() // materialize
+      val q = cached.groupBy(col("n_regionkey")).count().orderBy("n_regionkey")
+      assert(rows(q) === expected)
+      assert(q.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        q.queryExecution.executedPlan.toString)
+    } finally cached.unpersist()
+  }
+
+  test("catalog: saveAsTable registers an external table queryable by name via SQL") {
+    val path = tmp("cat") + "/nation_ext"
+    val dir = "/root/testdata/sf0.001"
+    Tables.t(spark, dir, "nation").write.option("path", path)
+      .saveAsTable("nation_ext")
+    try {
+      assert(spark.catalog.tableExists("nation_ext"))
+      val viaSql = spark.sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM nation_ext GROUP BY 1 ORDER BY 1")
+      assert(rows(viaSql) === rows(
+        Tables.t(spark, dir, "nation").groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n")).orderBy("n_regionkey")))
+    } finally spark.sql("DROP TABLE IF EXISTS nation_ext")
+  }
+
   test("K5+S7: run-log append and stage-dependency gate") {
     val logDir = tmp("log") + "/process_log"
     Control.logStatus(spark, logDir, "P2", "RUNNING", "start")
