@@ -137,6 +137,16 @@ object Relational extends QModule {
       s.sql(q6Sql)
     }, sql = Some(q6Sql)),
 
+    // NOT IN vs NOT EXISTS three-valued logic — the classic SQL
+    // correctness trap, ONE text verbatim in spark.sql AND DuckDB: a
+    // NULL in the NOT IN subquery makes the predicate UNKNOWN for every
+    // row (count 0), while the null-free variant counts normally. Proves
+    // the engine's null semantics match ANSI exactly, not just happy-path.
+    Q("sql_notin_3vl", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(notIn3vlSql)
+    }, sql = Some(notIn3vlSql)),
+
     // F9: data-quality audit — constraint violations AS DATA (the
     // "expectations" gate a warehouse runs before publishing a load):
     // key uniqueness, value sanity, null guards, and referential
@@ -189,6 +199,19 @@ object Relational extends QModule {
       ) t ORDER BY rule
     """))
   )
+
+  /** Shared verbatim between Spark SQL and DuckDB: a NULL in the NOT IN
+    * list poisons the predicate to UNKNOWN for every probe row. */
+  private val notIn3vlSql = """
+    SELECT
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderstatus NOT IN (SELECT nullif(o_orderstatus, 'P') FROM orders))
+        AS n_notin_with_null,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderstatus NOT IN (SELECT o_orderstatus FROM orders
+                                   WHERE o_orderstatus <> 'P'))
+        AS n_notin_no_null
+  """
 
   /** Shared verbatim between Spark SQL and DuckDB: ANSI subset, decimal
     * sums for order-independence (the dsum contract in SQL form). */

@@ -215,6 +215,34 @@ object Windows extends QModule {
       WHERE drk <= 3 ORDER BY c_mktsegment, drk, c_custkey
     """)),
 
+    // W10: RANGE frame (value-based window, vs W7's ROWS frame): for each
+    // order, the rolling sum of orders within the trailing $10k price band
+    // of ITS OWN price, per priority class. Prices quantize to integer
+    // cents first, so frame membership (a <= comparison on longs) and the
+    // frame sum are exact in both engines — peers with equal cents get
+    // identical frame results, making range semantics deterministic.
+    Q("w10_range_frame", (s, dir) => {
+      import s.implicits._
+      val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"cents")
+        .rangeBetween(-1000000L, 0L) // trailing $10k band, in cents
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", cents.as("cents"))
+        .withColumn("band_orders", count(lit(1)).over(w))
+        .withColumn("band_cents", sum($"cents").over(w))
+        .orderBy($"o_orderpriority", $"cents", $"o_orderkey")
+    }, sql = Some("""
+      SELECT o_orderkey, o_orderpriority, cents,
+             COUNT(*) OVER w AS band_orders,
+             CAST(SUM(cents) OVER w AS BIGINT) AS band_cents
+      FROM (SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders) t
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+                   RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderpriority, cents, o_orderkey
+    """)),
+
     // W9: gap-fill / resample — densify a sparse daily series onto a
     // calendar spine (Jan 1997 × priority class), zero-filling counts and
     // forward-filling the last observed max price (last_value IGNORE
