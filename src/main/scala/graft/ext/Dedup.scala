@@ -114,12 +114,15 @@ object Dedup {
         .join(lab.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
         .groupBy(col("a")).agg(min(col("brep")).as("nrep"))
         .withColumnRenamed("a", "doc_id")
+      // carry the convergence flag inside the same pass: one join + one
+      // cheap count over the checkpointed rows, instead of a second
+      // next⋈lab join job per round
       val next = lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"), least(col("prev"), col("nrep")).as("rep"))
+        .select(col("doc_id"), least(col("prev"), col("nrep")).as("rep"),
+          (col("nrep") < col("prev")).as("chg"))
         .localCheckpoint()
-      changed = next.withColumnRenamed("rep", "nr").join(lab, Seq("doc_id"))
-        .filter(col("nr") =!= col("rep")).count()
-      lab = next
+      changed = next.filter(col("chg")).count()
+      lab = next.drop("chg")
     }
     val sizes = lab.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, Seq("rep"))
