@@ -24,6 +24,7 @@ object SparkEntry {
     ext.TextAnalysis,
     ext.DedupQueries,
     ext.SimilarityQueries,
+    ext.CorpusPipelineQueries,
     streaming.EventQueries
   )
 

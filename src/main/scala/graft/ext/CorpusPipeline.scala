@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.{Q, QModule}
+import graft.Tables.t
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus curation pipeline — the reason the
+  * extension operators exist, composed into ONE declarative plan:
+  *
+  *   1. quality gate   — keep documents at/above their language's median
+  *                       stopword ratio (t_quality_filter semantics);
+  *   2. near-dup purge — Jaccard candidate pairs over the survivors,
+  *                       connected-component collapse, keep only each
+  *                       cluster's representative (min doc_id);
+  *   3. shard packing  — per-language token-budget shard assignment
+  *                       (t_shard_assign semantics) over the curated set.
+  *
+  * Everything is one lazy DataFrame: Catalyst fuses the gate into the
+  * scans feeding the shingle index, so dropped docs never enter pair
+  * generation. Scale shape is the sum of its parts — each proven
+  * individually: broadcast median join, posting-list pair expansion with
+  * the maxDf skew cap, iterative min-label propagation over checkpointed
+  * edges, and a per-language (never global) packing window.
+  *
+  * The whole chain is deterministic and SQL-expressible, so the oracle
+  * replays the ENTIRE pipeline (quality CTEs + shingle index + recursive
+  * transitive closure + packing window) — the composition, not just the
+  * stages, is hash-checked.
+  */
+object CorpusPipeline {
+  import TextAnalysis.{enPat, hits, tokens}
+
+  def curate(docs: DataFrame, shardBudget: Int = 2000): DataFrame = {
+    // 1. per-language median quality gate
+    val q = docs.select(col("doc_id"), col("lang"), col("text"),
+      (hits(col("text"), enPat).cast("double") / size(tokens(col("text")))).as("r"))
+    val med = q.groupBy(col("lang"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
+    val kept = q.join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
+
+    // 2. collapse near-dup clusters to their representative
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairs(kept.select(col("doc_id"), col("text"))))
+    val drop = clusters.filter(col("rep_id") =!= col("doc_id")).select(col("doc_id"))
+    val uniq = kept.join(drop, Seq("doc_id"), "left_anti")
+
+    // 3. per-language token-budget shard packing
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    uniq.select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / shardBudget).cast("long").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+}
+
+object CorpusPipelineQueries extends QModule {
+
+  def qs: Seq[Q] = Seq(
+    Q("p1_curate_corpus", (s, dir) =>
+      CorpusPipeline.curate(t(s, dir, "documents")), sql = Some("""
+      WITH RECURSIVE q AS (
+        SELECT doc_id, lang, text,
+               CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')) AS r
+        FROM documents),
+      ord AS (
+        SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM q),
+      med AS (
+        SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN r END) AS m
+        FROM ord GROUP BY lang),
+      kept AS (
+        SELECT q.doc_id, q.lang, q.text FROM q JOIN med USING (lang) WHERE q.r >= med.m),
+      docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM kept),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+      idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+      cand AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT doc_i, doc_j FROM cand
+        JOIN sizes si ON si.doc_id = doc_i
+        JOIN sizes sj ON sj.doc_id = doc_j
+        WHERE shared * 10 >= (si.n_sh + sj.n_sh - shared) * 3),
+      edges AS (SELECT doc_i AS a, doc_j AS b FROM jp
+                UNION ALL SELECT doc_j, doc_i FROM jp),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
+      uniq AS (
+        SELECT k.doc_id, k.lang,
+               length(string_split_regex(trim(k.text), '\s+')) AS n_tok
+        FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))
+      SELECT doc_id, lang, n_tok,
+             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM uniq) t
+      ORDER BY doc_id
+    """))
+  )
+}
