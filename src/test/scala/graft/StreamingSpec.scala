@@ -131,6 +131,65 @@ class StreamingSpec extends SparkSpec {
     assert(ids === base.map(_.event_id).toSet)
   }
 
+  test("watermark: events older than the advanced watermark are dropped, not double-counted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = t(spark, dir, "events").orderBy("ts").as[Ev].collect()
+    val (old, recent) = ordered.splitAt(ordered.length / 2)
+
+    val stream = MemoryStream[Ev]
+    // batch 1: the RECENT half advances the watermark far past the old half
+    stream.addData(recent.toSeq)
+    val sdf = stream.toDF()
+      .withColumn("tss", EventStream.tsCol)
+      .withWatermark("tss", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = sdf.writeStream.format("memory").queryName("wmld")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterRecent = spark.table("wmld").count()
+      assert(afterRecent === recent.length)
+      // batch 2: the OLD half arrives hours late — every event is behind
+      // the watermark and must be discarded by the dedupe state manager
+      stream.addData(old.toSeq)
+      q.processAllAvailable()
+      assert(spark.table("wmld").count() === afterRecent,
+        "late events leaked past the watermark")
+    } finally q.stop()
+  }
+
+  test("RocksDB state store: stateful aggregation runs on the production state backend") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Ev].take(200)
+      val stream = MemoryStream[Ev]
+      val q = stream.toDF()
+        .withColumn("tss", EventStream.tsCol)
+        .withWatermark("tss", "1 hour")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("rocks")
+        .outputMode("complete").start()
+      try {
+        val (b1, b2) = evs.splitAt(100)
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+        val got = spark.table("rocks").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expected = evs.groupBy(_.event_type).map { case (k, v) => k -> v.length.toLong }
+        assert(got === expected)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch idempotent sink: batch-id-keyed writes make replays no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
