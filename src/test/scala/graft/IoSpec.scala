@@ -58,6 +58,36 @@ class IoSpec extends SparkSpec {
       Tables.t(spark, dir, "orders").filter(col("o_orderkey") === 1L)))
   }
 
+  test("compaction: many tiny files rewrite to few clustered files with disjoint key ranges") {
+    import graft.sources.Compact
+    val dir = "/root/testdata/sf0.001"
+    val fragmented = tmp("frag") + "/t"
+    val compacted = tmp("compacted") + "/t"
+    // simulate a micro-batch ingest: 64 tiny files
+    Tables.t(spark, dir, "orders").repartition(64).write.parquet(fragmented)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(parquetFiles(fragmented).length === 64)
+
+    val back = Compact.compact(spark, fragmented, compacted, 4, Seq("o_orderkey"))
+    val files = parquetFiles(compacted)
+    assert(files.length === 4)
+    // same data
+    assert(rows(back.orderBy("o_orderkey")) ===
+      rows(Tables.t(spark, dir, "orders").orderBy("o_orderkey")))
+    // disjoint key ranges per file → parquet footer min/max can skip
+    // whole files for point/range reads
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+  }
+
   test("cache layer: dependent queries read the cached dim from memory, results unchanged") {
     val dir = "/root/testdata/sf0.001"
     val dim = Tables.t(spark, dir, "nation")
