@@ -207,6 +207,49 @@ object Analytics extends QModule {
       FROM r
     """)),
 
+    // Q19 shape: disjunctive (OR'd) multi-column join predicates — the
+    // optimizer stress case: the common `l_partkey = p_partkey` conjunct
+    // must still drive a hash join, with the OR branches evaluated as a
+    // residual filter, never a nested-loop over the disjunction.
+    Q("q19_disjunctive", (s, dir) => {
+      import s.implicits._
+      val branch1 = $"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+        $"l_quantity" >= 10
+      val branch2 = $"p_brand" === "Brand#3" && $"p_size".between(16, 40) &&
+        $"l_quantity" < 10
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+        .filter(branch1 || branch2)
+        .agg(count(lit(1)).as("n_lines"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+    }, sql = Some("""
+      SELECT COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 16 AND 40 AND l_quantity < 10)
+    """)),
+
+    // FILTER-clause aggregation with DISTINCT — conditional distinct
+    // counting without self-joins or CASE-to-NULL tricks.
+    Q("g18_filtered_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          expr("count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)")
+            .as("n_big_cust"),
+          expr("count(*) FILTER (WHERE o_totalprice > 200000)").as("n_big_orders"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      SELECT o_orderstatus,
+             COUNT(DISTINCT o_custkey) AS n_cust,
+             COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS n_big_cust,
+             COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)),
+
     // Q18 shape: HAVING over a pre-aggregated subquery, then join the
     // qualifying keys back to the dimensions. The heavy agg runs FIRST
     // and only survivors join — never the reverse order.

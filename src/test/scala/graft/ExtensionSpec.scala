@@ -81,6 +81,33 @@ class ExtensionSpec extends SparkSpec {
     assert(rel < 0.1, s"approx=$approx exact=$exact rel=$rel")
   }
 
+  test("ivf index lifecycle: persisted centroid/assignment tables answer probes like a fresh build") {
+    // the "train once offline, probe many" serving path: centroids +
+    // assignments round-trip through parquet and the probe side reads the
+    // PERSISTED index — no re-assignment work per query
+    val fresh = Similarity.ivfTopK(embs, 0L, 10).collect()
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val cents = Similarity.ivfCentroids(embs, 16)
+    Similarity.ivfAssign(embs, cents).write.parquet(idxDir + "/assigned")
+    cents.write.parquet(idxDir + "/centroids")
+
+    val assigned = spark.read.parquet(idxDir + "/assigned")
+    val centroids = spark.read.parquet(idxDir + "/centroids")
+    val q = embs.filter(col("vec_id") === 0L).select(col("embedding").as("q"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .withColumn("sim_e9", Similarity.cosineE9(Similarity.cosine("centroid", "q")))
+      .orderBy(col("sim_e9").desc, col("centroid_id").asc).limit(6)
+      .select(col("centroid_id"))
+    val viaIndex = assigned.join(broadcast(probed), Seq("centroid_id"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        Similarity.cosineE9(Similarity.cosine("embedding", "q")).as("cosine_e9"))
+      .orderBy(col("cosine_e9").desc, col("vec_id").asc).limit(10)
+      .collect()
+    assert(viaIndex.map(_.toSeq).toSeq === fresh.map(_.toSeq).toSeq)
+  }
+
   test("ivf ann: probed-list results are a correctly-ranked subset with real recall") {
     val brute = Similarity.topK(embs, 0L, 10).collect().map(_.getLong(0)).toSet
     val ivf = Similarity.ivfTopK(embs, 0L, 10).collect().map(_.getLong(0))
