@@ -127,6 +127,12 @@ class PlanHygieneSpec extends SparkSpec {
       "lineitem aggregate did not run below the joins:\n" + p)
   }
 
+  test("q19: OR branches stay a residual filter over the partkey hash join") {
+    val p = planOf("q19_disjunctive")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("r6: per-group sample keeps only top-k per partition before the shuffle") {
     val p = planOf("r6_reservoir_per_group")
     assert(p.contains("WindowGroupLimit"), "rank<=k not pushed below the shuffle:\n" + p)

@@ -67,6 +67,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew join: a hot key splits into subpartitions at runtime, result unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1 key carries 100k rows, 99 keys carry 100 each; thresholds tuned
+    // down so local-scale data trips the same splitter production uses
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force SMJ so skew handling engages
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 109900)
+        .select(when($"id" < 100000, 0L).otherwise(($"id" - 100000) % 99 + 1).as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 10).as("w"))
+      val joined = left.join(right, "k")
+      assert(joined.queryExecution.toRdd.count() === 109900) // finalize AQE
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE did not mark the skewed join:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted distinct-count is exact vs countDistinct") {
     val o = t(spark, dir, "orders")
     val direct = o.groupBy(col("o_orderstatus").as("k"))
