@@ -147,6 +147,22 @@ object Relational extends QModule {
       s.sql(notIn3vlSql)
     }, sql = Some(notIn3vlSql)),
 
+    // Correlated scalar subquery — ONE text verbatim in both engines;
+    // Catalyst decorrelates it to a left outer aggregate join (no
+    // per-row re-execution), which is exactly what a 100 TB plan needs.
+    Q("sql_corr_scalar", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(corrScalarSql)
+    }, sql = Some(corrScalarSql)),
+
+    // Recursive CTE (Spark 4.1 + DuckDB, same text): the w9 gap-fill
+    // date spine generated by RECURSION instead of sequence()/
+    // generate_series — the portable form when neither generator exists.
+    Q("sql_recursive_spine", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(recursiveSpineSql)
+    }, sql = Some(recursiveSpineSql)),
+
     // F9: data-quality audit — constraint violations AS DATA (the
     // "expectations" gate a warehouse runs before publishing a load):
     // key uniqueness, value sanity, null guards, and referential
@@ -199,6 +215,30 @@ object Relational extends QModule {
       ) t ORDER BY rule
     """))
   )
+
+  /** Shared verbatim: correlated scalar subquery, decorrelated by the
+    * optimizer into an aggregate join. */
+  private val corrScalarSql = """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT MAX(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey) AS cust_max
+    FROM orders o
+    WHERE o_orderkey < 20
+    ORDER BY o_orderkey
+  """
+
+  /** Shared verbatim: recursive date spine + left join (gap-filled daily
+    * counts for Jan 1997). */
+  private val recursiveSpineSql = """
+    WITH RECURSIVE d(day) AS (
+      SELECT DATE '1997-01-01'
+      UNION ALL
+      SELECT day + INTERVAL 1 DAY FROM d WHERE day < DATE '1997-01-31')
+    SELECT CAST(d.day AS VARCHAR(10)) AS d, COUNT(o_orderkey) AS n_orders
+    FROM d LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d.day
+    GROUP BY d.day
+    ORDER BY d
+  """
 
   /** Shared verbatim between Spark SQL and DuckDB: a NULL in the NOT IN
     * list poisons the predicate to UNKNOWN for every probe row. */
