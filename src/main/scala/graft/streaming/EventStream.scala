@@ -142,6 +142,28 @@ object EventQueries extends QModule {
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """), headline = true),
 
+    // E6: semi-structured VARIANT path (Spark 4's open-schema type): parse
+    // once to variant, extract typed fields lazily — the schema-on-read
+    // pattern for payloads too heterogeneous for from_json's fixed
+    // StructType (e3). The oracle replays it as plain JSON extraction;
+    // identical ints either way.
+    Q("e6_variant", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          expr("variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }, sql = Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)),
+
     // E4: ordered funnel (view → click-after-view → purchase-after-click).
     // Each stage is one filtered agg keyed by user joined to the previous
     // stage's first-hit time — stage predicates are >= comparisons on the

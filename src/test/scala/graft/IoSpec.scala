@@ -58,6 +58,32 @@ class IoSpec extends SparkSpec {
       Tables.t(spark, dir, "orders").filter(col("o_orderkey") === 1L)))
   }
 
+  test("S2 hardening: PERMISSIVE CSV read quarantines malformed rows instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("csv_bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch.csv"),
+      ("id,amount,day\n" +
+       "1,10.5,2025-01-01\n" +
+       "2,not_a_number,2025-01-02\n" +  // bad cast
+       "3,30.25,2025-01-03\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("amount", DoubleType),
+      StructField("day", DateType), StructField("_corrupt", StringType)))
+    val df = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir).cache()
+    try {
+      val good = df.filter(col("_corrupt").isNull)
+      val bad = df.filter(col("_corrupt").isNotNull)
+      assert(good.count() === 2)
+      assert(bad.count() === 1)
+      // the quarantined row keeps its raw bytes for replay/debugging
+      assert(bad.select("_corrupt").collect()(0).getString(0)
+        .contains("not_a_number"))
+    } finally df.unpersist()
+  }
+
   test("compaction: many tiny files rewrite to few clustered files with disjoint key ranges") {
     import graft.sources.Compact
     val dir = "/root/testdata/sf0.001"
