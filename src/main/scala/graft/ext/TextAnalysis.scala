@@ -310,6 +310,83 @@ object TextAnalysis extends QModule {
       ORDER BY doc_id
     """)),
 
+    // PII scrubbing: find + redact email/phone patterns (the compliance
+    // pass every training corpus runs). The corpus has no organic PII,
+    // so a deterministic planted suffix makes the op testable end-to-end;
+    // the count/replace machinery is the real thing — regexp class
+    // syntax chosen to mean the same in Spark (Java regex) and DuckDB
+    // (RE2). Map-only, codegen'd, no shuffle.
+    Q("t_redact_pii", (s, dir) => {
+      import s.implicits._
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+      val planted = concat($"text",
+        when($"doc_id" % 10 === 0, lit(" contact agent007@example.com now"))
+          .when($"doc_id" % 10 === 5, lit(" call +49-555-0142 today"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .filter($"doc_id" < 50)
+        .select($"doc_id", planted.as("txt"))
+        .select($"doc_id",
+          size(regexp_extract_all($"txt", lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all($"txt", lit(phonePat), lit(0))).as("n_phones"),
+          length(regexp_replace(regexp_replace($"txt", emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("n_chars_redacted"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH p AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 10 = 0 THEN ' contact agent007@example.com now'
+                            WHEN doc_id % 10 = 5 THEN ' call +49-555-0142 today'
+                            ELSE '' END AS txt
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id,
+             length(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             length(regexp_extract_all(txt, '\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             length(regexp_replace(regexp_replace(txt,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS n_chars_redacted
+      FROM p ORDER BY doc_id
+    """)),
+
+    // Benchmark-contamination check: corpus documents sharing any 8-gram
+    // with the eval set (docs 0-99 stand in for a held-out benchmark) —
+    // the decontamination filter run before training. Shape: eval
+    // shingles are TINY (a benchmark, not a corpus) → broadcast; corpus
+    // side is one explode + semi-ish join + count, no self-join. The
+    // planted near-dups make real hits at both SFs.
+    Q("t_contamination", (s, dir) => {
+      import s.implicits._
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8))))"))
+          .as("g"))
+      val docs = t(s, dir, "documents")
+      val eval8 = grams(docs.filter($"doc_id" < 100))
+        .select($"g", $"doc_id".as("eval_id")).distinct()
+      grams(docs.filter($"doc_id" >= 100))
+        .join(broadcast(eval8), Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared_8grams"),
+          countDistinct($"eval_id").as("n_eval_docs_hit"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+        FROM toks, UNNEST(range(1, CASE WHEN len(toks) >= 8 THEN len(toks) - 6 ELSE 1 END)) t(i)
+        WHERE len(toks) >= 8),
+      ev AS (SELECT DISTINCT g, doc_id AS eval_id FROM grams WHERE doc_id < 100),
+      corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 100)
+      SELECT c.doc_id, COUNT(*) AS n_shared_8grams,
+             COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit
+      FROM corpus c JOIN ev e USING (g)
+      GROUP BY c.doc_id ORDER BY c.doc_id
+    """)),
+
     // Shard packing: assign docs to fixed token-budget output shards per
     // language — the "write ~N-token training files" step. Running token
     // total over (lang, doc_id) via a PARTITIONED window (per-lang keys →
