@@ -67,17 +67,24 @@ object Similarity {
     * DuckDB oracle as ('0x'||substr(md5(p||':'||d),1,2))::INT & 1), so the
     * bucketing is replayable outside Spark. */
   def planeWeights(planes: Int, dim: Int): Array[Array[Int]] =
-    Array.tabulate(planes, dim) { (p, d) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val b = md.digest(s"$p:$d".getBytes("UTF-8"))
-      if ((b(0) & 1) == 1) 1 else -1
-    }
+    org.apache.spark.sql.graftshim.LshWeights.planeWeights(planes, dim)
 
   /** Random-hyperplane signature bucket (int of `planes` sign bits). The
     * projection quantizes each element to integer micro-units BEFORE the
     * signed sum — integer addition is fold-order-independent, so the sign
-    * (unlike a float fold) is bit-identical across engines. */
-  def lshBucket(embCol: String, planes: Int = 8, dim: Int = 64): Column = {
+    * (unlike a float fold) is bit-identical across engines.
+    *
+    * Native codegen expression (VectorLshSignature): all plane
+    * projections in ONE whole-stage-codegen pass per vector, vs `planes`
+    * interpreted HOF folds — the index-build hot loop at 100 TB.
+    * `lshBucketHof` keeps the built-in form as the spec cross-check
+    * baseline (VectorExprSpec proves bit-equality on real vectors). */
+  def lshBucket(embCol: String, planes: Int = 8, dim: Int = 64): Column =
+    graft.functions.VectorFunctions.vecLshSig(col(embCol), planes, dim)
+
+  /** HOF reference form of lshBucket — semantically identical,
+    * CodegenFallback; used only as the spec cross-check baseline. */
+  def lshBucketHof(embCol: String, planes: Int = 8, dim: Int = 64): Column = {
     val ws = planeWeights(planes, dim)
     val bits = (0 until planes).map { p =>
       val arr = ws(p).mkString("array(", ",", ")")

@@ -3,15 +3,20 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, Shims}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, Shims, VectorLshSignature}
 
-/** Public surface for the native vector expressions (implementation:
-  * org.apache.spark.sql.graftshim.FloatVectorDot — see its scaladoc for
-  * why it is a custom codegen Expression rather than a HOF fold). */
+/** Public surface for the native vector expressions (implementations:
+  * org.apache.spark.sql.graftshim.FloatVectorDot / VectorLshSignature —
+  * see their scaladocs for why they are custom codegen Expressions
+  * rather than HOF folds). */
 object VectorFunctions {
   /** Column API for the native dot product. */
   def vecDot(a: Column, b: Column): Column =
     Shims.column(FloatVectorDot(Shims.expression(a), Shims.expression(b)))
+
+  /** Column API for the native packed LSH signature. */
+  def vecLshSig(a: Column, planes: Int, dim: Int): Column =
+    Shims.column(VectorLshSignature(Shims.expression(a), planes, dim))
 
   val fnId: FunctionIdentifier = FunctionIdentifier("vec_dot")
 

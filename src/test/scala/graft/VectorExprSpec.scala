@@ -55,4 +55,27 @@ class VectorExprSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), "vec_dot fell out of codegen:\n" + plan)
   }
+
+  test("native LSH signature == HOF fold form, bit-exact, on real embeddings") {
+    import graft.ext.Similarity
+    val e = t(spark, dir, "embeddings")
+    val diff = e.select(
+        Similarity.lshBucket("embedding").as("native"),
+        Similarity.lshBucketHof("embedding").as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+    // and the signature is a sane planes-bit int
+    val range = e.select(Similarity.lshBucket("embedding").as("b"))
+      .agg(min(col("b")), max(col("b"))).collect()(0)
+    assert(range.getInt(0) >= 0 && range.getInt(1) < 256)
+  }
+
+  test("native LSH signature stays in whole-stage codegen") {
+    import graft.ext.Similarity
+    val df = t(spark, dir, "embeddings")
+      .select(Similarity.lshBucket("embedding").as("b"))
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "vec_lsh_sig fell out of codegen:\n" + plan)
+  }
 }
