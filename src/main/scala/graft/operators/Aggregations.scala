@@ -286,6 +286,45 @@ object Aggregations extends QModule {
       FROM s
     """)),
 
+    // G19: bitwise aggregates (bit_or/bit_and/bit_xor) — order-independent
+    // by algebra, so exact at any partitioning; the set-membership bitmap
+    // trick in miniature (bit_or of per-row masks = "which buckets seen").
+    Q("g19_bitops", (s, dir) => {
+      import s.implicits._
+      val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 16 AS INT))")
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(bit_or(mask).as("bucket_bitmap"),
+          bit_and($"user_id").as("and_ids"),
+          bit_xor($"user_id").as("xor_ids"))
+        .orderBy($"event_type")
+    }, sql = Some("""
+      SELECT event_type,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 16 AS INT)) AS BIGINT) AS bucket_bitmap,
+             CAST(bit_and(user_id) AS BIGINT) AS and_ids,
+             CAST(bit_xor(user_id) AS BIGINT) AS xor_ids
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)),
+
+    // String aggregation with a pinned within-group order (collect_list
+    // alone is partition-order-dependent — sorting the array first is
+    // what makes it deterministic and cross-engine).
+    Q("fn_string_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderkey" < 40)
+        .groupBy($"o_orderstatus")
+        .agg(concat_ws(",", sort_array(collect_list($"o_orderkey"))).as("keys_csv"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      SELECT o_orderstatus,
+             string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey < 40
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)),
+
     // G16: incremental aggregation (materialized-view maintenance): the
     // mart over rows before a cutoff is a STORED partial state (counts +
     // fixed-point hi/lo sum longs, the dsum decomposition); a delta batch

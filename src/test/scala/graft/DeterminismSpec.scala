@@ -9,6 +9,13 @@ class DeterminismSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("query registry integrity: names unique, every oracle maps to a query") {
+    val names = SparkEntry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names (toMap would drop one): $dups")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("every oracled query is run-to-run deterministic (ordered rows equal)") {
     val oracled = SparkEntry.oracleSql.keySet
     val bad = oracled.toSeq.sorted.flatMap { name =>
