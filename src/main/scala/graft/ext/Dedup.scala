@@ -61,9 +61,13 @@ object Dedup {
                    maxDf: Int = 10): DataFrame = {
     val sh = shingles(docs, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // size >= 2: singleton posting lists (the vast majority — most
+    // shingles are unique) contribute zero pairs, so drop them BEFORE
+    // the pair-expansion stage ever sees them; size <= maxDf is the
+    // hot-shingle skew cap (scaladoc above)
     val posting = sh.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) <= maxDf)
+      .filter(size(col("ds")).between(2, maxDf))
     val pairs = posting
       .select(explode(expr(
         "filter(flatten(transform(ds, x -> transform(ds, y -> struct(x AS i, y AS j)))), p -> p.i < p.j)"))
