@@ -114,6 +114,40 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("z-order compaction: per-file bounding boxes shrink on BOTH keys vs single-key clustering") {
+    import graft.sources.Compact
+    val dir = "/root/testdata/sf0.001"
+    val src = tmp("zsrc") + "/t"
+    val zDir = tmp("zout") + "/t"
+    Tables.t(spark, dir, "orders").write.parquet(src)
+    // 64 files so the morton range splits cut ≥3 interleaved bits of EACH
+    // key (few files only split the top — i.e. one — dimension's bits)
+    val back = Compact.zorder(spark, src, zDir, 64, "o_custkey", "o_orderkey")
+    assert(rows(back.orderBy("o_orderkey")) ===
+      rows(Tables.t(spark, dir, "orders").orderBy("o_orderkey")))
+
+    // per-file spans: each file must cover well under the full domain of
+    // EACH key (single-key range clustering leaves the other key's span
+    // at ~100%)
+    val files = new java.io.File(zDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length === 64)
+    val domain = Tables.t(spark, dir, "orders")
+      .agg(max(col("o_custkey")) - min(col("o_custkey")),
+           max(col("o_orderkey")) - min(col("o_orderkey"))).collect()(0)
+    val (domC, domO) = (domain.getLong(0).toDouble, domain.getLong(1).toDouble)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max(col("o_custkey")) - min(col("o_custkey")),
+             max(col("o_orderkey")) - min(col("o_orderkey"))).collect()(0)
+      (r.getLong(0) / domC, r.getLong(1) / domO)
+    }
+    val (avgC, avgO) = (spans.map(_._1).sum / spans.length,
+      spans.map(_._2).sum / spans.length)
+    assert(avgC < 0.7 && avgO < 0.7,
+      s"z-order did not shrink both dims: custkey=$avgC orderkey=$avgO")
+  }
+
   test("cache layer: dependent queries read the cached dim from memory, results unchanged") {
     val dir = "/root/testdata/sf0.001"
     val dim = Tables.t(spark, dir, "nation")
