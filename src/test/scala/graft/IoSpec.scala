@@ -114,6 +114,31 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite: backfilling one partition leaves the others untouched") {
+    val out = tmp("dpo") + "/t"
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.t(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    orders.write.partitionBy("yr").parquet(out)
+    val before = spark.read.parquet(out)
+      .groupBy("yr").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // backfill ONLY 1997 with half its rows (simulating a corrected load)
+      orders.filter(col("yr") === 1997 && col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+      val after = spark.read.parquet(out)
+        .groupBy("yr").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(after(1997) < before(1997))                    // 1997 replaced
+      assert((after - 1997) === (before - 1997))            // everything else intact
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("z-order compaction: per-file bounding boxes shrink on BOTH keys vs single-key clustering") {
     import graft.sources.Compact
     val dir = "/root/testdata/sf0.001"
