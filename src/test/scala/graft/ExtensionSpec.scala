@@ -119,6 +119,11 @@ class ExtensionSpec extends SparkSpec {
       s"IVF found none of the true top-10: ${ivf.toSeq}")
   }
 
+  test("contamination check finds real planted overlap (never a vacuous empty pass)") {
+    val hits = graft.SparkEntry.queries("t_contamination")(spark, dir)
+    assert(hits.count() > 0, "eval/corpus split no longer crosses any planted dup pair")
+  }
+
   test("repetition stats: planted boilerplate scores 1.0, distinct text 0.0") {
     import spark.implicits._
     val planted = Seq(
