@@ -250,6 +250,35 @@ object Analytics extends QModule {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
+    // Q22 shape: global-aggregate threshold (scalar subquery → broadcast
+    // one row) + NOT EXISTS (anti-join). The average is derived from an
+    // exact decimal sum and ONE division (g13 pattern), so the filter
+    // boundary is the same double in both engines.
+    Q("q22_rich_inactive", (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val thresh = cust.filter($"c_acctbal" > 0)
+        .agg((sum($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(thresh))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(t(s, dir, "orders").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_rich_inactive"),
+          dsum($"c_acctbal").as("total_bal"))
+        .orderBy($"c_mktsegment")
+    }, sql = Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_rich_inactive,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)),
+
     // Q18 shape: HAVING over a pre-aggregated subquery, then join the
     // qualifying keys back to the dimensions. The heavy agg runs FIRST
     // and only survivors join — never the reverse order.
