@@ -49,7 +49,13 @@ object Upsert {
     * current/history split, one dim scan) — then a map-side explode of
     * 1-or-2 output structs per row. No window, no driver loop; applying
     * the same batch twice is a fixed point (spec'd). Dates travel as
-    * strings so outputs hash identically across engines. */
+    * strings so outputs hash identically across engines.
+    *
+    * CONTRACT: `batch` must be key-unique and its key columns non-null —
+    * a duplicate batch key would close/reopen the same current row once
+    * per duplicate. Dedupe upstream with an explicit precedence rule
+    * (an arbitrary dropDuplicates here would be partition-order-
+    * dependent, breaking replayability). */
   def scd2Merge(dim: DataFrame, batch: DataFrame, keys: Seq[String],
                 attrs: Seq[String], effDate: String): DataFrame = {
     val meta = Seq("valid_from", "valid_to", "is_current")
