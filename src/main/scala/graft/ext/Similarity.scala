@@ -402,6 +402,41 @@ object SimilarityQueries extends QModule {
       FROM e ORDER BY vec_id
     """)),
 
+    // Modality-mix catalog stats: documents ⋈ synthesized media table ⋈
+    // embeddings (left join — not every doc has a vector at sf0.1), per
+    // (lang, media format): docs, total fake frames, how many carry an
+    // embedding. The media metadata derives deterministically from doc
+    // properties (Multimodal.mediaTable), so the oracle rebuilds it
+    // column-for-column without touching the binary payload.
+    Q("m3_modality_mix", (s, dir) => {
+      import s.implicits._
+      val media = graft.ext.Multimodal.mediaTable(t(s, dir, "documents"))
+        .select($"doc_id", $"meta.format".as("format"),
+          $"meta.n_frames".as("n_frames"))
+      t(s, dir, "documents").select($"doc_id", $"lang")
+        .join(media, Seq("doc_id"))
+        .join(t(s, dir, "embeddings").select($"vec_id"),
+          $"doc_id" === $"vec_id", "left")
+        .groupBy($"lang", $"format")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_frames".cast("long")).as("total_frames"),
+          count($"vec_id").as("n_with_embedding"))
+        .orderBy($"lang", $"format")
+    }, sql = Some("""
+      WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+               doc_id % 8 + 1 AS n_frames
+        FROM documents)
+      SELECT d.lang, m.format, COUNT(*) AS n_docs,
+             CAST(SUM(m.n_frames) AS BIGINT) AS total_frames,
+             COUNT(e.vec_id) AS n_with_embedding
+      FROM documents d
+      JOIN media m USING (doc_id)
+      LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      GROUP BY d.lang, m.format ORDER BY d.lang, m.format
+    """)),
+
     // Cross-modal join: text table ⋈ vector table on the shared id, per
     // language: doc count, total chars, Σ‖v‖² in micro-units (per-row fold
     // rounded to ints BEFORE summing → order-independent, drift-immune).
