@@ -243,6 +243,16 @@ object Windows extends QModule {
       ORDER BY o_orderpriority, cents, o_orderkey
     """)),
 
+    // W11: TIME-based RANGE frame (trailing 7 days by VALUE of the order
+    // timestamp — not a row count, not a numeric band): ONE SQL text
+    // verbatim in both engines. Cents quantization keeps the frame sums
+    // integer-exact; frame membership is a timestamp comparison, same in
+    // both. The per-key window keeps it scale-safe.
+    Q("w11_time_range_frame", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(timeRangeFrameSql)
+    }, sql = Some(timeRangeFrameSql)),
+
     // W9: gap-fill / resample — densify a sparse daily series onto a
     // calendar spine (Jan 1997 × priority class), zero-filling counts and
     // forward-filling the last observed max price (last_value IGNORE
@@ -290,4 +300,15 @@ object Windows extends QModule {
       ORDER BY o_orderpriority, d
     """))
   )
+
+  /** Shared verbatim between Spark SQL and DuckDB (see w11). */
+  private val timeRangeFrameSql = """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+             AS trail7d_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+  """
 }
