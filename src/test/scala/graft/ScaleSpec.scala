@@ -49,6 +49,27 @@ class ScaleSpec extends SparkSpec {
     assert(d === s)
   }
 
+  test("bucket pruning: a point lookup on the bucket key reads ONE bucket") {
+    t(spark, dir, "orders").write.bucketBy(8, "o_custkey")
+      .mode("overwrite").saveAsTable("orders_bp")
+    // without this, the planner falls back to a plain (non-bucketed) scan
+    // for filter-only queries and pruning never engages
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = spark.table("orders_bp").filter(col("o_custkey") === 42L)
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        "bucket pruning did not engage:\n" + plan)
+      assert(rows(q.orderBy("o_orderkey")) ===
+        rows(t(spark, dir, "orders").filter(col("o_custkey") === 42L)
+          .orderBy("o_orderkey")))
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS orders_bp")
+    }
+  }
+
   test("order-independent aggregates survive an adversarial repartitioning") {
     // the exactness claims (dsum fixed-point, e6/e9 per-row quantization)
     // promise partition-layout independence, not just same-plan
