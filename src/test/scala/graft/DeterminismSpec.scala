@@ -9,6 +9,10 @@ class DeterminismSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("query registry integrity: names unique, every oracle maps to a query") {
     val names = SparkEntry.all.map(_.name)
     val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
