@@ -68,11 +68,8 @@ object Dedup {
     val posting = sh.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-    val pairs = posting
-      .select(explode(expr(
-        "filter(flatten(transform(ds, x -> transform(ds, y -> struct(x AS i, y AS j)))), p -> p.i < p.j)"))
-        .as("p"))
-      .groupBy(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
+    val pairs = postingPairs(posting)
+      .groupBy(col("doc_i"), col("doc_j"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_i")
@@ -84,6 +81,26 @@ object Dedup {
       .select(col("doc_i"), col("doc_j"), col("shared"), col("union_n"),
         (col("shared").cast("double") / col("union_n")).as("jaccard"))
   }
+
+  /** Map-side pair expansion of posting lists: input has an array column
+    * `ds` of doc ids (one row per inverted-index key — shingle, LSH
+    * bucket, SimHash chunk); output is one row per ordered pair
+    * (doc_i < doc_j) drawn from the same list.
+    *
+    * This is THE skew-proof candidate-generation shape: the only shuffle
+    * is the groupBy that built the lists, and because every caller caps
+    * list length (maxDf / maxBucket) BEFORE this expansion, no task ever
+    * materializes more than cap·(cap−1)/2 pairs per key — an all-pairs
+    * blow-up is impossible by construction, not by hoping the data is
+    * nice. (Contrast the bucket self-join it replaced: one degenerate
+    * bucket — empty/boilerplate docs all hashing identically, which a
+    * 100 TB crawl always contains — put d² pairs on a single shuffle key.) */
+  private[ext] def postingPairs(posting: DataFrame): DataFrame =
+    posting
+      .select(explode(expr(
+        "filter(flatten(transform(ds, x -> transform(ds, y -> struct(x AS i, y AS j)))), p -> p.i < p.j)"))
+        .as("p"))
+      .select(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
 
   /** Connected components over near-dup pairs: every doc in a dup cluster
     * mapped to the cluster's canonical representative (min doc_id) — the
@@ -164,12 +181,22 @@ object Dedup {
   }
 
   /** MinHash+LSH candidate pairs: band the signature (bands×rowsPerBand =
-    * numHashes), bucket-join per band, distinct pairs. With 16 bands × 2
-    * rows the s-curve threshold is (1/16)^(1/2) ≈ 0.25 Jaccard. The bucket
-    * key is the exact struct of the band's min values (no re-hash → no
-    * false bucket collisions, and engines agree on the grouping). */
+    * numHashes), bucket per band via one groupBy into posting lists,
+    * expand pairs map-side, distinct. With 16 bands × 2 rows the s-curve
+    * threshold is (1/16)^(1/2) ≈ 0.25 Jaccard. The bucket key is the
+    * exact struct of the band's min values (no re-hash → no false bucket
+    * collisions, and engines agree on the grouping).
+    *
+    * `maxBucket` is the hot-bucket skew guard (same role as `maxDf` in
+    * [[jaccardPairs]]): a degenerate bucket of d docs — near-empty or
+    * boilerplate documents whose signatures coincide — would otherwise
+    * yield d² candidates on one key. Buckets larger than the cap are
+    * dropped from candidate generation; their members are exact/near
+    * duplicates of each other at such density that the exact-fingerprint
+    * pass ([[DedupQueries]] `dedup_exact`) already collapses them, so the
+    * conservative drop loses nothing a real pipeline needs. */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, bands: Int = 16,
-                      rowsPerBand: Int = 2): DataFrame = {
+                      rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
     val sig = minhash(docs, k, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -177,11 +204,10 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
+    val posting = buckets.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    postingPairs(posting).distinct()
   }
 
   /** SimHash: 56-bit signature as 8×7-bit chunks over the 60-bit md5
@@ -207,16 +233,21 @@ object Dedup {
     toks.groupBy(col("doc_id")).agg(chunkCols.head, chunkCols.tail: _*)
   }
 
-  def simhashCandidates(docs: DataFrame, chunks: Int = 8): DataFrame = {
+  /** Chunk-collision candidates over the SimHash signature, in the same
+    * posting-list + `maxBucket` cap shape as [[minhashLshPairs]] (see the
+    * skew rationale there — a 7-bit chunk has only 128 values, so at
+    * corpus scale EVERY chunk value is a potentially-hot bucket; the cap
+    * is what keeps candidates ~linear when signatures cluster). */
+  def simhashCandidates(docs: DataFrame, chunks: Int = 8,
+                        maxBucket: Int = 100): DataFrame = {
     val sig = simhashChunks(docs, chunks)
     val chunkIdx = (0 until chunks).map(c => struct(lit(c).as("ci"), col(s"c$c").as("cv")))
     val idx = sig.select(col("doc_id"), explode(array(chunkIdx: _*)).as("ch"))
       .select(col("doc_id"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    idx.as("a").join(idx.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
+    val posting = idx.groupBy(col("ci"), col("cv"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    postingPairs(posting).distinct()
   }
 }
 
@@ -244,9 +275,14 @@ object DedupQueries extends QModule {
         SELECT doc_id, i // 2 AS band,
                CAST(SUM(CASE WHEN i % 2 = 0 THEN h * 2147483648 ELSE h END) AS BIGINT) AS bucket
         FROM mins GROUP BY doc_id, i // 2),
+      live AS (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND 100),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN live USING (band, bucket)
+        JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
   import Dedup._
 
@@ -391,9 +427,13 @@ object DedupQueries extends QModule {
       sig AS (
         SELECT doc_id, j // 7 AS c,
                CAST(SUM(CASE WHEN s >= 0 THEN 1 << (j % 7) ELSE 0 END) AS BIGINT) AS cv
-        FROM bits GROUP BY doc_id, j // 7)
+        FROM bits GROUP BY doc_id, j // 7),
+      live AS (
+        SELECT c, cv FROM sig GROUP BY c, cv HAVING COUNT(*) BETWEEN 2 AND 100)
       SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-      FROM sig a JOIN sig b
+      FROM sig a
+      JOIN live USING (c, cv)
+      JOIN sig b
         ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
       ORDER BY doc_i, doc_j
     """))

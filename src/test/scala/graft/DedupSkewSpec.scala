@@ -30,4 +30,43 @@ class DedupSkewSpec extends SparkSpec {
     assert(withCap === noCap, "default cap changed results on real data")
     assert(withCap.nonEmpty)
   }
+
+  // 200 byte-identical docs: every LSH band and every SimHash chunk puts
+  // all 200 in ONE bucket — the degenerate shape a web crawl always
+  // contains (empty pages, boilerplate). Uncapped that is C(200,2) = 19900
+  // candidate pairs from one key; the maxBucket guard must drop the bucket
+  // entirely (exact-fingerprint dedup owns identical docs).
+  private def identicalDocs(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhashLshPairs: a planted 200-doc degenerate bucket is dropped by maxBucket") {
+    val docs = identicalDocs(200)
+    val uncapped = Dedup.minhashLshPairs(docs, maxBucket = Int.MaxValue).count()
+    val capped = Dedup.minhashLshPairs(docs).count()
+    assert(uncapped === 200L * 199 / 2, s"plant failed: $uncapped pairs uncapped")
+    assert(capped === 0L, s"degenerate bucket leaked past maxBucket: $capped pairs")
+  }
+
+  test("simhashCandidates: a planted 200-doc degenerate bucket is dropped by maxBucket") {
+    val docs = identicalDocs(200)
+    val uncapped = Dedup.simhashCandidates(docs, maxBucket = Int.MaxValue).count()
+    val capped = Dedup.simhashCandidates(docs).count()
+    assert(uncapped === 200L * 199 / 2, s"plant failed: $uncapped pairs uncapped")
+    assert(capped === 0L, s"degenerate bucket leaked past maxBucket: $capped pairs")
+  }
+
+  test("minhash/simhash: default maxBucket is inert on the real corpus (sf0.001)") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val lshCap = Dedup.minhashLshPairs(docs).collect().toSet
+    val lshNo = Dedup.minhashLshPairs(docs, maxBucket = Int.MaxValue).collect().toSet
+    assert(lshCap === lshNo, "maxBucket changed LSH results on real data")
+    val shCap = Dedup.simhashCandidates(docs).collect().toSet
+    val shNo = Dedup.simhashCandidates(docs, maxBucket = Int.MaxValue).collect().toSet
+    assert(shCap === shNo, "maxBucket changed SimHash results on real data")
+    assert(lshCap.nonEmpty && shCap.nonEmpty)
+  }
 }
