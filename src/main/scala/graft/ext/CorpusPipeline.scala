@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * generation. Scale shape is the sum of its parts — each proven
   * individually: broadcast median join, posting-list pair expansion with
   * the maxDf skew cap, iterative min-label propagation over checkpointed
-  * edges, and a per-language (never global) packing window.
+  * edges, and two-level prefix-sum shard packing (per-(lang,bucket)
+  * windows + broadcast bucket offsets — never a whole-language sort).
   *
   * The whole chain is deterministic and SQL-expressible, so the oracle
   * replays the ENTIRE pipeline (quality CTEs + shingle index + recursive
@@ -45,15 +46,12 @@ object CorpusPipeline {
     val drop = clusters.filter(col("rep_id") =!= col("doc_id")).select(col("doc_id"))
     val uniq = kept.join(drop, Seq("doc_id"), "left_anti")
 
-    // 3. per-language token-budget shard packing
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    uniq.select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .select(col("doc_id"), col("lang"), col("n_tok"),
-        floor((col("cum") - col("n_tok")) / shardBudget).cast("long").as("shard_id"))
+    // 3. token-budget shard packing (two-level prefix sum — see
+    //    TextAnalysis.packShards; same fixpoint as a per-lang running
+    //    sum, no single-language corpus sort)
+    TextAnalysis.packShards(
+      uniq.select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok")),
+      budget = shardBudget)
       .orderBy(col("doc_id"))
   }
 }

@@ -92,6 +92,45 @@ object TextAnalysis extends QModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget shard packing in the scale-safe two-level prefix-sum
+    * shape. Input: (doc_id, lang, n_tok). Output adds `shard_id` =
+    * floor(exclusive-running-token-sum / budget), the running sum taken
+    * per lang in doc_id order — the SAME fixpoint as a single
+    * `Window.partitionBy(lang).orderBy(doc_id)` running sum, computed
+    * without ever sorting a whole language stratum in one task:
+    *
+    *   1. coarse range buckets: bkt = doc_id / span (contiguous id
+    *      ranges, so bucket-order concatenation == doc_id order);
+    *   2. per-(lang,bkt) token totals — a tiny aggregate (langs ×
+    *      buckets rows), windowed per lang into EXCLUSIVE bucket
+    *      offsets (the only per-lang window left runs over the tiny
+    *      aggregate, not the corpus);
+    *   3. offsets broadcast back; the per-row running sum is windowed
+    *      by (lang, bkt) — bounded partitions — and shifted by the
+    *      bucket offset.
+    *
+    * With ~5 langs a naive per-lang window sorts ~1/5 of a 100 TB corpus
+    * in ONE task; here the largest sort is one id-span of one language.
+    * `span` is the scale knob (ids per bucket; at 100 TB derive it from
+    * stats so buckets land in the tens of MB). */
+  def packShards(base: org.apache.spark.sql.DataFrame, budget: Int,
+                 span: Long = 128L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = base.withColumn("bkt", floor(col("doc_id") / span).cast("long"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .select(col("lang"), col("bkt"),
+        coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)).as("off"))
+    val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum", col("off") + sum(col("n_tok")).over(wIn))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / budget).cast("long").as("shard_id"))
+  }
+
   def qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
     // "token counting" op). Int outputs → exact cross-engine.
@@ -388,20 +427,18 @@ object TextAnalysis extends QModule {
     """)),
 
     // Shard packing: assign docs to fixed token-budget output shards per
-    // language — the "write ~N-token training files" step. Running token
-    // total over (lang, doc_id) via a PARTITIONED window (per-lang keys →
-    // scale-safe, unlike a global running sum), shard = exclusive-prefix
-    // div budget. Integer arithmetic end-to-end → exact cross-engine.
+    // language — the "write ~N-token training files" step, in the
+    // two-level prefix-sum shape (see packShards: per-(lang,bucket)
+    // windows + broadcast bucket offsets; no per-lang corpus sort).
+    // Integer arithmetic end-to-end → exact cross-engine, and the oracle
+    // keeps the straightforward one-window SQL because the fixpoint is
+    // identical by construction.
     Q("t_shard_assign", (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select($"doc_id", $"lang", size(tokens($"text")).as("n_tok"))
-        .withColumn("cum", sum($"n_tok").over(w))
-        .select($"doc_id", $"lang", $"n_tok",
-          floor(($"cum" - $"n_tok") / 2000).cast("long").as("shard_id"))
+      packShards(
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang", size(tokens($"text")).as("n_tok")),
+        budget = 2000)
         .orderBy($"doc_id")
     }, sql = Some("""
       SELECT doc_id, lang, n_tok,

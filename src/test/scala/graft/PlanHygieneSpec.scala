@@ -138,6 +138,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank<=k not pushed below the shuffle:\n" + p)
   }
 
+  // Shard packing must never sort a whole language stratum in one task:
+  // the per-row running-sum window is keyed by (lang, bkt); the only
+  // lang-alone window left runs over the tiny per-bucket totals (ordered
+  // by bkt, not doc_id). A window partitioned by lang alone and ordered
+  // by doc_id is the corpus-sized sort creeping back.
+  private def assertTwoLevelPacking(name: String): Unit = {
+    val p = planOf(name)
+    assert("""\[lang#\d+, bkt#\d+L?\], \[doc_id#""".r.findFirstIn(p).isDefined,
+      "packing window not keyed by (lang, bkt):\n" + p)
+    assert("""\[lang#\d+\], \[doc_id#""".r.findFirstIn(p).isEmpty,
+      "corpus-sized per-lang window crept back into packing:\n" + p)
+  }
+
+  test("t_shard_assign: packing window keyed by (lang, bucket), never lang alone") {
+    assertTwoLevelPacking("t_shard_assign")
+  }
+
+  test("p1_curate_corpus: pipeline packing stage is two-level too") {
+    assertTwoLevelPacking("p1_curate_corpus")
+  }
+
   test("k6: SCD2 merge is one equi-join + explode, never a nested loop") {
     val p = planOf("k6_scd2_merge")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
