@@ -17,12 +17,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** (sf, per-query seconds) from BENCH_BASELINE.json, if present. */
+  /** (sf, per-query seconds) from BENCH_BASELINE.json, if present. Only
+    * the nested "queries" object is parsed — scraping key:float pairs
+    * from the whole file would also capture top-level numerics (the
+    * file's own "value" total) and collide with a query of that name. */
   private def baseline(): Option[(String, Map[String, Double])] =
     try {
       val txt = scala.io.Source.fromFile("BENCH_BASELINE.json").mkString
       val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
-      val qs = """"(\w+)"\s*:\s*([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+      val qtxt = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).get.group(1)
+      val qs = """"(\w+)"\s*:\s*([0-9]+\.?[0-9]*)""".r.findAllMatchIn(qtxt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       Some((sf, qs))
     } catch { case _: Throwable => None }
@@ -42,28 +46,39 @@ object Bench {
       val hs = SparkEntry.all.filter(_.headline)
       if (hs.nonEmpty) hs else SparkEntry.all
     }
-    def force(q: Q): Unit =
-      try q.fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+    // a crashing query must be VISIBLE in the output, not silently timed
+    // as ~0 s (which would read as a speedup); force returns the failure
+    def force(q: Q): Option[String] =
+      try { q.fn(spark, sfDir).queryExecution.toRdd.count(); None }
+      catch { case e: Throwable =>
+        Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+          .takeWhile(_ != '\n').take(160).replaceAll("[\"\\\\]", "'"))
+      }
     // one warm-up pass amortizes codegen + parquet footer reads
     suite.foreach(force)
     val results = suite.map { q =>
       val t0 = System.nanoTime()
-      force(q)
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val err = force(q)
+      (q.name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+    val ok = results.collect { case (k, v, None) => k -> v }
+    val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     val regs = baseline() match {
       case Some((bSf, bQs)) if bSf == sfDir =>
-        results.collect {
+        ok.collect {
           case (k, v) if bQs.get(k).exists(b => v > 1.5 * b) =>
             f""""$k":{"now":$v%.4f,"baseline":${bQs(k)}%.4f}"""
         }.mkString("{", ",", "}")
       case _ => "{}"
     }
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
+    // a broken headliner fails the bench run outright (after the JSON line
+    // above has named it) instead of shipping a silently-shrunken total
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }
