@@ -110,25 +110,43 @@ object Dedup {
     *
     * Algorithm: min-label propagation — each round every node takes the
     * min of its own label and its neighbors' labels; fixpoint = each
-    * component labeled by its min id. Rounds = graph diameter; near-dup
-    * clusters are dense (LSH candidates approximate cliques), so 2-3
-    * rounds in practice. Each round is one shuffle (edges ⋈ labels +
-    * groupBy); `localCheckpoint` truncates lineage so round N doesn't
-    * replay rounds 1..N-1 (and the whole upstream shingle pipeline). At
+    * component labeled by its min id. The min label moves one hop per
+    * round, so rounds = component diameter (DedupClusterSpec proves a
+    * 20-edge chain converges in exactly 20 rounds); near-dup clusters
+    * are dense (LSH candidates approximate cliques), so 2-3 rounds in
+    * practice. Each round is one shuffle (edges ⋈ labels + groupBy). At
     * 100 TB with adversarial long-chain graphs, swap the inner loop for
     * alternating star contraction (O(log n) rounds, same join+groupBy
     * primitive, Kiveris et al., "Connected Components in MapReduce") —
     * the fixpoint, and hence the oracle, is identical.
     *
+    * Checkpointing: every round's label table is checkpointed so round N
+    * doesn't replay rounds 1..N-1 (and the whole upstream shingle
+    * pipeline). `reliable = false` (default) uses `localCheckpoint` —
+    * executor-local blocks, fastest, fine for local mode and short jobs,
+    * but truncated lineage means an executor loss mid-loop fails the job
+    * UNRECOVERABLY. On a multi-executor cluster pass `reliable = true`:
+    * rounds checkpoint through the SparkContext checkpoint dir (set it
+    * to durable storage — HDFS/object store — first; a local temp dir is
+    * auto-provisioned only as a single-JVM fallback), so lost executors
+    * recompute from the last durable round instead of dying.
+    *
     * The result is the UNIQUE fixpoint, so it is algorithm-independent
     * and replayable in the oracle as a recursive transitive closure. */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (!reliable) df.localCheckpoint()
+      else {
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        df.checkpoint()
+      }
     val fwd = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
-    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var lab = edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
-      .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("rep"))
-      .localCheckpoint()
+    val edges = ckpt(fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))))
+    var lab = ckpt(edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
+      .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("rep")))
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -138,10 +156,9 @@ object Dedup {
       // carry the convergence flag inside the same pass: one join + one
       // cheap count over the checkpointed rows, instead of a second
       // next⋈lab join job per round
-      val next = lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
+      val next = ckpt(lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"), least(col("prev"), col("nrep")).as("rep"),
-          (col("nrep") < col("prev")).as("chg"))
-        .localCheckpoint()
+          (col("nrep") < col("prev")).as("chg")))
       changed = next.filter(col("chg")).count()
       lab = next.drop("chg")
     }

@@ -30,6 +30,25 @@ class DedupClusterSpec extends SparkSpec {
     assert(got(30L) === ((30L, 2L)) && got(31L) === ((30L, 2L)))
   }
 
+  test("long chain (diameter 20 >> 3) converges, reliable checkpoint mode agrees") {
+    import spark.implicits._
+    // path graph 0-1-2-...-20: worst case for min-label propagation (the
+    // min label travels one hop per round → exactly diameter rounds);
+    // proves the loop is diameter-bounded, not hardcoded for dense
+    // near-dup cliques
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val expect = (0L to 20L).map(i => i -> ((0L, 21L))).toMap
+    val local = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(local === expect, "localCheckpoint mode missed the chain fixpoint")
+    // reliable mode: rounds go through the SparkContext checkpoint dir
+    // (durable storage on a real cluster) — same fixpoint, recoverable
+    // lineage
+    val durable = Dedup.dupClusters(chain, reliable = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(durable === expect, "reliable-checkpoint mode diverged")
+  }
+
   test("real corpus: every rep is the min doc_id of its cluster") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val got = Dedup.dupClusters(Dedup.jaccardPairs(docs)).collect()
