@@ -69,11 +69,19 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("w4: global row_number top-k stays bounded via the stt filter") {
-    // rank-filter keeps a single-partition window but only k rows survive;
-    // plan must not contain a second unbounded global sort after the window
+  test("w4: global row_number top-k bounds the window input, no full sort") {
+    // LimitPushDownThroughWindow must rewrite the rank filter into a
+    // TakeOrderedAndProject BELOW the Window (per-partition top-k +
+    // k-row merge), so the single-partition window only ever sees k
+    // rows. Window-over-full-table with a post-filter — the shape this
+    // pin forbids — sorts the whole table in one task at scale.
     val p = planOf("w4_row_number_topk")
-    assert(p.contains("Window"), p)
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && topIdx >= 0,
+      "expected Window fed by TakeOrderedAndProject:\n" + p)
+    assert(topIdx > winIdx, // child prints below parent in plan trees
+      "top-k not pushed below the window — full-table global sort:\n" + p)
   }
 
   test("dedup_ngram_jaccard: inverted index, no cartesian pair generation") {
