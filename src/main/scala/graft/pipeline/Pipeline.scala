@@ -35,18 +35,40 @@ object Pipeline {
     * recompute (it is an aggregate view, SURVEY §2.9). Returns the mart. */
   def runAll(spark: SparkSession, csvDir: String, warehouseRoot: String): DataFrame = {
     val lay = Layout(warehouseRoot)
+    // source_id mirrors the reference's processCode = "P" + sourceId
+    // convention (ETLMain.java:157-158); MART has no crawl source → 0
+    def sourceOf(stage: String): Int =
+      if (stage.matches("P\\d")) stage.drop(1).toInt else 0
     def gate(stage: String)(body: => Unit): Unit = {
-      Control.logStatus(spark, lay.processLog, stage, "RUNNING", s"$stage start")
+      val started = new java.sql.Timestamp(System.currentTimeMillis())
+      // RUNNING append allocates the process_id; the terminal append
+      // reuses it — the reference's generated-key INSERT→UPDATE pair
+      // (ETLMain.java:164-190) in append-only form
+      val pid = Control.logStatus(spark, lay.processLog, stage, "RUNNING",
+        s"$stage start", started, sourceOf(stage))
       try {
         body
-        Control.logStatus(spark, lay.processLog, stage, "SUCCESS", s"$stage done")
+        Control.logStatus(spark, lay.processLog, stage, "SUCCESS",
+          s"$stage done", started, sourceOf(stage), pid)
       } catch {
         case e: Throwable =>
           Control.logStatus(spark, lay.processLog, stage, "FAIL",
-            s"$stage: ${e.getMessage}")
+            s"$stage: ${e.getMessage}", started, sourceOf(stage), pid)
           throw e
       }
     }
+
+    // P1 = crawler drop (the CSV directory stands in for the reference's
+    // web crawl): validate the drop exists and is non-empty, and write
+    // the gate row P2 depends on (StagingController.java:41-67 gates P2
+    // on P1 SUCCESS — without this row the four-stage log story is 3/4)
+    gate("P1") {
+      val drop = new java.io.File(csvDir)
+      require(drop.isDirectory && drop.listFiles().exists(_.getName.endsWith(".csv")),
+        s"P1: no crawler CSVs in $csvDir")
+    }
+    require(Control.lastStatusIsSuccess(spark, lay.processLog, "P1"),
+      "P1 gate failed (StagingController.java:41-44 semantics)")
 
     gate("P2") {
       Lottery.staging(spark, csvDir).write.mode("overwrite").parquet(lay.staging)

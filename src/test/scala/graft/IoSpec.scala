@@ -204,12 +204,24 @@ class IoSpec extends SparkSpec {
 
   test("K5+S7: run-log append and stage-dependency gate") {
     val logDir = tmp("log") + "/process_log"
-    Control.logStatus(spark, logDir, "P2", "RUNNING", "start")
-    Control.logStatus(spark, logDir, "P2", "SUCCESS", "loaded 12 rows")
-    Control.logStatus(spark, logDir, "P3", "FAIL", "boom")
+    // generated-key analog: RUNNING allocates the id, the terminal row
+    // passes it back — the reference's INSERT→readback→UPDATE correlation
+    val p2 = Control.logStatus(spark, logDir, "P2", "RUNNING", "start", sourceId = 2)
+    Control.logStatus(spark, logDir, "P2", "SUCCESS", "loaded 12 rows",
+      sourceId = 2, processId = p2)
+    val p3 = Control.logStatus(spark, logDir, "P3", "RUNNING", "start", sourceId = 3)
+    Control.logStatus(spark, logDir, "P3", "FAIL", "boom", sourceId = 3, processId = p3)
     assert(Control.lastStatusIsSuccess(spark, logDir, "P2"))
     assert(!Control.lastStatusIsSuccess(spark, logDir, "P3"))
     assert(!Control.lastStatusIsSuccess(spark, logDir, "P4")) // never ran
+    // reference schema parity (SURVEY §1.3): process_id/source_id present,
+    // ids distinct per run and shared across a run's RUNNING/terminal pair
+    val log = spark.read.schema(Control.processLogSchema).parquet(logDir)
+    assert(log.columns.take(2).toSeq === Seq("process_id", "source_id"))
+    assert(p2 !== p3)
+    val p2rows = log.filter(col("process_id") === p2).collect()
+    assert(p2rows.length === 2 &&
+      p2rows.forall(_.getAs[Int]("source_id") === 2))
   }
 
   test("S6: config scans") {
@@ -219,6 +231,24 @@ class IoSpec extends SparkSpec {
     assert(Control.configMap(kv) === Map("db_host" -> "x", "staging_schema" -> "stg"))
     assert(Control.parseKvString("host: a, port: 33, weird") ===
       Map("host" -> "a", "port" -> "33"))
+  }
+
+  test("S6 (XML): control.xml connection config reads like the reference") {
+    val f = new java.io.File(tmp("xmlcfg"), "control.xml")
+    java.nio.file.Files.writeString(f.toPath,
+      """<?xml version="1.0"?>
+        |<config>
+        |  <host>db.example</host>
+        |  <port>3306</port>
+        |  <database>control</database>
+        |  <username>etl</username>
+        |  <password>s3cret</password>
+        |</config>""".stripMargin)
+    assert(Control.readXmlConfig(f.getPath) === Some(Map(
+      "host" -> "db.example", "port" -> "3306", "database" -> "control",
+      "username" -> "etl", "password" -> "s3cret")))
+    // missing file → None (reference returns null, XMLConfigReader.java:17-19)
+    assert(Control.readXmlConfig(f.getPath + ".nope") === None)
   }
 
   test("idempotent re-load through a real sink (A1-A3 contract end-to-end)") {

@@ -24,9 +24,31 @@ class PipelineOrchestrationSpec extends SparkSpec {
     assert(spark.read.parquet(lay.factPrize).count() === factCount)
     assert(spark.read.parquet(lay.dimDate).count() === 3)
 
-    // log trail: every stage has a SUCCESS; gates see it
-    Seq("P2", "P3", "P4", "MART").foreach { st =>
+    // log trail: every stage incl. the P1 crawler-drop gate has a
+    // SUCCESS; gates see it — the reference's four-stage story, 4/4
+    Seq("P1", "P2", "P3", "P4", "MART").foreach { st =>
       assert(Control.lastStatusIsSuccess(spark, lay.processLog, st), st)
     }
+    // run correlation survives in the log: every process_id appears as a
+    // RUNNING + terminal pair with a consistent source_id
+    val log = spark.read.schema(Control.processLogSchema).parquet(lay.processLog)
+    val byId = log.collect().groupBy(_.getAs[Long]("process_id"))
+    byId.foreach { case (id, rows) =>
+      assert(rows.length === 2, s"process_id $id has ${rows.length} rows")
+      assert(rows.map(_.getAs[String]("status")).contains("RUNNING"), id)
+      assert(rows.map(_.getAs[Int]("source_id")).distinct.length === 1, id)
+    }
+  }
+
+  test("P2 is gated on P1: an empty crawler drop fails at P1, nothing downstream runs") {
+    val emptyDrop = Files.createTempDirectory("emptydrop").toString
+    val root = Files.createTempDirectory("wh").toString + "/wh"
+    val e = intercept[Exception](Pipeline.runAll(spark, emptyDrop, root))
+    assert(e.getMessage.contains("P1"), e.getMessage)
+    val lay = Pipeline.Layout(root)
+    assert(!Control.lastStatusIsSuccess(spark, lay.processLog, "P1"))
+    // P2 never started: its stage row is absent entirely
+    val log = spark.read.schema(Control.processLogSchema).parquet(lay.processLog)
+    assert(log.filter(org.apache.spark.sql.functions.col("process_code") === "P2").count() === 0)
   }
 }
