@@ -195,6 +195,25 @@ object Aggregations extends QModule {
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
     }),
 
+    // g11's oracled companion: the HLL VALUE is engine-specific, but the
+    // accuracy CONTRACT is checkable — Spark emits the exact distinct
+    // count plus a boolean |approx − exact| ≤ 3·rsd·exact, the oracle
+    // emits the same exact count and literal TRUE. A sketch regression
+    // past its error budget now breaks the hash instead of hiding behind
+    // the rows-only check.
+    Q("g11b_distinct_bound", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct($"l_partkey", 0.02).as("approx"),
+          countDistinct($"l_partkey").as("exact"))
+        .select($"exact".as("exact_parts"),
+          (abs($"approx" - $"exact").cast("double") <= $"exact" * 0.06)
+            .as("within_bound"))
+    }, sql = Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
+      FROM lineitem
+    """)),
+
     // G17: approximate percentiles via the mergeable quantile sketch
     // (Greenwald-Khanna; accuracy 10000 ⇒ rank error ≤ 1e-4·n). Sketch
     // internals are engine-specific → rows-only driver check (like g11's
@@ -212,6 +231,35 @@ object Aggregations extends QModule {
           element_at($"approx_price_p50_p90_p99", 2).as("p90"),
           element_at($"approx_price_p50_p90_p99", 3).as("p99"))
     }),
+
+    // g17's oracled companion: the GK guarantee is that the returned
+    // value holds SOME rank within eps·n of q·n (accuracy 10000 ⇒ eps =
+    // 1e-4). The value's rank interval is [count(<v)+1, count(≤v)], so
+    // the check is interval intersection: count(<v) < (q+eps)·n AND
+    // count(≤v) ≥ (q−eps)·n. Spark verifies against exact ranks (one
+    // broadcast of the 1-row sketch result + one counting pass); the
+    // oracle emits the exact row count and literal TRUEs.
+    Q("g17b_percentile_bound", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val ap = li.agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("ap"))
+      val eps = 1e-4
+      def ok(q: Double, i: Int): org.apache.spark.sql.Column = {
+        val v = element_at($"ap", i)
+        val lt = sum(when($"l_extendedprice" < v, 1L).otherwise(0L))
+        val le = sum(when($"l_extendedprice" <= v, 1L).otherwise(0L))
+        (lt < (lit(q) + eps) * count(lit(1)) &&
+          le >= (lit(q) - eps) * count(lit(1))).as(s"p${(q * 100).toInt}_within_bound")
+      }
+      li.crossJoin(broadcast(ap))
+        .agg(count(lit(1)).as("n_rows"), ok(0.5, 1), ok(0.9, 2), ok(0.99, 3))
+    }, sql = Some("""
+      SELECT COUNT(*) AS n_rows, TRUE AS p50_within_bound,
+             TRUE AS p90_within_bound, TRUE AS p99_within_bound
+      FROM lineitem
+    """)),
 
     // G12: KMV (bottom-k) distinct sketch — the oracle-checkable sibling of
     // g11's HLL. h = 60-bit md5 prefix of the key; keep the k=256 smallest
