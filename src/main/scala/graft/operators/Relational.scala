@@ -17,6 +17,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational extends QModule {
 
+  /** Year-partitioned copy of `orders`, materialized once per sfDir under
+    * the JVM temp dir (the K2 partitionBy write path proven in IoSpec) —
+    * the warehouse layout a 100 TB fact table would actually use. Reads
+    * through this get PARTITION pruning: a year predicate eliminates
+    * whole directories at planning time (no footer even opened), which
+    * at scale is the difference between scanning one year and ten. */
+  def ordersByYear(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_$safe/orders_by_year"
+    if (!new java.io.File(path).exists())
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("ignore").partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+  }
+
   def qs: Seq[Q] = Seq(
     // Flagship: TPC-H Q1-shaped wide aggregation — full scan, hash agg,
     // map-side partial aggregation, 6 aggregates in one pass.
@@ -90,6 +106,25 @@ object Relational extends QModule {
     }, sql = Some("""
       SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
       ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """)),
+
+    // S9 (scale posture): partition-pruned scan over the year-partitioned
+    // fact layout — the year predicate is a PARTITION filter (directory
+    // elimination at planning time), not a data filter; PlanHygieneSpec
+    // asserts the scan reads only the 1997 partition's files. The oracle
+    // replays the predicate over the flat table: same rows by
+    // construction, so the layout step is proven value-neutral too.
+    Q("s9_partition_pruned_scan", (s, dir) => {
+      import s.implicits._
+      Relational.ordersByYear(s, dir)
+        .filter($"o_year" === 1997)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), max($"o_orderkey").as("max_orderkey"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_orders, MAX(o_orderkey) AS max_orderkey
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
     // F3/F5/F6: row-validity + null-guard + cast-quarantine in one pass —

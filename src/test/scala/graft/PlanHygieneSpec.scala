@@ -146,6 +146,25 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank<=k not pushed below the shuffle:\n" + p)
   }
 
+  test("s9: year predicate prunes to exactly one partition directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // scan-level proof on the raw pruned read (no exchange → no AQE
+    // wrapper, so the FileSourceScanExec is reachable): planning-time
+    // partition selection must keep ONE directory of the 7 order years
+    val pruned = graft.operators.Relational.ordersByYear(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("o_year") === 1997)
+    pruned.queryExecution.toRdd.count()
+    val scans = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    val dirs = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(dirs === 1, s"expected 1 pruned partition dir, scan selected $dirs")
+    // and the registered aggregate query carries the partition filter
+    val p = planOf("s9_partition_pruned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    assert("""\(o_year#\d+ = 1997\)""".r.findFirstIn(p).isDefined, p)
+  }
+
   // Shard packing must never sort a whole language stratum in one task:
   // the per-row running-sum window is keyed by (lang, bkt); the only
   // lang-alone window left runs over the tiny per-bucket totals (ordered
