@@ -42,12 +42,15 @@ object Serving {
 
   /** Start serving `routes` (path → whole-table snapshot) and `lookups`
     * (path → (DataFrame, keyCol): `GET path?<keyCol>=v` returns v's rows,
-    * an empty array for unknown keys, 400 for a missing/foreign param) on
-    * `port` (0 = ephemeral; read the bound port off the returned server).
-    * Caller stops it. */
+    * an empty array for unknown keys, 400 when the key param is absent)
+    * on `port` (0 = ephemeral; read the bound port off the returned
+    * server). Binds loopback by default — an unauthenticated snapshot
+    * server has no business on all interfaces; pass an explicit
+    * `bindHost` to expose it deliberately. Caller stops it. */
   def start(port: Int, routes: Map[String, DataFrame],
-            lookups: Map[String, (DataFrame, String)] = Map.empty): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+            lookups: Map[String, (DataFrame, String)] = Map.empty,
+            bindHost: String = "127.0.0.1"): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
 
     def respond(ex: HttpExchange, status: Int, body: Option[Array[Byte]]): Unit =
       try {
@@ -71,16 +74,24 @@ object Serving {
 
     lookups.foreach { case (path, (df, keyCol)) =>
       val byKey = keyedSnapshot(df, keyCol)
-      val param = keyCol + "="
       server.createContext(path, (ex: HttpExchange) => {
-        val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+        // real query-string parsing: split on '&', take key=value pairs —
+        // extra or reordered params must not change which key is looked
+        // up, and 400 means the key param is genuinely absent
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").iterator
+          .map(_.split("=", 2))
+          .collect { case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          }
+          .toMap
         if (ex.getRequestMethod != "GET" || ex.getRequestURI.getPath != path)
           respond(ex, 404, None)
-        else if (!query.startsWith(param))
-          respond(ex, 400, None)
-        else {
-          val v = java.net.URLDecoder.decode(query.stripPrefix(param), "UTF-8")
-          respond(ex, 200, Some(byKey.getOrElse(v, "[]").getBytes(UTF_8)))
+        else params.get(keyCol) match {
+          case None => respond(ex, 400, None)
+          case Some(v) =>
+            respond(ex, 200, Some(byKey.getOrElse(v, "[]").getBytes(UTF_8)))
         }
       })
     }

@@ -34,9 +34,13 @@ object Compact {
     spark.read.parquet(outDir)
   }
 
-  /** Morton (Z-order) code of two non-negative integer columns: the low
+  /** Morton (Z-order) code of two NON-NEGATIVE integer columns: the low
     * `bits` bits of each, interleaved (a even positions, b odd). Built
-    * from shift/mask column arithmetic — codegen'd, no UDF. */
+    * from shift/mask column arithmetic — codegen'd, no UDF. Keys ≥ 2^bits
+    * have their high bits ignored (distant keys alias into the same
+    * curve position and file bounding boxes quietly widen), so `bits`
+    * must cover the key domain — zorder() below derives it from the
+    * actual column maxima rather than trusting a fixed default. */
   def mortonCode(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                  bits: Int = 16): org.apache.spark.sql.Column =
     (0 until bits).map { i =>
@@ -53,9 +57,21 @@ object Compact {
     * data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) expressed as
     * plain column arithmetic + one shuffle. */
   def zorder(spark: SparkSession, inDir: String, outDir: String,
-             nFiles: Int, colA: String, colB: String): DataFrame = {
+             nFiles: Int, colA: String, colB: String,
+             bits: Int = 0): DataFrame = {
     val df = spark.read.parquet(inDir)
-    df.withColumn("__z", mortonCode(col(colA), col(colB)))
+    // bits <= 0 → derive from the data: enough bits for max(a, b), so no
+    // key's high bits are silently dropped at larger scale factors (one
+    // tiny scalar agg against a maintenance pass's full shuffle)
+    val useBits =
+      if (bits > 0) bits
+      else {
+        import org.apache.spark.sql.functions.{greatest, max}
+        val m = df.agg(max(greatest(col(colA).cast("long"), col(colB).cast("long"))))
+          .collect()(0).getLong(0)
+        math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m, 1L)))
+      }
+    df.withColumn("__z", mortonCode(col(colA), col(colB), useBits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -34,7 +34,14 @@ object LshWeights {
   * per element, quantize floor(x·1e6 + 0.5) to long (integer addition is
   * fold-order-independent — the reason the sign is bit-stable across
   * engines), multiply by the ±1 weight, accumulate per plane; bit p of
-  * the bucket is set iff projection p >= 0. */
+  * the bucket is set iff projection p >= 0.
+  *
+  * Malformed vectors — length ≠ dim or any null element — evaluate to
+  * bucket 0, matching the HOF baseline exactly: there zip_with pads the
+  * shorter side with null, the fold null-propagates, and
+  * `when(proj >= 0, bit).otherwise(0)` collapses every null projection
+  * to an unset bit. (VectorExprSpec pins this equality on malformed
+  * inputs too.) */
 case class VectorLshSignature(child: Expression, planes: Int, dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -49,19 +56,23 @@ case class VectorLshSignature(child: Expression, planes: Int, dim: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(arr.numElements(), dim)
+    var ok = arr.numElements() == dim
+    var d = 0
+    while (ok && d < dim) { ok = !arr.isNullAt(d); d += 1 }
     var bucket = 0
-    var p = 0
-    while (p < planes) {
-      val w = weights(p)
-      var acc = 0L
-      var d = 0
-      while (d < n) {
-        acc += math.floor(arr.getFloat(d).toDouble * 1000000.0 + 0.5).toLong * w(d)
-        d += 1
+    if (ok) {
+      var p = 0
+      while (p < planes) {
+        val w = weights(p)
+        var acc = 0L
+        var i = 0
+        while (i < dim) {
+          acc += math.floor(arr.getFloat(i).toDouble * 1000000.0 + 0.5).toLong * w(i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1 << p)
+        p += 1
       }
-      if (acc >= 0) bucket |= (1 << p)
-      p += 1
     }
     bucket
   }
@@ -69,22 +80,27 @@ case class VectorLshSignature(child: Expression, planes: Int, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val wRef = ctx.addReferenceObj("lshWeights", weights, "int[][]")
-      val n = ctx.freshName("n")
+      val ok = ctx.freshName("ok")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
       val w = ctx.freshName("w")
       val bucket = ctx.freshName("bucket")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |boolean $ok = $a.numElements() == $dim;
+         |for (int $d = 0; $ok && $d < $dim; $d++) {
+         |  $ok = !$a.isNullAt($d);
+         |}
          |int $bucket = 0;
-         |for (int $p = 0; $p < $planes; $p++) {
-         |  int[] $w = $wRef[$p];
-         |  long $acc = 0L;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $acc += ((long) java.lang.Math.floor(((double) $a.getFloat($d)) * 1000000.0 + 0.5)) * $w[$d];
+         |if ($ok) {
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    int[] $w = $wRef[$p];
+         |    long $acc = 0L;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += ((long) java.lang.Math.floor(((double) $a.getFloat($d)) * 1000000.0 + 0.5)) * $w[$d];
+         |    }
+         |    if ($acc >= 0L) $bucket |= (1 << $p);
          |  }
-         |  if ($acc >= 0L) $bucket |= (1 << $p);
          |}
          |${ev.value} = $bucket;
        """.stripMargin

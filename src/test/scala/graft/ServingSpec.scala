@@ -63,6 +63,15 @@ class ServingSpec extends SparkSpec {
       assert(get("/mart/find?number_value=no-such-key").body() === "[]")
       assert(get("/mart/find").statusCode() === 400)
       assert(get("/mart/find?wrong=1").statusCode() === 400)
+
+      // extra and reordered params must not change which key is looked
+      // up — the query string is parsed as k=v pairs, not prefix-matched
+      assert(get(s"/mart/find?number_value=$someKey&x=1").body() === hit.body())
+      assert(get(s"/mart/find?x=1&number_value=$someKey").body() === hit.body())
+
+      // loopback default: the bound address is 127.0.0.1, not wildcard
+      assert(server.getAddress.getAddress.isLoopbackAddress,
+        s"server bound ${server.getAddress} — snapshots exposed beyond loopback")
     } finally server.stop(0)
   }
 }

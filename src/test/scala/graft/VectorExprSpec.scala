@@ -70,6 +70,35 @@ class VectorExprSpec extends SparkSpec {
     assert(range.getInt(0) >= 0 && range.getInt(1) < 256)
   }
 
+  test("native LSH signature matches HOF on malformed vectors (bucket 0)") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    // short, long, and null-element vectors: the HOF's zip_with pads with
+    // null, the fold null-propagates, when().otherwise(0) collapses every
+    // plane to an unset bit — the native expression must agree exactly
+    val good = Array.tabulate(64)(i => (i + 1).toFloat)
+    val rows = Seq(
+      (1L, good),
+      (2L, good.take(10)),                       // shorter than dim
+      (3L, good ++ Array(9.9f)),                 // longer than dim
+      (4L, good.updated(7, null.asInstanceOf[Float])))
+      .toDF("id", "embedding")
+    // null element needs a real null slot, not 0.0f — build via SQL
+    val withNull = rows.withColumn("embedding",
+      when(col("id") === 4L,
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 7 THEN CAST(NULL AS FLOAT) ELSE x END)"))
+        .otherwise(col("embedding")))
+    val got = withNull.select(col("id"),
+        Similarity.lshBucket("embedding").as("native"),
+        Similarity.lshBucketHof("embedding").as("hof"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    got.foreach { case (id, (native, hof)) =>
+      assert(native === hof, s"id $id: native $native != hof $hof")
+    }
+    assert(got(2L)._1 === 0 && got(3L)._1 === 0 && got(4L)._1 === 0)
+    assert(got(1L)._1 !== 0) // the well-formed vector still buckets
+  }
+
   test("native LSH signature stays in whole-stage codegen") {
     import graft.ext.Similarity
     val df = t(spark, dir, "embeddings")
