@@ -453,6 +453,62 @@ object DedupQueries extends QModule {
       JOIN sig b
         ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
       ORDER BY doc_i, doc_j
+    """)),
+
+    // SimHash Hamming re-rank — the "cheap candidates → exact distance"
+    // verification stage in its bit form: full 56-bit Hamming distance
+    // (bit_count of chunkwise XOR) over the chunk-collision candidates
+    // only, keep pairs within 10 bits. At 100 TB the XOR+popcount runs
+    // on the ~linear candidate set, never all pairs — and it's integer
+    // end-to-end, so the oracle replays it exactly.
+    Q("dedup_simhash_rerank", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.simhashChunks(docs)
+      val si = sig.select(col("doc_id").as("doc_i") +:
+        (0 until 8).map(c => col(s"c$c").as(s"i_c$c")): _*)
+      val sj = sig.select(col("doc_id").as("doc_j") +:
+        (0 until 8).map(c => col(s"c$c").as(s"j_c$c")): _*)
+      val hamming = (0 until 8)
+        .map(c => expr(s"bit_count(i_c$c ^ j_c$c)")).reduce(_ + _)
+      Dedup.simhashCandidates(docs)
+        .join(si, "doc_i").join(sj, "doc_j")
+        .select(col("doc_i"), col("doc_j"), hamming.cast("long").as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy(col("doc_i"), col("doc_j"))
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 3 THEN len(toks) - 1 ELSE 1 END)) t(i)),
+      hx AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        FROM sh),
+      bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hx CROSS JOIN UNNEST(range(0, 56)) t(j)
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id, j // 7 AS c,
+               CAST(SUM(CASE WHEN s >= 0 THEN 1 << (j % 7) ELSE 0 END) AS BIGINT) AS cv
+        FROM bits GROUP BY doc_id, j // 7),
+      live AS (
+        SELECT c, cv FROM sig GROUP BY c, cv HAVING COUNT(*) BETWEEN 2 AND 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        FROM sig a
+        JOIN live USING (c, cv)
+        JOIN sig b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT cand.doc_i, cand.doc_j,
+               CAST(SUM(bit_count(xor(si.cv, sj.cv))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig si ON si.doc_id = cand.doc_i
+        JOIN sig sj ON sj.doc_id = cand.doc_j AND sj.c = si.c
+        GROUP BY 1, 2)
+      SELECT doc_i, doc_j, hamming FROM ham
+      WHERE hamming <= 10 ORDER BY doc_i, doc_j
     """))
   )
 }

@@ -245,6 +245,29 @@ object SimilarityQueries extends QModule {
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
     """), headline = true),
 
+    // Range search: ALL vectors within a cosine radius of the query (the
+    // threshold sibling of top-k — "give me every candidate above 0.25",
+    // the retrieval-filter shape). Map + filter over the broadcast query
+    // vector; the e9-quantized cosine keeps the radius boundary
+    // bit-identical across engines.
+    Q("sim_range_search", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.crossJoin(broadcast(e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("q"))))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), cosineE9(cosine("embedding", "q")).as("cosine_e9"))
+        .filter(col("cosine_e9") >= 250000000L)
+        .orderBy(col("cosine_e9").desc, col("vec_id").asc)
+    }, sql = Some(s"""
+      SELECT vec_id, cosine_e9 FROM (
+        SELECT b.vec_id, CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
+        FROM embeddings b
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
+        WHERE b.vec_id <> 0) t
+      WHERE cosine_e9 >= 250000000
+      ORDER BY cosine_e9 DESC, vec_id ASC
+    """)),
+
     // Pairwise near-dup by cosine threshold (embedding-cosine dedup).
     // EXACT semantics (the oracle is the plain pairwise join); the Spark
     // side executes it as a grid-blocked equi-join — never a

@@ -279,6 +279,116 @@ object Analytics extends QModule {
       GROUP BY c_mktsegment ORDER BY c_mktsegment
     """)),
 
+    // Q7 shape: bilateral nation-pair shipping volume — both nation dims
+    // are pre-filtered to the pair BEFORE their joins (two tiny broadcast
+    // dims prune suppliers/customers at the scan edge), then the
+    // same-nation combinations drop in a residual filter and revenue
+    // groups by (supp_nation, cust_nation, year).
+    Q("q7_nation_volume", (s, dir) => {
+      import s.implicits._
+      val pair = Seq("NATION_1", "NATION_2")
+      val natS = broadcast(t(s, dir, "nation").filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation")))
+      val natC = broadcast(t(s, dir, "nation").filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation")))
+      val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(natS, $"s_nationkey" === $"sn_key")
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        .join(natC, $"c_nationkey" === $"cn_key")
+      val ord = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+          $"l_extendedprice", $"l_discount")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .withColumn("l_year", year($"l_shipdate"))
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }, sql = Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        AND cn.n_name IN ('NATION_1', 'NATION_2')
+        AND sn.n_name <> cn.n_name
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """)),
+
+    // Q13 shape: order-count distribution — LEFT OUTER join so
+    // zero-order customers keep a 0 bucket, count(o_orderkey) (nulls
+    // don't count), then a second aggregation over the first. Two
+    // shuffles, both on keys that scale with data — no windows.
+    Q("q13_order_distribution", (s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_orderkey", $"o_custkey")
+      t(s, dir, "customer").select($"c_custkey")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }, sql = Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """)),
+
+    // Q17 shape: per-group average as a join threshold — lineitems of one
+    // brand's parts below 20% of their part's average quantity. The
+    // per-part averages come from ONE pre-aggregation of the same
+    // filtered join (exact decimal sum / count → one IEEE division, so
+    // the 0.2·avg boundary is the same double in both engines), re-joined
+    // by partkey; never a correlated per-row subquery.
+    Q("q17_small_qty_revenue", (s, dir) => {
+      import s.implicits._
+      val brandLi = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter($"p_brand" === "Brand#2")
+          .select($"p_partkey"), $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val avgQ = brandLi.groupBy($"l_partkey")
+        .agg((sum($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double") / count(lit(1))).as("avg_qty"))
+        .select($"l_partkey".as("t_partkey"), (lit(0.2) * $"avg_qty").as("thresh"))
+      brandLi.join(avgQ, $"l_partkey" === $"t_partkey")
+        .filter($"l_quantity" < $"thresh")
+        .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_small_lines"))
+    }, sql = Some("""
+      WITH brand_li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#2'),
+      avg_q AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS thresh
+        FROM brand_li GROUP BY l_partkey)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+             COUNT(*) AS n_small_lines
+      FROM brand_li JOIN avg_q USING (l_partkey)
+      WHERE l_quantity < thresh
+    """)),
+
     // Q18 shape: HAVING over a pre-aggregated subquery, then join the
     // qualifying keys back to the dimensions. The heavy agg runs FIRST
     // and only survivors join — never the reverse order.
