@@ -190,8 +190,30 @@ object Dedup {
 
   /** MinHash signatures: numHashes affine-permutation mins per doc over the
     * md5-based 60-bit shingle hash (mod M). Fully deterministic and
-    * reproducible in any engine with md5 — and thus oracle-checkable. */
+    * reproducible in any engine with md5 — and thus oracle-checkable.
+    *
+    * MAP-ONLY: the whole signature comes from one native expression pass
+    * per document (graftshim.MinHashSignature) — no shingle explode, no
+    * shuffle, no 32-way min aggregation. At 100 TB the aggregated form
+    * shuffles the entire shingled corpus just to reduce it to per-doc
+    * minima; this form's first (and only) shuffle in the LSH pipeline is
+    * the tiny (band, bucket) index. `minhashAgg` below keeps the
+    * composable explode+groupBy form as the bit-equality spec baseline
+    * (MinHashExprSpec). */
   def minhash(docs: DataFrame, k: Int = 5, numHashes: Int = 32): DataFrame = {
+    val sig = graft.functions.VectorFunctions.minhashSig(
+      split(trim(col("text")), "\\s+"), k, numHashes)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** Reference form of [[minhash]] (explode → shuffle → min aggregates);
+    * bit-identical output, kept as the spec cross-check baseline. */
+  private[graft] def minhashAgg(docs: DataFrame, k: Int = 5, numHashes: Int = 32): DataFrame = {
     val sh = shingles(docs, k).withColumn("x", shingleHash60 % lit(M))
     val mins = (0 until numHashes).map(i => min(perm(i, col("x"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -395,7 +417,7 @@ object DedupQueries extends QModule {
       $minhashPairsCtes
       SELECT doc_i, doc_j FROM pairs
       ORDER BY doc_i, doc_j
-    """)),
+    """), headline = true),
 
     // Edit-distance re-rank of the LSH candidates — the "cheap candidate
     // generation → expensive exact verification" pipeline in its string

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, Shims, VectorLshSignature}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, Shims, VectorLshSignature}
 
 /** Public surface for the native vector expressions (implementations:
   * org.apache.spark.sql.graftshim.FloatVectorDot / VectorLshSignature —
@@ -17,6 +17,11 @@ object VectorFunctions {
   /** Column API for the native packed LSH signature. */
   def vecLshSig(a: Column, planes: Int, dim: Int): Column =
     Shims.column(VectorLshSignature(Shims.expression(a), planes, dim))
+
+  /** Column API for the native one-pass MinHash signature (tokens →
+    * array of numHashes permutation minima; null for < k tokens). */
+  def minhashSig(tokens: Column, k: Int, numHashes: Int): Column =
+    Shims.column(MinHashSignature(Shims.expression(tokens), k, numHashes))
 
   val fnId: FunctionIdentifier = FunctionIdentifier("vec_dot")
 
