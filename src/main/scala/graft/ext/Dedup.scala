@@ -259,6 +259,25 @@ object Dedup {
     * chunks (pigeonhole: catches every pair within Hamming distance 7). */
   def simhashChunks(docs: DataFrame, chunks: Int = 8, bitsPerChunk: Int = 7,
                     shingleK: Int = 3): DataFrame = {
+    // MAP-ONLY (same shape and rationale as minhash above): one native
+    // expression pass per doc — no shingle explode, no 56-bit vote
+    // aggregation shuffle; simhashChunksAgg keeps the composable form as
+    // the bit-equality spec baseline (SimHashExprSpec)
+    val sig = graft.functions.VectorFunctions.simhashSig(
+      split(trim(col("text")), "\\s+"), shingleK, chunks, bitsPerChunk)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until chunks).map(c => element_at(col("sig"), c + 1).as(s"c$c")): _*)
+  }
+
+  /** Reference form of [[simhashChunks]] (explode → shuffle → vote
+    * aggregates); bit-identical output, kept as the spec baseline. */
+  private[graft] def simhashChunksAgg(docs: DataFrame, chunks: Int = 8,
+                                      bitsPerChunk: Int = 7,
+                                      shingleK: Int = 3): DataFrame = {
     val toks = shingles(docs, shingleK).withColumn("h", shingleHash60)
     val chunkCols: Seq[Column] = (0 until chunks).map { c =>
       val bitSum = (0 until bitsPerChunk).map { b =>

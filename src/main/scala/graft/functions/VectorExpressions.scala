@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, Shims, VectorLshSignature}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, Shims, SimHashSignature, VectorLshSignature}
 
 /** Public surface for the native vector expressions (implementations:
   * org.apache.spark.sql.graftshim.FloatVectorDot / VectorLshSignature —
@@ -22,6 +22,11 @@ object VectorFunctions {
     * array of numHashes permutation minima; null for < k tokens). */
   def minhashSig(tokens: Column, k: Int, numHashes: Int): Column =
     Shims.column(MinHashSignature(Shims.expression(tokens), k, numHashes))
+
+  /** Column API for the native one-pass SimHash signature (tokens →
+    * array of chunk values; null for < k tokens). */
+  def simhashSig(tokens: Column, k: Int, chunks: Int, bitsPerChunk: Int): Column =
+    Shims.column(SimHashSignature(Shims.expression(tokens), k, chunks, bitsPerChunk))
 
   val fnId: FunctionIdentifier = FunctionIdentifier("vec_dot")
 
