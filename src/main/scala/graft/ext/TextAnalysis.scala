@@ -426,6 +426,42 @@ object TextAnalysis extends QModule {
       GROUP BY c.doc_id ORDER BY c.doc_id
     """)),
 
+    // Document chunking: fixed-size overlapping token windows (64-token
+    // chunks, stride 48 → 16-token overlap) — the split-for-context-
+    // window step of LLM data prep. One generator per doc (map-side
+    // explode, no shuffle); a trailing start is emitted only if its
+    // chunk adds tokens beyond the previous chunk's coverage
+    // (s + overlap < n), so no chunk is a strict suffix-duplicate.
+    // Chunk text is verified by md5 so the output stays narrow.
+    Q("t_chunk_docs", (s, dir) => {
+      import s.implicits._
+      val cs = 64; val stride = 48; val ov = cs - stride
+      t(s, dir, "documents")
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        .select($"doc_id", posexplode(expr(
+          s"""transform(
+             |  filter(sequence(0, size(toks) - 1, $stride),
+             |         s -> s = 0 OR s + $ov < size(toks)),
+             |  s -> struct(size(slice(toks, s + 1, $cs)) AS n_tok,
+             |              md5(concat_ws(' ', slice(toks, s + 1, $cs))) AS chunk_md5))"""
+            .stripMargin)).as(Seq("chunk_id", "ch")))
+        .select($"doc_id", $"chunk_id", $"ch.n_tok".as("n_tok"),
+          $"ch.chunk_md5".as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_id")
+    }, sql = Some("""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      starts AS (
+        SELECT doc_id, toks, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id
+        FROM d, UNNEST(range(0, len(toks), 48)) t(s)
+        WHERE s = 0 OR s + 16 < len(toks))
+      SELECT doc_id, chunk_id,
+             len(toks[s+1:s+64]) AS n_tok,
+             md5(array_to_string(toks[s+1:s+64], ' ')) AS chunk_md5
+      FROM starts ORDER BY doc_id, chunk_id
+    """)),
+
     // Shard packing: assign docs to fixed token-budget output shards per
     // language — the "write ~N-token training files" step, in the
     // two-level prefix-sum shape (see packShards: per-(lang,bucket)

@@ -327,6 +327,58 @@ object Analytics extends QModule {
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """)),
 
+    // Q8 shape: market share — one nation's revenue share of a region's
+    // orders per year. ONE pass computes both numerator and denominator
+    // as conditional sums over the same joined scan (the q14 pattern);
+    // the share is a single final IEEE division, so it hashes exactly.
+    Q("q8_market_share", (s, dir) => {
+      import s.implicits._
+      val region = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter($"r_name" === "AMERICA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey".as("rn_key")))
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        .join(region, $"c_nationkey" === $"rn_key")
+        .select($"c_custkey")
+      val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", ($"n_name" === "NATION_1").as("is_target"))
+      val ord = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+      val rev = $"l_extendedprice" * (lit(1) - $"l_discount")
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"o_year")
+        .agg(dsum(when($"is_target", rev).otherwise(0), 4).as("target_rev"),
+          dsum(rev, 4).as("total_rev"))
+        .select($"o_year", ($"target_rev" / $"total_rev").as("mkt_share"),
+          $"target_rev", $"total_rev")
+        .orderBy($"o_year")
+    }, sql = Some("""
+      WITH r AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_1'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS target_rev,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AMERICA'
+        GROUP BY 1)
+      SELECT o_year, target_rev / total_rev AS mkt_share, target_rev, total_rev
+      FROM r ORDER BY o_year
+    """)),
+
     // Q13 shape: order-count distribution — LEFT OUTER join so
     // zero-order customers keep a 0 bucket, count(o_orderkey) (nulls
     // don't count), then a second aggregation over the first. Two
