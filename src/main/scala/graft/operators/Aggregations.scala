@@ -232,6 +232,46 @@ object Aggregations extends QModule {
           element_at($"approx_price_p50_p90_p99", 3).as("p99"))
     }),
 
+    // Hot-key-proof aggregation: Skew.saltedSumCount's two-phase salted
+    // form over the 3-value o_orderstatus — the degenerate key
+    // distribution where a plain groupBy pins whole partitions on 3
+    // tasks. Phase 1 spreads each key over 16 salts, phase 2 merges 16
+    // tiny partials per key. DECIMAL values keep the sum
+    // order-independent, so the salted result is bit-equal to the plain
+    // GROUP BY the oracle runs.
+    Q("g20_salted_agg", (s, dir) => {
+      import s.implicits._
+      Skew.saltedSumCount(t(s, dir, "orders"), $"o_orderstatus",
+          $"o_totalprice".cast(DecimalType(18, 2)))
+        .select($"k".as("o_orderstatus"),
+          $"sum_v".cast("double").as("sum_price"), $"n".as("n_orders"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)),
+
+    // Grouped sibling of g11b: the HLL accuracy contract held PER GROUP
+    // (a grouped sketch can silently degrade on small groups while the
+    // global one stays fine).
+    Q("g21_grouped_distinct_bound", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(approx_count_distinct($"o_custkey", 0.02).as("approx"),
+          countDistinct($"o_custkey").as("exact"))
+        .select($"o_orderstatus", $"exact".as("exact_cust"),
+          (abs($"approx" - $"exact").cast("double") <= $"exact" * 0.06)
+            .as("within_bound"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_cust,
+             TRUE AS within_bound
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)),
+
     // g17's oracled companion: the GK guarantee is that the returned
     // value holds SOME rank within eps·n of q·n (accuracy 10000 ⇒ eps =
     // 1e-4). The value's rank interval is [count(<v)+1, count(≤v)], so

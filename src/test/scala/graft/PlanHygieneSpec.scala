@@ -186,6 +186,16 @@ class PlanHygieneSpec extends SparkSpec {
     assertTwoLevelPacking("p1_curate_corpus")
   }
 
+  test("g20: salted aggregation really is two-phase (salt agg below key agg)") {
+    val p = planOf("g20_salted_agg").split("== Initial Plan ==").head
+    // two logical aggregations (by (k,salt), then by k), each with its
+    // partial/final split → ≥4 HashAggregate nodes; a single-phase
+    // collapse would reintroduce the hot-key bottleneck being tested
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 4, s"expected two-phase salted agg, saw $n HashAggregates:\n$p")
+    assert(p.contains("salt"), "salt column vanished from the plan:\n" + p)
+  }
+
   test("k6: SCD2 merge is one equi-join + explode, never a nested loop") {
     val p = planOf("k6_scd2_merge")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
