@@ -108,4 +108,50 @@ class PropertySpec extends SparkSpec {
       assert(normalized.filter(col("direct") =!= col("viaNorm")).count() === 0)
     }
   }
+
+  // --- round-4 rewrites: randomized equivalence with the naive forms ------
+
+  private val genDoc: Gen[(Long, String)] = for {
+    id <- Gen.chooseNum(0L, 5000L)
+    // tiny vocabulary + 0-12 tokens: maximizes shared shingles, repeats,
+    // and sub-k docs — the edge cases the native expressions special-case
+    toks <- Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    n <- Gen.chooseNum(0, 12)
+  } yield (id, toks.take(n).mkString(" "))
+
+  test("packShards == naive per-lang running-sum window on random corpora") {
+    forAllSamples(Gen.listOfN(60, for {
+      id <- Gen.chooseNum(0L, 2000L); lang <- Gen.oneOf("en", "de", "es")
+      tok <- Gen.chooseNum(1, 400)
+    } yield (id, lang, tok)), n = 4) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = rows.distinctBy(_._1).toDF("doc_id", "lang", "n_tok")
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = base.withColumn("cum", sum($"n_tok").over(w))
+        .select($"doc_id", $"lang", $"n_tok",
+          floor(($"cum" - $"n_tok") / 100).cast("long").as("shard_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // small span forces many buckets → the offset path actually runs
+      val two = graft.ext.TextAnalysis.packShards(base, budget = 100, span = 16L)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(two === naive)
+    }
+  }
+
+  test("native MinHash/SimHash == aggregated forms on random repeat-heavy docs") {
+    forAllSamples(Gen.listOfN(30, genDoc), n = 4) { docsList =>
+      import spark.implicits._
+      val docs = docsList.distinctBy(_._1).toDF("doc_id", "text")
+      def sigs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(sigs(graft.ext.Dedup.minhash(docs, k = 3, numHashes = 8)) ===
+        sigs(graft.ext.Dedup.minhashAgg(docs, k = 3, numHashes = 8)))
+      assert(sigs(graft.ext.Dedup.simhashChunks(docs, chunks = 4, bitsPerChunk = 7,
+          shingleK = 2)) ===
+        sigs(graft.ext.Dedup.simhashChunksAgg(docs, chunks = 4, bitsPerChunk = 7,
+          shingleK = 2)))
+    }
+  }
 }
