@@ -170,40 +170,70 @@ object Functions extends QModule {
       GROUP BY o.k ORDER BY status_key ASC NULLS FIRST
     """)),
 
-    // Pearson correlation + population covariance from EXACT decimal sums
+    // Pearson correlation + population covariance from EXACT integer sums
     // (the g13 pattern extended to two variables): a distributed
     // corr()/covar_pop() is not bit-stable across partitionings, but six
     // exact sums are, and the closed-form derivation is the same IEEE op
     // sequence in both engines.
+    //
+    // TWO exactness lessons, both caught by an sf0.1 oracle sweep (the
+    // sf0.01 gate passed):
+    // 1. QUANTIZE FACTORS, NOT PRODUCTS — each input snaps to its cent
+    //    grid (floor(v·100+0.5), exact and engine-identical) so every
+    //    product is an exact integer; casting the double PRODUCT to
+    //    decimal diverged by 1 ulp on one row in 600k (the engines'
+    //    double→decimal half-rounding disagrees).
+    // 2. NO a·b − c·d IN DOUBLE — DuckDB's C++ compiles the textbook
+    //    n·sxy − sx·sy into an FMA (one rounding); the JVM does two.
+    //    The numerator and both variance terms are therefore computed
+    //    EXACTLY in wide integers (Spark DECIMAL(38,0) arithmetic,
+    //    DuckDB HUGEINT — max ~3.6e25 here, far inside both), and only
+    //    then cast to double for sqrt/multiply/divide — each a single
+    //    correctly-rounded IEEE op, identical everywhere.
+    // corr is scale-invariant so the ×100 units cancel; covar rescales
+    // by 10⁻⁴ in final divisions.
     Q("g15_corr", (s, dir) => {
       import s.implicits._
-      val (x, y) = ($"l_quantity", $"l_extendedprice")
+      val qx = floor($"l_quantity" * 100 + 0.5)
+      val qy = floor($"l_extendedprice" * 100 + 0.5)
+      val d38 = DecimalType(38, 0)
       t(s, dir, "lineitem")
         .agg(
-          sum(x.cast(DecimalType(28, 2))).cast("double").as("sx"),
-          sum(y.cast(DecimalType(28, 2))).cast("double").as("sy"),
-          sum((x * y).cast(DecimalType(28, 4))).cast("double").as("sxy"),
-          sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sxx"),
-          sum((y * y).cast(DecimalType(28, 4))).cast("double").as("syy"),
-          count(lit(1)).cast("double").as("n"))
+          sum(qx.cast(d38)).as("sx"),
+          sum(qy.cast(d38)).as("sy"),
+          sum((qx * qy).cast(d38)).as("sxy"),
+          sum((qx * qx).cast(d38)).as("sxx"),
+          sum((qy * qy).cast(d38)).as("syy"),
+          count(lit(1)).cast(d38).as("n"))
         .select(
-          (($"n" * $"sxy" - $"sx" * $"sy") /
-            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-             sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
-          (($"sxy" - $"sx" * $"sy" / $"n") / $"n").as("covar_pop"))
+          ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("varx"),
+          ($"n" * $"syy" - $"sy" * $"sy").as("vary"),
+          $"n".cast("double").as("nd"))
+        .select(
+          ($"num".cast("double") /
+            (sqrt($"varx".cast("double")) * sqrt($"vary".cast("double"))))
+            .as("corr_qty_price"),
+          ($"num".cast("double") / $"nd" / $"nd" / 10000.0).as("covar_pop"))
     }, sql = Some("""
-      WITH s AS (
-        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-               CAST(COUNT(*) AS DOUBLE) AS n
-        FROM lineitem)
-      SELECT (n * sxy - sx * sy) /
-             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
-             (sxy - sx * sy / n) / n AS covar_pop
-      FROM s
+      WITH q AS (
+        SELECT CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS qx,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS qy
+        FROM lineitem),
+      s AS (
+        SELECT SUM(qx) AS sx, SUM(qy) AS sy, SUM(qx * qy) AS sxy,
+               SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy,
+               CAST(COUNT(*) AS HUGEINT) AS n
+        FROM q),
+      e AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+               CAST(n AS DOUBLE) AS nd
+        FROM s)
+      SELECT num / (sqrt(varx) * sqrt(vary)) AS corr_qty_price,
+             num / nd / nd / 10000.0 AS covar_pop
+      FROM e
     """))
   )
 }
