@@ -202,4 +202,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Generate"), "explode missing — merge shape changed:\n" + p)
   }
+
+  // Queries whose plan INTENTIONALLY contains a BroadcastNestedLoopJoin:
+  // the explicit cross-join demo, plus crossJoin(broadcast(<tiny>)) of a
+  // 1-row scalar / query vector / boundary row — a map-stage multiply
+  // with a bounded build side, not a scale hazard. Everything else must
+  // be nested-loop-free; a new query that accidentally plans one fails
+  // here before it ever ships.
+  private val nljAllowed = Set(
+    "j6_cross_join", "g7_mart_aggregate", "g17b_percentile_bound",
+    "w6b_quartiles_bucketed", "w9_gap_fill", "q22_rich_inactive",
+    "t_tfidf", "sim_topk_cosine", "sim_range_search", "sim_ann_ivf",
+    "e4_funnel")
+
+  test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
+    val trips = SparkEntry.all.flatMap { q =>
+      val p = q.fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = if (p.contains("CartesianProduct")) Seq(s"${q.name}: CartesianProduct") else Nil
+      val nlj = if (p.contains("BroadcastNestedLoopJoin") && !nljAllowed(q.name))
+        Seq(s"${q.name}: BroadcastNestedLoopJoin") else Nil
+      cart ++ nlj
+    }
+    assert(trips.isEmpty, "plan hygiene trips:\n" + trips.mkString("\n"))
+  }
 }
