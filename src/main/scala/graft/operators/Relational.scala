@@ -198,6 +198,16 @@ object Relational extends QModule {
       s.sql(recursiveSpineSql)
     }, sql = Some(recursiveSpineSql)),
 
+    // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS on the same
+    // fact table, ONE text verbatim in both engines (see q21Sql scaladoc
+    // for the decorrelation story).
+    Q("sql_q21_sole_supplier", (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(q21Sql)
+    }, sql = Some(q21Sql)),
+
     // F9: data-quality audit — constraint violations AS DATA (the
     // "expectations" gate a warehouse runs before publishing a load):
     // key uniqueness, value sanity, null guards, and referential
@@ -298,5 +308,30 @@ object Relational extends QModule {
       AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
       AND l_discount >= 0.05 AND l_discount <= 0.07
       AND l_quantity < 24
+  """
+
+  /** TPC-H Q21 shape adapted to the available columns (no receipt/commit
+    * dates): suppliers who were the SOLE returned-item supplier on a
+    * finished multi-supplier order — correlated EXISTS and NOT EXISTS
+    * against the same fact, the double-correlation decorrelation test.
+    * Catalyst plans the pair as one left-semi and one left-anti hash
+    * join on l_orderkey with the supplier inequality as a residual —
+    * no per-row subquery re-execution at any scale. */
+  private val q21Sql = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
   """
 }
