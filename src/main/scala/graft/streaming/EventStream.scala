@@ -72,6 +72,19 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
               col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) window counts: `windowLen` windows advancing by
+    * `slide` — each event lands in windowLen/slide overlapping windows
+    * (Spark's `window(ts, len, slide)` generates them scan-side; the
+    * row multiplication is the inherent cost of hopping aggregation,
+    * bounded by the ratio, and partials still combine map-side). */
+  def hoppingCounts(df: DataFrame, windowLen: String = "2 hours",
+                    slide: String = "30 minutes"): DataFrame =
+    df.withColumn("tss", tsCol)
+      .groupBy(window(col("tss"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
   /** Exactly-once-style dedupe by event_id (streaming: pair with
     * withWatermark + dropDuplicatesWithinWatermark). */
   def dedupeEvents(df: DataFrame): DataFrame = df.dropDuplicates("event_id")
@@ -141,6 +154,23 @@ object EventQueries extends QModule {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """), headline = true),
+
+    // Hopping 2h/30min windows — each event in exactly 4 overlapping
+    // windows (epoch-aligned, Spark window() semantics); the oracle
+    // reconstructs them by shifting the 30-min bucket back k∈0..3
+    // slides. Same text works streaming with a watermark.
+    Q("e7_hopping_counts", (s, dir) =>
+      hoppingCounts(t(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type")),
+      sql = Some("""
+      SELECT strftime(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                        - k * INTERVAL '30 minutes',
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN UNNEST(range(0, 4)) t(k)
+      GROUP BY 1, 2 ORDER BY window_start, event_type
+    """)),
 
     // E6: semi-structured VARIANT path (Spark 4's open-schema type): parse
     // once to variant, extract typed fields lazily — the schema-on-read

@@ -44,6 +44,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hopping windows: streaming result == batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect()
+    val stream = MemoryStream[Ev]
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    stream.addData(b1.toSeq)
+    val sdf = stream.toDF()
+      .withColumn("tss", EventStream.tsCol)
+      .withWatermark("tss", "1 hour")
+    val query = EventStream.hoppingCounts(sdf)
+      .writeStream.format("memory").queryName("hc")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      stream.addData(b2.toSeq)
+      query.processAllAvailable()
+      assert(rows(spark.table("hc")) === rows(EventStream.hoppingCounts(batchDf)))
+    } finally query.stop()
+  }
+
   test("streaming dedupe by event_id within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
