@@ -426,6 +426,75 @@ object TextAnalysis extends QModule {
       GROUP BY c.doc_id ORDER BY c.doc_id
     """)),
 
+    // Deterministic train/val/test split: 80/10/10 by md5 slot of doc_id
+    // — the r4_hash_sample predicate generalized to a 3-way CASE. Split
+    // membership is a pure function of the key: reproducible across
+    // engines, retries, partitionings, and DATA GROWTH (a doc never
+    // migrates between splits when the corpus grows — the property
+    // rand() or row-position splits lack). Map-side label + one
+    // (lang, split) hash agg to keep the oracle output small; the spec
+    // is per-stratum counts, which also audits the split balance.
+    Q("t_split_assign", (s, dir) => {
+      import s.implicits._
+      val slot = conv(substring(md5($"doc_id".cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(slot < 80, "train").when(slot < 90, "val").otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_doc_id"))
+        .orderBy($"lang", $"split")
+    }, sql = Some("""
+      SELECT lang,
+             CASE WHEN slot < 80 THEN 'train'
+                  WHEN slot < 90 THEN 'val' ELSE 'test' END AS split,
+             COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(doc_id) AS min_doc_id
+      FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS slot
+            FROM documents) t
+      GROUP BY 1, 2 ORDER BY lang, split
+    """)),
+
+    // Outlier winsorization: clamp n_chars to each language's [p5, p95]
+    // — the truncate-the-tails normalization before length-sensitive
+    // training stats. percentile_disc bounds are an exact mergeable
+    // aggregate (langs × 2 rows) broadcast back over the scan; the
+    // clamp itself is map-side. The oracle replays percentile_disc's
+    // smallest-cume_dist>=p convention via rank = ceil(p·n).
+    Q("t_clip_outliers", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      // percentile_disc returns double even for integer input; the bounds
+      // ARE data values, so the long cast is exact
+      val bounds = docs.groupBy($"lang").agg(
+        expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("lo"),
+        expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("hi"))
+      docs.join(broadcast(bounds), Seq("lang"))
+        .select($"lang", greatest(least($"n_chars", $"hi"), $"lo").as("clipped"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"clipped").as("sum_clipped"),
+          min($"clipped").as("min_clipped"), max($"clipped").as("max_clipped"))
+        .orderBy($"lang")
+    }, sql = Some("""
+      WITH ord AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents),
+      b AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN n_chars END) AS lo,
+               MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END) AS hi
+        FROM ord GROUP BY lang)
+      SELECT d.lang, COUNT(*) AS n_docs,
+             CAST(SUM(GREATEST(LEAST(n_chars, hi), lo)) AS BIGINT) AS sum_clipped,
+             CAST(MIN(GREATEST(LEAST(n_chars, hi), lo)) AS BIGINT) AS min_clipped,
+             CAST(MAX(GREATEST(LEAST(n_chars, hi), lo)) AS BIGINT) AS max_clipped
+      FROM documents d JOIN b USING (lang)
+      GROUP BY d.lang ORDER BY d.lang
+    """)),
+
     // Document chunking: fixed-size overlapping token windows (64-token
     // chunks, stride 48 → 16-token overlap) — the split-for-context-
     // window step of LLM data prep. One generator per doc (map-side
