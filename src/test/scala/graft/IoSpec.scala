@@ -33,6 +33,23 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2)
   }
 
+  test("K2+evolution: schema drift across appends — mergeSchema unions, plain read keeps footer schema") {
+    import spark.implicits._
+    val out = tmp("evo") + "/t"
+    // v1 batch, then the pipeline evolves and v2 adds a column — the
+    // ordinary life of a long-lived warehouse directory
+    Seq((1L, "a")).toDF("k", "v").write.mode("append").parquet(out)
+    Seq((2L, "b", 0.5)).toDF("k", "v", "score").write.mode("append").parquet(out)
+    // mergeSchema=true: union schema, v1 rows read score as null
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq === Seq("k", "score", "v"))
+    assert(merged.filter($"score".isNull).select($"k").as[Long].collect().toSeq === Seq(1L))
+    assert(merged.count() === 2)
+    // explicit schema pin: old readers keep working against the v1 contract
+    val pinned = spark.read.schema("k BIGINT, v STRING").parquet(out)
+    assert(pinned.columns.toSeq === Seq("k", "v") && pinned.count() === 2)
+  }
+
   test("K2+scale: fact written partitionBy(year) prunes partitions on read") {
     val out = tmp("fact") + "/fact"
     val dir = "/root/testdata/sf0.001"
