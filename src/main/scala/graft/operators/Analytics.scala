@@ -467,6 +467,248 @@ object Analytics extends QModule {
         ON o_orderkey = big.l_orderkey
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """)),
+
+    // Q2 shape: correlated-MIN subquery — for each part, the minimum
+    // observed supply price, then only (part, supplier) offers AT that
+    // minimum survive, decorated with supplier/nation details. There is
+    // no partsupp table in this schema, so the "catalog" is derived
+    // deterministically: min l_extendedprice per (l_partkey, l_suppkey)
+    // (reference Q2 semantics over the data we have). The correlated
+    // subquery decorrelates into ONE extra hash agg on p_partkey joined
+    // back by (key, price-equality) — never a per-row probe; min() is
+    // exact over doubles, so the equality join is engine-stable.
+    Q("q2_min_cost_supplier", (s, dir) => {
+      import s.implicits._
+      val regionNat = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey", $"n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(regionNat, $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val parts = t(s, dir, "part")
+        .filter($"p_size" <= 15 && $"p_type" === "LARGE")
+        .select($"p_partkey", $"p_brand")
+      val offers = t(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice").as("ps_cost"))
+        .join(parts, $"l_partkey" === $"p_partkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+      val minCost = offers.groupBy($"p_partkey".as("mc_partkey"))
+        .agg(min($"ps_cost").as("min_cost"))
+      offers.join(minCost,
+          $"p_partkey" === $"mc_partkey" && $"ps_cost" === $"min_cost")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
+          $"ps_cost")
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    }, sql = Some("""
+      WITH offers AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS ps_cost
+        FROM lineitem GROUP BY 1, 2),
+      eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      cand AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name, ps_cost
+        FROM offers
+        JOIN part ON l_partkey = p_partkey
+        JOIN eu ON l_suppkey = s_suppkey
+        WHERE p_size <= 15 AND p_type = 'LARGE')
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_cost
+      FROM cand c
+      WHERE ps_cost = (SELECT MIN(ps_cost) FROM cand m
+                       WHERE m.p_partkey = c.p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """)),
+
+    // Q9 shape: product-line profit by (nation, year) — a name-substring
+    // part filter prunes lineitem FIRST (the join to the filtered part
+    // set is the selective edge; AQE broadcasts the ~10% part subset),
+    // then supplier→nation attributes the revenue. No partsupp/supplycost
+    // in this schema, so profit = discounted revenue (same group/join
+    // topology as reference Q9).
+    Q("q9_product_profit", (s, dir) => {
+      import s.implicits._
+      val redParts = t(s, dir, "part")
+        .filter($"p_name".startsWith("red "))
+        .select($"p_partkey")
+      val supNat = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+      t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey", $"l_shipdate",
+          $"l_extendedprice", $"l_discount")
+        .join(redParts, $"l_partkey" === $"p_partkey")
+        .join(supNat, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"n_name".as("nation"), year($"l_shipdate").as("o_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }, sql = Some("""
+      SELECT n_name AS nation, year(l_shipdate) AS o_year,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'red %'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """)),
+
+    // Q11 shape: per-group value with a HAVING threshold that is a
+    // fraction of the GLOBAL total (scalar subquery). Both the per-part
+    // values and the one-row total come from the SAME filtered join via
+    // exact decimal sums — the total is NOT a re-sum of per-part doubles
+    // (order-dependent) but an independent exact aggregate, so the
+    // 0.001·total boundary is the same double in both engines. The total
+    // broadcasts as one row; no second scan shuffle.
+    Q("q11_important_value", (s, dir) => {
+      import s.implicits._
+      val natSup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(t(s, dir, "nation").filter($"n_name" === "NATION_1")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val joined = t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+        .join(natSup, $"l_suppkey" === $"s_suppkey")
+      val perPart = joined.groupBy($"l_partkey")
+        .agg(dsum($"l_extendedprice").as("part_value"))
+      val total = joined.agg((dsum($"l_extendedprice") * 0.001).as("thresh"))
+      perPart.crossJoin(broadcast(total))
+        .filter($"part_value" > $"thresh")
+        .select($"l_partkey", $"part_value")
+        .orderBy($"part_value".desc, $"l_partkey")
+    }, sql = Some("""
+      WITH joined AS (
+        SELECT l_partkey, l_extendedprice
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1')
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      FROM joined
+      GROUP BY l_partkey
+      HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+             (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+              FROM joined)
+      ORDER BY part_value DESC, l_partkey
+    """)),
+
+    // Q15 shape: argmax against a scalar subquery — quarterly revenue per
+    // supplier, keep the supplier(s) AT the maximum. One hash agg builds
+    // the "view", its one-row max broadcasts back over it (exact-decimal
+    // revenue → double equality is engine-stable), and only survivors
+    // join the supplier dim. Ties surface every max supplier, as in the
+    // reference query.
+    Q("q15_top_supplier", (s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter($"total_revenue" === $"max_revenue")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+        .orderBy($"s_suppkey")
+    }, sql = Some("""
+      WITH revenue AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey
+    """)),
+
+    // Q16 shape: distinct-supplier counts per part attribute triple, with
+    // a NOT-IN exclusion subquery (suppliers with negative balances — the
+    // "complaints" analog). The exclusion is a broadcast-able left_anti
+    // on the supplier key; countDistinct shuffles once on the grouping
+    // triple with the supplier key as the distinct column.
+    Q("q16_supplier_cnt", (s, dir) => {
+      import s.implicits._
+      val parts = t(s, dir, "part")
+        .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+                $"p_size".isin(1, 9, 15, 21, 28, 35, 42, 49))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      val badSup = t(s, dir, "supplier").filter($"s_acctbal" < 0)
+        .select($"s_suppkey")
+      t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey")
+        .join(parts, $"l_partkey" === $"p_partkey")
+        .join(badSup, $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }, sql = Some("""
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        AND p_size IN (1, 9, 15, 21, 28, 35, 42, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)),
+
+    // Q20 shape: correlated half-of-total threshold + nested IN chains —
+    // suppliers in one nation whose 1997 shipments of 'red '-named parts
+    // exceed half of their all-years shipments of that part. BOTH sums
+    // come from ONE conditional aggregation over the same scan (no
+    // correlated re-probe); 0.5·total is a power-of-two multiple of an
+    // exact decimal-sum double, so the comparison is engine-stable. The
+    // qualifying (supplier, part) set then semi-joins the supplier dim.
+    Q("q20_half_shipped", (s, dir) => {
+      import s.implicits._
+      val redParts = t(s, dir, "part")
+        .filter($"p_name".startsWith("red "))
+        .select($"p_partkey")
+      val qty = t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_shipdate")
+        .join(redParts, $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey", $"l_partkey")
+        .agg(
+          dsum(when(year($"l_shipdate") === 1997, $"l_quantity").otherwise(0))
+            .as("qty_1997"),
+          dsum($"l_quantity").as("qty_all"))
+        .filter($"qty_1997" > $"qty_all" * 0.5)
+        .select($"l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter($"n_name" === "NATION_2")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(qty, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    }, sql = Some("""
+      WITH qual AS (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red %'
+        GROUP BY l_suppkey, l_partkey
+        HAVING CAST(SUM(CAST(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity
+                                  ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) >
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.5)
+      SELECT s_suppkey, s_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+        AND s_suppkey IN (SELECT l_suppkey FROM qual)
+      ORDER BY s_suppkey
     """))
   )
 }

@@ -271,6 +271,53 @@ object EventQueries extends QModule {
       FROM events GROUP BY 1 ORDER BY k_mod10
     """)),
 
+    // E8: the interval join (stream-stream in StreamingSpec) in its batch
+    // form — view→click attribution within 30 min per user. The oracle is
+    // the equivalent range join; ordering pins the row set. Scale: both
+    // sides pre-filter event_type before the join, the equi-key is
+    // user_id, and the time band rides along as a residual predicate —
+    // never an inequality-only nested loop (the global PlanHygieneSpec
+    // net would catch that).
+    Q("e8_view_click_join", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      viewClickJoin(ev, ev)
+        .select(col("user_id"), col("view_event"), col("click_event"))
+        .orderBy(col("user_id"), col("view_event"), col("click_event"))
+    }, sql = Some("""
+      SELECT v.user_id, v.event_id AS view_event, c.event_id AS click_event
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+       AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      ORDER BY v.user_id, view_event, click_event
+    """)),
+
+    // E9: exactly-once dedupe semantics, oracle-checked — the input is
+    // deliberately DOUBLED (union all of the table with itself, the
+    // at-least-once delivery shape), dropDuplicates("event_id") collapses
+    // it, and per-type counts prove the collapse. Streaming twin:
+    // dropDuplicatesWithinWatermark (StreamingSpec, incl. checkpoint
+    // restart). Scale: dedupe is one hash-shuffle on event_id — the same
+    // one-shuffle fingerprint shape as dedup_exact.
+    Q("e9_dedup_replayed", (s, dir) => {
+      val ev = t(s, dir, "events")
+      dedupeEvents(ev.unionAll(ev))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+        .orderBy(col("event_type"))
+    }, sql = Some("""
+      WITH doubled AS (
+        SELECT * FROM events UNION ALL SELECT * FROM events),
+      deduped AS (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_id) AS rn
+        FROM doubled)
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids
+      FROM deduped WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type
+    """)),
+
     // Gap-based sessionization (30 min), integer-nanos exact.
     Q("e2_sessionize", (s, dir) =>
       sessionStats(t(s, dir, "events")),
