@@ -33,6 +33,30 @@ object Relational extends QModule {
     s.read.parquet(path)
   }
 
+  /** Materialized year dimension over the orders fact (the reference's
+    * dim_date recompute pattern in miniature): one row per order year with
+    * its volume share of the whole table, written once beside the
+    * partitioned fact layout. A share filter on THIS table is what makes
+    * dynamic partition pruning fire in s10 — the dim is a plain
+    * scan + literal filter, which Catalyst's DPP rule recognizes as a
+    * selective build side (a filter buried under the aggregation that
+    * derives the dim would not be). */
+  def yearDim(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_$safe/dim_year"
+    if (!new java.io.File(path).exists()) {
+      val perYear = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("d_year"))
+        .agg(count(lit(1)).as("yr_n"))
+      val total = perYear.agg(sum(col("yr_n")).as("tot"))
+      perYear.crossJoin(broadcast(total))
+        .select(col("d_year"), col("yr_n"),
+          (col("yr_n") / col("tot")).as("yr_share"))
+        .write.mode("ignore").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   def qs: Seq[Q] = Seq(
     // Flagship: TPC-H Q1-shaped wide aggregation — full scan, hash agg,
     // map-side partial aggregation, 6 aggregates in one pass.
@@ -124,6 +148,47 @@ object Relational extends QModule {
     }, sql = Some("""
       SELECT o_orderstatus, COUNT(*) AS n_orders, MAX(o_orderkey) AS max_orderkey
       FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)),
+
+    // S10 (scale posture): DYNAMIC partition pruning — the year predicate
+    // lives on a joined dimension, not the fact, so planning-time pruning
+    // can't see it; Catalyst's DPP rule turns the broadcast dim into a
+    // runtime partition filter (dynamicpruningexpression in the scan,
+    // asserted in PlanHygieneSpec) and the fact still reads ONE year
+    // directory of seven. THE star-schema scan pattern at 100 TB: date-dim
+    // filters prune fact partitions without ever materializing the
+    // unfiltered fact. The dim here is the distinct-years table derived
+    // from orders (this schema has no separate date dim), filtered like
+    // any dim would be.
+    // The dim filter must sit on a NON-join attribute (here: the year's
+    // order volume vs 10% of total, integer-exact at every SF): an
+    // equality/modulo filter on the join key itself would constant-fold
+    // into a STATIC partition filter via constraint propagation and DPP
+    // would never fire (good pruning, wrong demonstration).
+    Q("s10_dpp_join", (s, dir) => {
+      import s.implicits._
+      val fact = Relational.ordersByYear(s, dir)
+      // yr_share >= 0.1 is a literal comparison over the materialized dim
+      // (0.145 for full years vs 0.083 for partial 2001 at every SF — the
+      // boundary is never close, and the share was computed as ONE
+      // long/long→double IEEE division, identical cross-engine)
+      val dimYear = Relational.yearDim(s, dir)
+        .filter($"yr_share" >= 0.1)
+        .select($"d_year")
+      fact.join(broadcast(dimYear), $"o_year" === $"d_year")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), max($"o_orderkey").as("max_orderkey"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      WITH per_year AS (
+        SELECT year(o_orderdate) AS d_year, COUNT(*) AS yr_n
+        FROM orders GROUP BY 1),
+      dim AS (
+        SELECT d_year FROM per_year
+        WHERE CAST(yr_n AS DOUBLE) / (SELECT SUM(yr_n) FROM per_year) >= 0.1)
+      SELECT o_orderstatus, COUNT(*) AS n_orders, MAX(o_orderkey) AS max_orderkey
+      FROM orders JOIN dim ON year(o_orderdate) = d_year
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 

@@ -165,6 +165,50 @@ class PlanHygieneSpec extends SparkSpec {
     assert("""\(o_year#\d+ = 1997\)""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("s10: dim-side year filter becomes a DYNAMIC partition filter on the fact scan") {
+    val p = planOf("s10_dpp_join")
+    assert(p.contains("dynamicpruningexpression"),
+      "DPP did not inject a runtime partition filter:\n" + p)
+    // and it must land in PartitionFilters (directory elimination), not as
+    // a post-scan data filter
+    assert("""PartitionFilters: \[[^\]]*dynamicpruning""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("runtime bloom filter: selective dim predicate injects a fact-side bloom prefilter under shuffle joins") {
+    // At 100 TB a selective dim filter should cut fact shuffle volume even
+    // when the dim is too big to broadcast. Force the shuffle-join regime
+    // (broadcast off, size thresholds down to testdata scale) and assert
+    // Catalyst's InjectRuntimeFilter plants a might_contain prefilter on
+    // the fact side of the join.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions._
+      val ord = Tables.t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        "no bloom runtime filter injected on the fact side:\n" + optimized)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   // Shard packing must never sort a whole language stratum in one task:
   // the per-row running-sum window is keyed by (lang, bkt); the only
   // lang-alone window left runs over the tiny per-bucket totals (ordered
@@ -213,7 +257,7 @@ class PlanHygieneSpec extends SparkSpec {
     "j6_cross_join", "g7_mart_aggregate", "g17b_percentile_bound",
     "w6b_quartiles_bucketed", "w9_gap_fill", "q22_rich_inactive",
     "t_tfidf", "sim_topk_cosine", "sim_range_search", "sim_ann_ivf",
-    "e4_funnel")
+    "e4_funnel", "q11_important_value", "q15_top_supplier", "s10_dpp_join")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     val trips = SparkEntry.all.flatMap { q =>
