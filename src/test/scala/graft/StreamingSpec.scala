@@ -85,6 +85,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dim join: every micro-batch enriches against the static dim, == batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static dim (event_type → category): in production a broadcast dim
+    // re-read per micro-batch; state-free on the stream side, so 100 TB/day
+    // throughput costs one broadcast per batch and zero state store
+    val dim = Seq(("view", "browse"), ("click", "browse"),
+      ("purchase", "convert"), ("signup", "convert")).toDF("event_type", "category")
+    val enrich = (df: org.apache.spark.sql.DataFrame) =>
+      df.join(broadcast(dim), Seq("event_type"), "left_outer")
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value"), 2).as("sum_v"))
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect()
+    val stream = MemoryStream[Ev]
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    stream.addData(b1.toSeq)
+    val q = enrich(stream.toDF())
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      assert(rows(spark.table("ssj")) === rows(enrich(batchDf)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
