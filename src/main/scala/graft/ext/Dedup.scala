@@ -167,6 +167,35 @@ object Dedup {
       .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
   }
 
+  /** Asymmetric containment pairs: C = |A∩B| / min(|A|,|B|) — "most of the
+    * smaller document's shingles appear in the other", the
+    * quote/boilerplate-inclusion detector that symmetric Jaccard misses (a
+    * 50-word notice pasted into a 5000-word page has Jaccard ≈ 0.01 but
+    * containment ≈ 1). Same inverted-index + maxDf-cap execution shape as
+    * [[jaccardPairs]] (one shuffle to posting lists, map-side pair
+    * expansion, capped per shingle); the predicate is integer
+    * (10·shared >= threshNum·min) so the boundary is engine-exact. */
+  def containmentPairs(docs: DataFrame, k: Int = 5, threshNum: Int = 8,
+                       maxDf: Int = 10): DataFrame = {
+    val sh = shingles(docs, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val posting = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    val pairs = postingPairs(posting)
+      .groupBy(col("doc_i"), col("doc_j"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_i")
+                 .withColumnRenamed("n_sh", "n_i"), Seq("doc_i"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_j")
+                 .withColumnRenamed("n_sh", "n_j"), Seq("doc_j"))
+      .withColumn("n_small", least(col("n_i"), col("n_j")))
+      .filter(col("shared") * 10 >= col("n_small") * threshNum)
+      .select(col("doc_i"), col("doc_j"), col("shared"), col("n_small"),
+        (col("shared").cast("double") / col("n_small")).as("containment"))
+  }
+
   /** Engine-portable 60-bit shingle hash: the first 15 hex chars of
     * md5(shingle) parsed as an integer. md5 over UTF-8 bytes is identical
     * in Spark and DuckDB (proven by `dedup_exact`'s hash match), so every
@@ -425,6 +454,66 @@ object DedupQueries extends QModule {
       SELECT doc_id, rep_id, cluster_size
       FROM rep JOIN sz USING (rep_id) ORDER BY doc_id
     """), headline = true),
+
+    // Asymmetric containment over the same inverted index — catches the
+    // quote/boilerplate-inclusion pairs symmetric Jaccard misses.
+    Q("dedup_containment", (s, dir) => {
+      containmentPairs(t(s, dir, "documents"))
+        .orderBy(col("doc_i"), col("doc_j"))
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+      idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+      pairs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_i, doc_j, shared, LEAST(si.n_sh, sj.n_sh) AS n_small,
+             CAST(shared AS DOUBLE) / LEAST(si.n_sh, sj.n_sh) AS containment
+      FROM pairs
+      JOIN sizes si ON si.doc_id = doc_i
+      JOIN sizes sj ON sj.doc_id = doc_j
+      WHERE shared * 10 >= LEAST(si.n_sh, sj.n_sh) * 8
+      ORDER BY doc_i, doc_j
+    """)),
+
+    // Incremental ingestion dedup: a new batch (doc_id >= 400 stands in
+    // for today's crawl) is admitted only where its normalized fingerprint
+    // (a) isn't already in the existing corpus — one ANTI-JOIN on the
+    // fingerprint hash, the K3 upsert-if-absent shape at corpus scale —
+    // and (b) isn't duplicated WITHIN the batch (keep min doc_id per
+    // fingerprint). Both steps shuffle once on the fingerprint; nothing
+    // rescans or re-pairs the existing corpus, which is what makes
+    // day-over-day dedup affordable when the corpus is 100 TB and the
+    // daily batch is 1%.
+    Q("dedup_incremental", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val existing = docs.filter(col("doc_id") < 400).select(fp.as("fp")).distinct()
+      docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), fp.as("fp"))
+        .join(existing, Seq("fp"), "left_anti")
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("admitted_doc_id"),
+          count(lit(1)).as("n_batch_copies"))
+        .orderBy(col("admitted_doc_id"))
+    }, sql = Some("""
+      WITH fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                   '\s+', ' ', 'g')) AS fp
+        FROM documents)
+      SELECT fp, MIN(doc_id) AS admitted_doc_id, COUNT(*) AS n_batch_copies
+      FROM fps
+      WHERE doc_id >= 400
+        AND fp NOT IN (SELECT fp FROM fps WHERE doc_id < 400)
+      GROUP BY fp ORDER BY admitted_doc_id
+    """)),
 
     // MinHash+LSH candidates. The md5-based hash makes the whole banding
     // pipeline engine-portable, so the oracle replays it exactly: base
