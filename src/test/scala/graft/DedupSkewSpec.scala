@@ -69,4 +69,23 @@ class DedupSkewSpec extends SparkSpec {
     assert(shCap === shNo, "maxBucket changed SimHash results on real data")
     assert(lshCap.nonEmpty && shCap.nonEmpty)
   }
+
+  test("containmentPairs: a quote pasted into a long page scores ~1 containment but tiny Jaccard") {
+    import spark.implicits._
+    // doc 0: a 12-word notice; doc 1: a 200-word page that embeds it
+    // verbatim; doc 2: an unrelated page. Symmetric Jaccard misses the
+    // inclusion (|intersect| / |union| is tiny against the big page);
+    // containment = shared / min(sizes) flags it at ~1.0.
+    val notice = (1 to 12).map(i => s"n$i").mkString(" ")
+    val page = ((1 to 100).map(i => s"p$i") ++ notice.split(" ") ++
+      (101 to 188).map(i => s"p$i")).mkString(" ")
+    val other = (1 to 200).map(i => s"q$i").mkString(" ")
+    val docs = Seq((0L, notice), (1L, page), (2L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)),
+      cont.mkString(","))
+    assert(cont.head.getAs[Double]("containment") === 1.0)
+    val jac = Dedup.jaccardPairs(docs) // default floor: jaccard >= 0.3
+    assert(jac.count() === 0L, "Jaccard should miss the inclusion pair")
+  }
 }
