@@ -54,6 +54,52 @@ object CorpusPipeline {
       budget = shardBudget)
       .orderBy(col("doc_id"))
   }
+
+  /** Day-2 operations: admit an incremental batch against the standing
+    * corpus without ever rescanning it wholesale.
+    *
+    *   1. FROZEN quality gate — the per-language median is computed from
+    *      the CORPUS (what day-1 curation fixed) and broadcast; the batch
+    *      is gated against it. Recomputing the median over corpus+batch
+    *      would shift the gate as data arrives — a day-over-day pipeline
+    *      wants yesterday's calibration applied to today's data.
+    *   2. exact-dup admission — fingerprint anti-join vs the corpus's
+    *      (distinct, small) fingerprint set + a min-id collapse WITHIN the
+    *      batch (fp-keyed window). The corpus contributes one distinct
+    *      hash per unique document — at 100 TB that fingerprint table is
+    *      the only corpus artifact touched, and it shuffles once.
+    *   3. shard packing of the admitted docs (same two-level prefix-sum
+    *      as [[curate]]).
+    *
+    * `splitId` stands in for the batch boundary a real pipeline gets from
+    * its ingest log (docs at/after it are "today's"). */
+  def curateIncremental(docs: DataFrame, splitId: Long = 400L,
+                        shardBudget: Int = 2000): DataFrame = {
+    import TextAnalysis.{enPat, hits, tokens}
+    val q = docs.select(col("doc_id"), col("lang"), col("text"),
+      (hits(col("text"), enPat).cast("double") / size(tokens(col("text")))).as("r"))
+    val med = q.filter(col("doc_id") < splitId)
+      .groupBy(col("lang"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
+    val kept = q.filter(col("doc_id") >= splitId)
+      .join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
+
+    val corpusFp = docs.filter(col("doc_id") < splitId)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val admitted = kept
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+
+    TextAnalysis.packShards(
+      admitted.select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_tok")),
+      budget = shardBudget)
+      .orderBy(col("doc_id"))
+  }
 }
 
 object CorpusPipelineQueries extends QModule {
@@ -112,6 +158,54 @@ object CorpusPipelineQueries extends QModule {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM uniq) t
       ORDER BY doc_id
-    """), headline = true)
+    """), headline = true),
+
+    // Day-2 incremental admission: frozen corpus gate → fingerprint
+    // anti-join → shard packing, oracle-replayed wholesale (the median
+    // CTE restricts to the corpus half, admission is NOT IN + min-id per
+    // fingerprint, packing is the same per-lang running-sum fixpoint).
+    Q("p2_incremental_curate", (s, dir) =>
+      CorpusPipeline.curateIncremental(t(s, dir, "documents")), sql = Some("""
+      WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')) AS r
+        FROM documents),
+      ord AS (
+        SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM q WHERE doc_id < 400),
+      med AS (
+        SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN r END) AS m
+        FROM ord GROUP BY lang),
+      kept AS (
+        SELECT q.doc_id, q.lang, q.text FROM q JOIN med USING (lang)
+        WHERE q.doc_id >= 400 AND q.r >= med.m),
+      cfp AS (
+        SELECT DISTINCT md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                   '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id < 400),
+      bfp AS (
+        SELECT doc_id, lang, text,
+               md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                   '\s+', ' ', 'g')) AS fp
+        FROM kept),
+      admitted AS (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)),
+      uniq AS (
+        SELECT doc_id, lang,
+               length(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM admitted WHERE rn = 1)
+      SELECT doc_id, lang, n_tok,
+             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM uniq) t
+      ORDER BY doc_id
+    """))
   )
 }

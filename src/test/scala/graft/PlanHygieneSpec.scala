@@ -230,6 +230,10 @@ class PlanHygieneSpec extends SparkSpec {
     assertTwoLevelPacking("p1_curate_corpus")
   }
 
+  test("p2_incremental_curate: incremental pipeline packs two-level too") {
+    assertTwoLevelPacking("p2_incremental_curate")
+  }
+
   test("g20: salted aggregation really is two-phase (salt agg below key agg)") {
     val p = planOf("g20_salted_agg").split("== Initial Plan ==").head
     // two logical aggregations (by (k,salt), then by k), each with its
