@@ -206,6 +206,6 @@ object CorpusPipelineQueries extends QModule {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM uniq) t
       ORDER BY doc_id
-    """))
+    """), headline = true)
   )
 }

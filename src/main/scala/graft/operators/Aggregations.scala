@@ -394,6 +394,29 @@ object Aggregations extends QModule {
       FROM events GROUP BY event_type ORDER BY event_type
     """)),
 
+    // Boolean aggregate family (bool_and/bool_or/count_if) — predicates
+    // folded into the aggregation layer instead of a pre-filter + join
+    // back, so one scan answers several "does any/every row satisfy P"
+    // questions per group.
+    Q("g22_bool_aggs", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("count_if(o_totalprice > 200000)").as("n_big"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_and(o_custkey IS NOT NULL)").as("custkey_complete"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      SELECT o_orderstatus,
+             count_if(o_totalprice > 200000) AS n_big,
+             bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             bool_and(o_totalprice > 1000) AS all_over_1k,
+             bool_and(o_custkey IS NOT NULL) AS custkey_complete
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)),
+
     // String aggregation with a pinned within-group order (collect_list
     // alone is partition-order-dependent — sorting the array first is
     // what makes it deterministic and cross-engine).

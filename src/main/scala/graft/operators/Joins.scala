@@ -155,6 +155,45 @@ object Joins extends QModule {
       GROUP BY lo ORDER BY lo
     """)),
 
+    // J8: fuzzy entity-resolution join — catalog records matched against
+    // a dirtied variant (vowel-stripped names stand in for the typo'd /
+    // normalized feed a real catalog merge sees). The scale discipline is
+    // BLOCKING: an equi-join on a cheap canonical key (the same
+    // vowel-stripped skeleton) brings only same-block pairs together, and
+    // the expensive edit-distance verification runs per block — never an
+    // all-pairs string comparison. One hash shuffle on the block key; a
+    // skewed block would get the maxDf/maxBucket posting-list treatment
+    // from the dedup tier.
+    Q("j8_fuzzy_match", (s, dir) => {
+      import s.implicits._
+      val skeleton = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(lower(c), "[aeiou]", "")
+      val clean = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", skeleton($"c_name").as("blk"))
+      val dirty = t(s, dir, "customer")
+        .select($"c_custkey".as("d_key"), skeleton($"c_name").as("dirty_name"))
+      clean.join(dirty, $"blk" === $"dirty_name")
+        .withColumn("edit_dist", levenshtein(lower($"c_name"), $"dirty_name"))
+        .filter($"edit_dist" <= 5)
+        .agg(count(lit(1)).as("n_matched"),
+          expr("count_if(c_custkey = d_key)").as("n_true_matches"),
+          max($"edit_dist").as("max_dist"))
+    }, sql = Some("""
+      WITH clean AS (
+        SELECT c_custkey, c_name,
+               regexp_replace(lower(c_name), '[aeiou]', '', 'g') AS blk
+        FROM customer),
+      dirty AS (
+        SELECT c_custkey AS d_key,
+               regexp_replace(lower(c_name), '[aeiou]', '', 'g') AS dirty_name
+        FROM customer)
+      SELECT COUNT(*) AS n_matched,
+             count_if(c_custkey = d_key) AS n_true_matches,
+             MAX(levenshtein(lower(c_name), dirty_name)) AS max_dist
+      FROM clean JOIN dirty ON blk = dirty_name
+      WHERE levenshtein(lower(c_name), dirty_name) <= 5
+    """)),
+
     // Cross join (small×small only — at scale a guarded operation).
     Q("j6_cross_join", (s, dir) => {
       import s.implicits._
