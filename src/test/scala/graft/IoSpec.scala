@@ -75,6 +75,18 @@ class IoSpec extends SparkSpec {
       Tables.t(spark, dir, "orders").filter(col("o_orderkey") === 1L)))
   }
 
+  test("K2 alt format: JSON-lines round-trip with explicit schema (no inference scan)") {
+    val out = tmp("jsonl") + "/t"
+    val dir = "/root/testdata/sf0.001"
+    val src = Tables.t(spark, dir, "orders")
+    src.write.json(out)
+    // schema passed explicitly: at 100 TB a schema-inference pre-scan of
+    // the whole input is a second full read — never rely on it
+    val back = spark.read.schema(src.schema).json(out)
+    assert(rows(back) === rows(src))
+    assert(back.schema === src.schema)
+  }
+
   test("S2 hardening: PERMISSIVE CSV read quarantines malformed rows instead of failing") {
     import org.apache.spark.sql.types._
     val dir = tmp("csv_bad")
