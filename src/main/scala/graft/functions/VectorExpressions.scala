@@ -48,9 +48,12 @@ object VectorFunctions {
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
-  * makes `vec_dot` available as a SQL function in any session. */
+  * makes `vec_dot` available as a SQL function and installs the
+  * edit-distance prefilter optimizer rule in any session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((VectorFunctions.fnId, VectorFunctions.fnInfo,
       VectorFunctions.fnBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+  }
 }

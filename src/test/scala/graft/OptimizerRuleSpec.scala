@@ -1,0 +1,88 @@
+package graft
+
+import graft.plans.LevenshteinPrefilter
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst optimizer rule (SparkSessionExtensions tier):
+  * `levenshtein(a,b) <= k` filters gain a short-circuit length-delta
+  * guard. Checks: the guard lands in the optimized plan, results are
+  * unchanged on a corpus where the guard actually prunes, the rule is
+  * idempotent under re-application (Catalyst runs rule batches to a fixed
+  * point — a non-idempotent rewrite would stack guards forever), and an
+  * OR-nested comparison is left alone (a top-level guard there would
+  * wrongly veto rows the other branch accepts).
+  */
+class OptimizerRuleSpec extends SparkSpec {
+
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ LevenshteinPrefilter
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq LevenshteinPrefilter)
+  }
+
+  // parquet-backed fixture: a literal LocalRelation would be folded away
+  // by ConvertToLocalRelation before the plan shape can be inspected
+  private lazy val fixturePath: String = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_lev").toString + "/t"
+    Seq(("kitten", "sitten"), ("kitten", "kitten exploded into a paragraph"),
+        ("abcdef", "uvwxyz"), ("same", "same"))
+      .toDF("a", "b").write.parquet(p)
+    p
+  }
+  private def fixture = spark.read.parquet(fixturePath)
+
+  test("levenshtein<=k filter gains a length-delta short-circuit guard") {
+    withRule {
+      val df = fixture.filter(levenshtein(col("a"), col("b")) <= 2)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("abs((length("), "guard missing:\n" + plan)
+      // guard must sit LEFT of the levenshtein compare (And short-circuit)
+      assert(plan.indexOf("abs(") < plan.indexOf("levenshtein"), plan)
+    }
+  }
+
+  test("rule preserves results exactly (guard is implied, never filtering extra rows)") {
+    val expect = fixture.filter(levenshtein(col("a"), col("b")) <= 2)
+      .collect().map(_.getString(0)).sorted
+    val got = withRule {
+      fixture.filter(levenshtein(col("a"), col("b")) <= 2)
+        .collect().map(_.getString(0)).sorted
+    }
+    assert(got === expect)
+    assert(got === Array("kitten", "same"))
+  }
+
+  test("idempotent: re-applying the rule changes nothing (no guard stacking)") {
+    withRule {
+      val once = fixture.filter(levenshtein(col("a"), col("b")) <= 2)
+        .queryExecution.optimizedPlan
+      val twice = LevenshteinPrefilter(once)
+      assert(twice.fastEquals(once),
+        s"rule not idempotent:\nonce: $once\ntwice: $twice")
+    }
+  }
+
+  test("OR-nested levenshtein is NOT guarded (guard only valid as a conjunct)") {
+    withRule {
+      val df = fixture.filter(
+        levenshtein(col("a"), col("b")) <= 2 || col("a") === col("b"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("abs((length("),
+        "guard wrongly added under OR:\n" + plan)
+      // the short-long pair is rejected by both branches; equal pair passes
+      assert(df.count() === 2)
+    }
+  }
+
+  test("j8 shape: the fuzzy-match plan carries the guard with the rule on, result unchanged") {
+    withRule {
+      val df = SparkEntry.queries("j8_fuzzy_match")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("abs((length("), "guard missing in j8 plan:\n" + plan)
+      assert(df.collect().head.getLong(0) > 0)
+    }
+  }
+}
