@@ -154,4 +154,46 @@ class PropertySpec extends SparkSpec {
           shingleK = 2)))
     }
   }
+
+  test("containment dominates Jaccard on every candidate pair (random corpora)") {
+    import spark.implicits._
+    val genDoc: Gen[String] = Gen.listOfN(30,
+      Gen.oneOf("alpha","beta","gamma","delta","eps","zeta","eta","theta"))
+      .map(_.mkString(" "))
+    forAllSamples(Gen.listOfN(12, genDoc), n = 3) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // threshNum=0 on both → same candidate pair set, all pairs surface
+      val jac = graft.ext.Dedup.jaccardPairs(docs, threshNum = 0)
+        .select($"doc_i", $"doc_j", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val cont = graft.ext.Dedup.containmentPairs(docs, threshNum = 0)
+        .select($"doc_i", $"doc_j", $"containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(jac.keySet === cont.keySet)
+      jac.foreach { case (k, j) =>
+        val c = cont(k)
+        assert(c >= j - 1e-12 && c <= 1.0 + 1e-12,
+          s"pair $k: containment $c should dominate jaccard $j and stay <= 1")
+      }
+    }
+  }
+
+  test("incremental admission is idempotent: re-offering admitted docs admits nothing") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val day1 = graft.ext.CorpusPipeline.curateIncremental(docs)
+    val admittedIds = day1.select($"doc_id").as[Long].collect().toSet
+    assert(admittedIds.nonEmpty)
+    // day 2: corpus = old corpus + the admitted batch (relabel admitted
+    // ids below the split), batch = the same admitted docs re-offered
+    val corpus2 = docs.filter($"doc_id" < 400)
+      .unionByName(docs.filter($"doc_id".isin(admittedIds.toSeq: _*))
+        .withColumn("doc_id", -$"doc_id"))  // relabeled: still < 400
+    val reoffer = docs.filter($"doc_id".isin(admittedIds.toSeq: _*))
+    val day2 = graft.ext.CorpusPipeline.curateIncremental(
+      corpus2.unionByName(reoffer), splitId = 400L)
+    assert(day2.count() === 0L,
+      "re-offered duplicates of already-admitted docs must all be rejected")
+  }
 }
