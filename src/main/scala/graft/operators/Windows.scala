@@ -187,6 +187,12 @@ object Windows extends QModule {
     // cume_dist, nth_value — per-segment, top-3 by dense rank.
     // percent_rank/cume_dist are single IEEE divisions of exact integers,
     // so they hash-match across engines (no float-fold drift).
+    // SCALE NOTE (same caveat class as w6): percent_rank/cume_dist are
+    // functions of the FULL partition, so the drk<=3 limit cannot push
+    // below the window (contrast w4/w5/r6, where WindowGroupLimit keeps
+    // k rows per task) and each of the ~5 segments sorts in one task.
+    // Fine for function coverage; at 100 TB compute rank positions from
+    // mergeable per-segment counts instead (the w6b bucketed pattern).
     Q("w8_rank_family", (s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment")
@@ -221,6 +227,11 @@ object Windows extends QModule {
     // cents first, so frame membership (a <= comparison on longs) and the
     // frame sum are exact in both engines — peers with equal cents get
     // identical frame results, making range semantics deterministic.
+    // SCALE NOTE (w6 caveat class, also applies to w11): ~5 priority
+    // strata each sort in one task. RANGE-frame semantics demo; at 100 TB
+    // a trailing value band becomes the j5 banded equi-join (band key =
+    // cents div width, join adjacent bands, residual range filter) —
+    // shuffle-parallel in the number of bands, identical result.
     Q("w10_range_frame", (s, dir) => {
       import s.implicits._
       val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
