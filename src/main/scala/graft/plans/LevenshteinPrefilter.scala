@@ -51,6 +51,25 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
+  /** `lev(a,b) <= k` with an un-thresholded Levenshtein becomes
+    * `lev(a,b,k) >= 0`: the 3-arg form runs the BANDED dynamic program —
+    * O(k·min(|a|,|b|)) instead of O(|a|·|b|) — and returns −1 the moment
+    * the distance provably exceeds the threshold. Exactly the original
+    * predicate (thresholded returns the true distance when it is ≤ k, and
+    * null propagates the same), just cheaper per surviving pair. */
+  private def thresholded(cmp: Expression): Expression = cmp match {
+    case LessThanOrEqual(lev @ Levenshtein(_, _, None), k @ Literal(kv: Int, _))
+        if kv >= 0 =>
+      GreaterThanOrEqual(lev.copy(threshold = Some(k)), Literal(0))
+    case GreaterThanOrEqual(k @ Literal(kv: Int, _), lev @ Levenshtein(_, _, None))
+        if kv >= 0 =>
+      GreaterThanOrEqual(lev.copy(threshold = Some(k)), Literal(0))
+    case LessThan(lev @ Levenshtein(_, _, None), Literal(kv: Int, _))
+        if kv >= 1 =>
+      GreaterThanOrEqual(lev.copy(threshold = Some(Literal(kv - 1))), Literal(0))
+    case other => other
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -65,7 +84,8 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
             if !hasGuard(conjuncts, lev) =>
           LessThanOrEqual(lenDelta(lev), k)
       }
-      if (guards.isEmpty) f
-      else f.copy(condition = (guards ++ conjuncts).reduceLeft(And))
+      val sharpened = conjuncts.map(thresholded)
+      if (guards.isEmpty && sharpened == conjuncts) f
+      else f.copy(condition = (guards ++ sharpened).reduceLeft(And))
   }
 }

@@ -55,6 +55,20 @@ class OptimizerRuleSpec extends SparkSpec {
     assert(got === Array("kitten", "same"))
   }
 
+  test("comparison is sharpened to the banded thresholded levenshtein (lev(a,b,k) >= 0)") {
+    withRule {
+      val df = fixture.filter(levenshtein(col("a"), col("b")) <= 2)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("Some(2)) >= 0"),
+        "thresholded rewrite missing:\n" + plan)
+      // and the strict variant lowers the threshold by one
+      val lt = fixture.filter(levenshtein(col("a"), col("b")) < 2)
+        .queryExecution.optimizedPlan.toString
+      assert(lt.contains("Some(1)) >= 0"), "strict-compare threshold wrong:\n" + lt)
+      assert(fixture.filter(levenshtein(col("a"), col("b")) < 2).count() === 2)
+    }
+  }
+
   test("idempotent: re-applying the rule changes nothing (no guard stacking)") {
     withRule {
       val once = fixture.filter(levenshtein(col("a"), col("b")) <= 2)
