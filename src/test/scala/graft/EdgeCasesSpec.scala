@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.{CorpusPipeline, Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+
+/** Degenerate-input behavior of the extension operators: an EMPTY batch
+  * (a no-data day, a fully-filtered partition) and a single-document
+  * corpus must flow through every pipeline stage as empty/trivial results
+  * — never an exception. The iterative operators are the risky ones: a
+  * fold or loop that assumes ≥1 row (or ≥1 pair) dies precisely on the
+  * day the upstream filter drops everything.
+  */
+class EdgeCasesSpec extends SparkSpec {
+
+  private def docsOf(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+  private def emptyDocs = docsOf(Nil)
+  private def oneDoc = docsOf(Seq((7L, "one lonely document with several words inside", "en")))
+
+  test("pair generators return empty on an empty corpus") {
+    assert(Dedup.jaccardPairs(emptyDocs).count() === 0)
+    assert(Dedup.containmentPairs(emptyDocs).count() === 0)
+    assert(Dedup.minhashLshPairs(emptyDocs).count() === 0)
+    assert(Dedup.simhashCandidates(emptyDocs).count() === 0)
+  }
+
+  test("pair generators return empty on a single-document corpus (no pair exists)") {
+    assert(Dedup.jaccardPairs(oneDoc).count() === 0)
+    assert(Dedup.containmentPairs(oneDoc).count() === 0)
+    assert(Dedup.minhashLshPairs(oneDoc).count() === 0)
+    assert(Dedup.simhashCandidates(oneDoc).count() === 0)
+  }
+
+  test("connected components converge immediately on an empty pair set") {
+    assert(Dedup.dupClusters(Dedup.jaccardPairs(emptyDocs)).count() === 0)
+  }
+
+  test("shard packing of an empty corpus is empty") {
+    import org.apache.spark.sql.functions._
+    val empty = emptyDocs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).as("n_tok"))
+    assert(TextAnalysis.packShards(empty, budget = 2000).count() === 0)
+  }
+
+  test("end-to-end curation of an empty corpus is empty, of one doc is that doc") {
+    assert(CorpusPipeline.curate(emptyDocs).count() === 0)
+    val one = CorpusPipeline.curate(oneDoc).collect()
+    assert(one.length === 1 && one.head.getLong(0) === 7L)
+  }
+}
