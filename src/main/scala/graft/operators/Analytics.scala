@@ -475,9 +475,11 @@ object Analytics extends QModule {
     // no partsupp table in this schema, so the "catalog" is derived
     // deterministically: min l_extendedprice per (l_partkey, l_suppkey)
     // (reference Q2 semantics over the data we have). The correlated
-    // subquery decorrelates into ONE extra hash agg on p_partkey joined
-    // back by (key, price-equality) — never a per-row probe; min() is
-    // exact over doubles, so the equality join is engine-stable.
+    // subquery decorrelates into a min() WINDOW over p_partkey on the
+    // SAME offers pass — one lineitem scan total (the agg+join-back form
+    // scanned the fact twice), never a per-row probe; the window key is
+    // the part key (cardinality grows with data, no hot stratum), and
+    // min() is exact over doubles so the equality filter is engine-stable.
     Q("q2_min_cost_supplier", (s, dir) => {
       import s.implicits._
       val regionNat = broadcast(
@@ -496,10 +498,10 @@ object Analytics extends QModule {
         .agg(min($"l_extendedprice").as("ps_cost"))
         .join(parts, $"l_partkey" === $"p_partkey")
         .join(sup, $"l_suppkey" === $"s_suppkey")
-      val minCost = offers.groupBy($"p_partkey".as("mc_partkey"))
-        .agg(min($"ps_cost").as("min_cost"))
-      offers.join(minCost,
-          $"p_partkey" === $"mc_partkey" && $"ps_cost" === $"min_cost")
+      val wMin = org.apache.spark.sql.expressions.Window.partitionBy($"p_partkey")
+      offers
+        .withColumn("min_cost", min($"ps_cost").over(wMin))
+        .filter($"ps_cost" === $"min_cost")
         .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
           $"ps_cost")
         .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
