@@ -603,12 +603,15 @@ object Analytics extends QModule {
       ORDER BY part_value DESC, l_partkey
     """)),
 
-    // Q15 shape: argmax against a scalar subquery — quarterly revenue per
-    // supplier, keep the supplier(s) AT the maximum. One hash agg builds
-    // the "view", its one-row max broadcasts back over it (exact-decimal
-    // revenue → double equality is engine-stable), and only survivors
-    // join the supplier dim. Ties surface every max supplier, as in the
-    // reference query.
+    // Q15 shape: argmax with ties — quarterly revenue per supplier, keep
+    // the supplier(s) AT the maximum. rank()=1 over the per-supplier
+    // aggregate keeps every tied max (max_by would drop ties) and plans
+    // as WindowGroupLimit: each task forwards only its local rank-1 row
+    // to the single-partition window, so the global step sees #partitions
+    // rows — and the rev aggregate is computed ONCE (the scalar-subquery
+    // formulation scanned the fact twice; AQE did not reuse the exchange
+    // across the two branches). Revenue is an exact decimal sum, so the
+    // tie comparison is engine-stable.
     Q("q15_top_supplier", (s, dir) => {
       import s.implicits._
       val rev = t(s, dir, "lineitem")
@@ -617,9 +620,9 @@ object Analytics extends QModule {
         .groupBy($"l_suppkey")
         .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
           .as("total_revenue"))
-      val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
-      rev.crossJoin(broadcast(maxRev))
-        .filter($"total_revenue" === $"max_revenue")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"total_revenue".desc)
+      rev.withColumn("rk", rank().over(w)).filter($"rk" === 1).drop("rk")
         .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
         .select($"s_suppkey", $"s_name", $"total_revenue")
         .orderBy($"s_suppkey")

@@ -146,6 +146,13 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank<=k not pushed below the shuffle:\n" + p)
   }
 
+  test("q15: argmax-with-ties bounds the global window via WindowGroupLimit, one fact scan") {
+    val p = planOf("q15_top_supplier").split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"), "rank=1 not pushed below the shuffle:\n" + p)
+    val scans = p.split('\n').count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"expected ONE lineitem scan, saw $scans:\n$p")
+  }
+
   test("s9: year predicate prunes to exactly one partition directory") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // scan-level proof on the raw pruned read (no exchange → no AQE
@@ -261,7 +268,7 @@ class PlanHygieneSpec extends SparkSpec {
     "j6_cross_join", "g7_mart_aggregate", "g17b_percentile_bound",
     "w6b_quartiles_bucketed", "w9_gap_fill", "q22_rich_inactive",
     "t_tfidf", "sim_topk_cosine", "sim_range_search", "sim_ann_ivf",
-    "e4_funnel", "q11_important_value", "q15_top_supplier", "s10_dpp_join")
+    "e4_funnel", "q11_important_value", "s10_dpp_join")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     val trips = SparkEntry.all.flatMap { q =>
