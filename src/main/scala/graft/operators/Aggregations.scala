@@ -410,7 +410,7 @@ object Aggregations extends QModule {
         .orderBy($"o_orderstatus")
     }, sql = Some("""
       SELECT o_orderstatus,
-             count_if(o_totalprice > 200000) AS n_big,
+             CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
              bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
              bool_and(o_totalprice > 1000) AS all_over_1k,
              bool_and(o_custkey IS NOT NULL) AS custkey_complete

@@ -188,7 +188,7 @@ object Joins extends QModule {
                regexp_replace(lower(c_name), '[aeiou]', '', 'g') AS dirty_name
         FROM customer)
       SELECT COUNT(*) AS n_matched,
-             count_if(c_custkey = d_key) AS n_true_matches,
+             CAST(count_if(c_custkey = d_key) AS BIGINT) AS n_true_matches,
              MAX(levenshtein(lower(c_name), dirty_name)) AS max_dist
       FROM clean JOIN dirty ON blk = dirty_name
       WHERE levenshtein(lower(c_name), dirty_name) <= 5

@@ -67,22 +67,32 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
     case LessThan(lev @ Levenshtein(_, _, None), Literal(kv: Int, _))
         if kv >= 1 =>
       GreaterThanOrEqual(lev.copy(threshold = Some(Literal(kv - 1))), Literal(0))
+    case GreaterThan(Literal(kv: Int, _), lev @ Levenshtein(_, _, None))
+        if kv >= 1 =>
+      GreaterThanOrEqual(lev.copy(threshold = Some(Literal(kv - 1))), Literal(0))
     case other => other
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // Guards only apply to the UN-thresholded form: `levenshtein(a,b,t)`
+      // returns -1 when the distance exceeds t, so e.g. `lev(a,b,3) <= 2`
+      // is TRUE for pairs whose distance exceeds 3 — a length-delta guard
+      // would wrongly reject those rows.
       val guards = conjuncts.collect {
-        case LessThanOrEqual(lev: Levenshtein, k: Literal)
+        case LessThanOrEqual(lev @ Levenshtein(_, _, None), k: Literal)
             if !hasGuard(conjuncts, lev) =>
           LessThanOrEqual(lenDelta(lev), k)
-        case LessThan(lev: Levenshtein, k: Literal)
+        case LessThan(lev @ Levenshtein(_, _, None), k: Literal)
             if !hasGuard(conjuncts, lev) =>
           LessThan(lenDelta(lev), k)
-        case GreaterThanOrEqual(k: Literal, lev: Levenshtein)
+        case GreaterThanOrEqual(k: Literal, lev @ Levenshtein(_, _, None))
             if !hasGuard(conjuncts, lev) =>
           LessThanOrEqual(lenDelta(lev), k)
+        case GreaterThan(k: Literal, lev @ Levenshtein(_, _, None))
+            if !hasGuard(conjuncts, lev) =>
+          LessThan(lenDelta(lev), k)
       }
       val sharpened = conjuncts.map(thresholded)
       if (guards.isEmpty && sharpened == conjuncts) f

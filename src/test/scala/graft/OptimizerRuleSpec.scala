@@ -91,6 +91,29 @@ class OptimizerRuleSpec extends SparkSpec {
     }
   }
 
+  test("pre-thresholded levenshtein(a,b,t) is NEVER guarded (returns -1 past t, guard would flip semantics)") {
+    withRule {
+      // lev(a,b,1) <= 2 is TRUE for every row: distance <= 1 gives 0/1,
+      // distance > 1 gives -1 — all satisfy <= 2. A length-delta guard
+      // would wrongly drop the long-paragraph pair.
+      val df = fixture.filter(expr("levenshtein(a, b, 1) <= 2"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("abs((length("),
+        "guard wrongly added to pre-thresholded levenshtein:\n" + plan)
+      assert(df.count() === 4)
+    }
+  }
+
+  test("k > levenshtein form gets the mirrored guard and Some(k-1) threshold") {
+    withRule {
+      val df = fixture.filter(lit(2) > levenshtein(col("a"), col("b")))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("abs((length("), "guard missing for k > lev:\n" + plan)
+      assert(plan.contains("Some(1)) >= 0"), "threshold wrong for k > lev:\n" + plan)
+      assert(df.count() === 2) // kitten~sitten (1), same~same (0)
+    }
+  }
+
   test("j8 shape: the fuzzy-match plan carries the guard with the rule on, result unchanged") {
     withRule {
       val df = SparkEntry.queries("j8_fuzzy_match")(spark, "/root/testdata/sf0.001")
