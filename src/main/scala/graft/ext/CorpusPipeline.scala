@@ -33,12 +33,22 @@ object CorpusPipeline {
   import TextAnalysis.{enPat, hits, tokens}
 
   def curate(docs: DataFrame, shardBudget: Int = 2000): DataFrame = {
-    // 1. per-language median quality gate
-    val q = docs.select(col("doc_id"), col("lang"), col("text"),
-      (hits(col("text"), enPat).cast("double") / size(tokens(col("text")))).as("r"))
+    // 1. per-language median quality gate. Token count is computed ONCE
+    //    here and carried through — the shard-packing stage reuses it
+    //    instead of re-tokenizing the curated set.
+    val q = docs
+      .withColumn("n_tok", size(tokens(col("text"))))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"),
+        (hits(col("text"), enPat).cast("double") / col("n_tok")).as("r"))
     val med = q.groupBy(col("lang"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
+    // The gated set fans out to BOTH the pair-generation branch and the
+    // final anti-join — without a materialization barrier each branch
+    // replays the regex/tokenize scan (the pipeline's CPU-heaviest map).
+    // localCheckpoint computes it once; on a real cluster a persisted
+    // table / reliable checkpoint plays this role (same plan, durable).
     val kept = q.join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
+      .localCheckpoint()
 
     // 2. collapse near-dup clusters to their representative
     val clusters = Dedup.dupClusters(
@@ -50,7 +60,7 @@ object CorpusPipeline {
     //    TextAnalysis.packShards; same fixpoint as a per-lang running
     //    sum, no single-language corpus sort)
     TextAnalysis.packShards(
-      uniq.select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok")),
+      uniq.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
       .orderBy(col("doc_id"))
   }
