@@ -556,6 +556,110 @@ object TextAnalysis extends QModule {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM documents) t
       ORDER BY doc_id
+    """)),
+
+    // C4/RefinedWeb-style line-level dedup, with fixed 10-token segments
+    // standing in for lines (the corpus is single-line). A segment is a
+    // dup if any earlier (doc_id) occurrence of the same segment exists —
+    // including within the same document. Execution shape is AGG-ONLY and
+    // skew-proof by construction: explode → hash-agg per segment
+    // (map-side combine absorbs a boilerplate segment occurring in
+    // millions of docs — the exact hot key C4 hits) → hash-agg per doc →
+    // doc_id equi-joins. No window over the segment key, no self-join:
+    // the per-doc keeper count is enough to derive the dup count.
+    Q("t_segment_dedup", (s, dir) => {
+      import s.implicits._
+      val segs = t(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, (size(toks)+9) div 10 - 1), i -> concat_ws(' ', slice(toks, i*10+1, 10)))"))
+          .as("seg"))
+      val totals = segs.groupBy($"doc_id").agg(count(lit(1)).as("n_seg"))
+      val kept = segs.groupBy($"seg").agg(min($"doc_id").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_kept"))
+      totals.join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_seg",
+          ($"n_seg" - coalesce($"n_kept", lit(0L))).as("n_dup_seg"))
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+      seg AS (
+        SELECT doc_id, array_to_string(toks[i*10+1:i*10+10], ' ') AS seg
+        FROM docs, UNNEST(range(0, (len(toks)+9)//10)) t(i)),
+      totals AS (SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY 1),
+      keep AS (SELECT seg, MIN(doc_id) AS doc_id FROM seg GROUP BY 1),
+      kept AS (SELECT doc_id, COUNT(*) AS n_kept FROM keep GROUP BY 1)
+      SELECT t.doc_id, t.n_seg,
+             t.n_seg - COALESCE(k.n_kept, 0) AS n_dup_seg
+      FROM totals t LEFT JOIN kept k USING (doc_id)
+      ORDER BY doc_id
+    """)),
+
+    // Tokenizer-training primitive: the first round of BPE-style merge
+    // selection is "count every adjacent token pair across the corpus,
+    // take the most frequent". Map-side explode of (len-1) bigrams per
+    // doc, ONE shuffle of partial counts (map-side combine), TakeOrdered
+    // top-k — the same shape at 100 TB, where the pair-count table is
+    // vocab², tiny next to the corpus.
+    Q("t_bpe_pairs", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(split(trim(lower($"text")), "\\s+").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+          .as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(20)
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      p AS (
+        SELECT toks[i] || ' ' || toks[i+1] AS pair
+        FROM docs, UNNEST(range(1, len(toks))) t(i)
+        WHERE len(toks) >= 2)
+      SELECT pair, COUNT(*) AS n FROM p
+      GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+    """)),
+
+    // Vocabulary coverage / OOV rate per language against a frequency-built
+    // top-k vocab (k=10 of the corpus's 31 tokens, so the rate is
+    // non-trivial): pass 1 builds the vocab (hash agg + TakeOrdered —
+    // vocab-sized, broadcastable at any corpus scale), pass 2 left-joins
+    // it back (broadcast) and aggregates per language. The rate is one
+    // IEEE divide + floor on exact counts — bit-equal cross-engine.
+    Q("t_vocab_coverage", (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"lang", explode(tokens(lower($"text"))).as("token"))
+      val vocab = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc).limit(10)
+        .select($"token", lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_tok"),
+          count(when($"in_v".isNull, 1)).as("n_oov"))
+        .withColumn("oov_e6", floor($"n_oov" * lit(1e6) / $"n_tok").cast("long"))
+        .orderBy($"lang")
+    }, sql = Some("""
+      WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, COUNT(*) AS n FROM toks
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 10)),
+      sel AS (
+        SELECT t.lang, v.token AS vt
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+      SELECT lang, COUNT(*) AS n_tok,
+             COUNT(CASE WHEN vt IS NULL THEN 1 END) AS n_oov,
+             CAST(floor(COUNT(CASE WHEN vt IS NULL THEN 1 END) * 1e6 / COUNT(*)) AS BIGINT) AS oov_e6
+      FROM sel GROUP BY lang ORDER BY lang
     """))
   )
 }
