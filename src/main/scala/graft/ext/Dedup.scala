@@ -115,10 +115,23 @@ object Dedup {
     * 20-edge chain converges in exactly 20 rounds); near-dup clusters
     * are dense (LSH candidates approximate cliques), so 2-3 rounds in
     * practice. Each round is one shuffle (edges ⋈ labels + groupBy). At
-    * 100 TB with adversarial long-chain graphs, swap the inner loop for
-    * alternating star contraction (O(log n) rounds, same join+groupBy
-    * primitive, Kiveris et al., "Connected Components in MapReduce") —
-    * the fixpoint, and hence the oracle, is identical.
+    * 100 TB with adversarial long-chain graphs, pass `jump = true`:
+    * each round then ALSO pointer-doubles (`rep <- min(rep, rep(rep))`,
+    * one extra label-table self-join), halving the label's
+    * distance-to-root per round — O(log d) rounds total, the same
+    * regime as star contraction (Kiveris et al., "Connected Components
+    * in MapReduce"). Labels still only decrease and stay within the
+    * component, and the loop exits only when the NEIGHBOR step is
+    * stable, so the fixpoint — and hence the oracle — is identical
+    * (DedupClusterSpec: a 40-edge chain lands on the same fixpoint
+    * within 12 rounds). Default off: near-dup clusters are dense (LSH
+    * candidates approximate cliques, 2-3 rounds), where the extra
+    * self-join per round costs more than it saves.
+    *
+    * `maxRounds` is the runaway guard: a loop that has not converged by
+    * the bound fails loudly (IllegalStateException) instead of burning
+    * the cluster — at 100 TB an unexpected topology should page, not
+    * spin.
     *
     * Checkpointing: every round's label table is checkpointed so round N
     * doesn't replay rounds 1..N-1 (and the whole upstream shingle
@@ -133,7 +146,9 @@ object Dedup {
     *
     * The result is the UNIQUE fixpoint, so it is algorithm-independent
     * and replayable in the oracle as a recursive transitive closure. */
-  def dupClusters(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+  def dupClusters(pairs: DataFrame, reliable: Boolean = false,
+                  jump: Boolean = false,
+                  maxRounds: Int = 1000): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (!reliable) df.localCheckpoint()
       else {
@@ -148,17 +163,37 @@ object Dedup {
     var lab = ckpt(edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
       .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("rep")))
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"dupClusters: no convergence after $maxRounds rounds")
       val nbrMin = edges
         .join(lab.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
         .groupBy(col("a")).agg(min(col("brep")).as("nrep"))
         .withColumnRenamed("a", "doc_id")
       // carry the convergence flag inside the same pass: one join + one
       // cheap count over the checkpointed rows, instead of a second
-      // next⋈lab join job per round
-      val next = ckpt(lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"), least(col("prev"), col("nrep")).as("rep"),
-          (col("nrep") < col("prev")).as("chg")))
+      // next-vs-lab join job per round
+      val stepped = lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), col("nrep")).as("rep1"))
+      val next = ckpt(
+        if (!jump) stepped.select(col("doc_id"), col("rep1").as("rep"),
+          (col("rep1") < col("prev")).as("chg"))
+        else {
+          // pointer doubling: rep <- min(rep, rep(rep)). Every rep value
+          // is a node id of the same component (it is a min over member
+          // ids), so the self-join resolves it; left + coalesce guards
+          // the root, whose rep is itself.
+          val ptr = stepped.select(col("doc_id").as("rep1"),
+            col("rep1").as("rrep"))
+          stepped.join(ptr, Seq("rep1"), "left")
+            .select(col("doc_id"),
+              least(col("rep1"), coalesce(col("rrep"), col("rep1"))).as("rep"),
+              (least(col("rep1"), coalesce(col("rrep"), col("rep1")))
+                < col("prev")).as("chg"))
+        })
       changed = next.filter(col("chg")).count()
       lab = next.drop("chg")
     }

@@ -49,6 +49,37 @@ class DedupClusterSpec extends SparkSpec {
     assert(durable === expect, "reliable-checkpoint mode diverged")
   }
 
+  test("pointer-doubling mode: 40-edge chain hits the same fixpoint in O(log d) rounds") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val expect = (0L to 40L).map(i => i -> ((0L, 41L))).toMap
+    // maxRounds = 12 IS the logarithmic-convergence assertion: plain
+    // min-label propagation needs 40 rounds on this graph (one hop per
+    // round), so terminating within 12 proves the doubling step works
+    val got = Dedup.dupClusters(chain, jump = true, maxRounds = 12).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect, "jump mode missed the chain fixpoint")
+  }
+
+  test("maxRounds guard fails loudly instead of spinning") {
+    import spark.implicits._
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("no convergence"))
+  }
+
+  test("jump and plain modes agree on the real corpus") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.jaccardPairs(docs)
+    val plain = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val jumped = Dedup.dupClusters(pairs, jump = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(jumped === plain)
+  }
+
   test("real corpus: every rep is the min doc_id of its cluster") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val got = Dedup.dupClusters(Dedup.jaccardPairs(docs)).collect()
