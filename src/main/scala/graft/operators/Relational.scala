@@ -192,6 +192,43 @@ object Relational extends QModule {
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
+    // Z-order (Morton) layout: interleave the low 16 bits of two
+    // dimensions into one sort key, then range-bucket on it. The output
+    // is the pruning property itself: within each z-bucket BOTH
+    // dimensions' min..max spans are ~sqrt(global) — so after
+    // `repartitionByRange(zval).sortWithinPartitions(zval)` +
+    // parquet write, a range predicate on EITHER l_partkey OR l_suppkey
+    // skips most row groups on footer min/max alone. This is the
+    // write-side layout step (Delta/Iceberg OPTIMIZE ZORDER) a 100 TB
+    // table needs when two filter columns compete for the sort order;
+    // the z-value is 32 codegen'd shift/mask terms, map-only.
+    Q("s11_zorder_layout", (s, dir) => {
+      import s.implicits._
+      val zval = (0 until 16).map { i =>
+        shiftleft(shiftright($"l_partkey", i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright($"l_suppkey", i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey", zval.as("zval"))
+        .withColumn("z_bucket", expr("zval div 131072")) // 2^17-wide z-ranges
+        .groupBy($"z_bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"l_partkey").as("pk_min"), max($"l_partkey").as("pk_max"),
+          min($"l_suppkey").as("sk_min"), max($"l_suppkey").as("sk_max"))
+        .orderBy($"z_bucket")
+    }, sql = Some("""
+      WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM((((l_partkey >> i) & 1) << (2*i))
+                      + (((l_suppkey >> i) & 1) << (2*i + 1))) AS BIGINT) AS zval
+        FROM lineitem, UNNEST(range(0, 16)) t(i)
+        GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+      SELECT zval // 131072 AS z_bucket, COUNT(*) AS n,
+             MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+             MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+      FROM z GROUP BY 1 ORDER BY z_bucket
+    """)),
+
     // F3/F5/F6: row-validity + null-guard + cast-quarantine in one pass —
     // the CsvLoader.java:39 / LotteryTransform.java:127-152 pattern: parse,
     // quarantine unparseable rows by cast-null, keep the good ones.
