@@ -660,6 +660,42 @@ object TextAnalysis extends QModule {
              COUNT(CASE WHEN vt IS NULL THEN 1 END) AS n_oov,
              CAST(floor(COUNT(CASE WHEN vt IS NULL THEN 1 END) * 1e6 / COUNT(*)) AS BIGINT) AS oov_e6
       FROM sel GROUP BY lang ORDER BY lang
+    """)),
+
+    // Per-language 2-sigma length-outlier count, BIT-EXACT: |x - mean| >
+    // 2*sigma is rewritten over raw integer moments as
+    // (n*x - S)^2 > 4*(n*Q - S^2) — pure BIGINT arithmetic, no mean, no
+    // sqrt, no float boundary to flip between engines (the g15_corr
+    // trick applied to an anomaly gate). Two passes: mergeable moment
+    // aggregates, broadcast back (one row per language), map-side
+    // predicate. The float version of this filter is NOT
+    // hash-comparable; the moments version is.
+    Q("t_outlier_zscore", (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"lang", $"n_chars")
+      val st = d.groupBy($"lang").agg(
+        count(lit(1)).as("n"),
+        sum($"n_chars").as("s"),
+        sum($"n_chars" * $"n_chars").as("q"))
+      d.join(broadcast(st), Seq("lang"))
+        .withColumn("dev", $"n" * $"n_chars" - $"s")
+        .withColumn("is_out",
+          $"dev" * $"dev" > lit(4L) * ($"n" * $"q" - $"s" * $"s"))
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          count(when($"is_out", 1)).as("n_outliers"))
+        .orderBy($"lang")
+    }, sql = Some("""
+      WITH st AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS s,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+        FROM documents GROUP BY lang)
+      SELECT lang, COUNT(*) AS n_docs,
+             COUNT(CASE WHEN (n * n_chars - s) * (n * n_chars - s)
+                             > 4 * (n * q - s * s) THEN 1 END) AS n_outliers
+      FROM documents JOIN st USING (lang)
+      GROUP BY lang ORDER BY lang
     """))
   )
 }

@@ -417,6 +417,30 @@ object Aggregations extends QModule {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
+    // Equi-width histogram of order values: global min/max in pass 1
+    // (broadcast — 1 row), bucket assignment + count in pass 2. The
+    // canonical two-pass distribution profile; at 100 TB both passes are
+    // single scans with mergeable aggregates. Bucket arithmetic is
+    // written with explicit parens so both engines run the identical
+    // IEEE op sequence.
+    Q("g23_histogram", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val mm = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(floor((($"o_totalprice" - $"mn") * 10) / ($"mx" - $"mn")), lit(9L))
+            .cast("long"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }, sql = Some("""
+      WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+      SELECT LEAST(CAST(floor(((o_totalprice - mn) * 10) / (mx - mn)) AS BIGINT), 9) AS bucket,
+             COUNT(*) AS n
+      FROM orders CROSS JOIN mm
+      GROUP BY 1 ORDER BY bucket
+    """)),
+
     // String aggregation with a pinned within-group order (collect_list
     // alone is partition-order-dependent — sorting the array first is
     // what makes it deterministic and cross-engine).

@@ -268,7 +268,9 @@ class PlanHygieneSpec extends SparkSpec {
     "j6_cross_join", "g7_mart_aggregate", "g17b_percentile_bound",
     "w6b_quartiles_bucketed", "w9_gap_fill", "q22_rich_inactive",
     "t_tfidf", "sim_topk_cosine", "sim_range_search", "sim_ann_ivf",
-    "e4_funnel", "q11_important_value", "s10_dpp_join")
+    "e4_funnel", "q11_important_value", "s10_dpp_join",
+    // 1-row global min/max broadcast under the histogram bucketing
+    "g23_histogram")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     val trips = SparkEntry.all.flatMap { q =>
