@@ -131,6 +131,30 @@ object TextAnalysis extends QModule {
         floor((col("cum") - col("n_tok")) / budget).cast("long").as("shard_id"))
   }
 
+  /** Per-doc segment dedup stats (t_segment_dedup): split each doc into
+    * consecutive `segLen`-token segments, count per doc how many are dups
+    * of an earlier occurrence (lower doc_id, or earlier in the SAME doc).
+    * Agg-only shape — hash-agg per segment with map-side combine, then
+    * per-doc keeper counts — so a boilerplate segment in millions of docs
+    * never concentrates on one task (no window/self-join on the segment). */
+  def segmentDedupStats(docs: org.apache.spark.sql.DataFrame,
+                        segLen: Int = 10): org.apache.spark.sql.DataFrame = {
+    val segs = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(toks)+${segLen - 1}) div $segLen - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i*$segLen+1, $segLen)))"))
+        .as("seg"))
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+    val kept = segs.groupBy(col("seg")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dup_seg"))
+      .orderBy(col("doc_id"))
+  }
+
   def qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
     // "token counting" op). Int outputs → exact cross-engine.
@@ -567,22 +591,8 @@ object TextAnalysis extends QModule {
     // millions of docs — the exact hot key C4 hits) → hash-agg per doc →
     // doc_id equi-joins. No window over the segment key, no self-join:
     // the per-doc keeper count is enough to derive the dup count.
-    Q("t_segment_dedup", (s, dir) => {
-      import s.implicits._
-      val segs = t(s, dir, "documents")
-        .filter(length(trim($"text")) > 0)
-        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
-        .select($"doc_id", explode(expr(
-          "transform(sequence(0, (size(toks)+9) div 10 - 1), i -> concat_ws(' ', slice(toks, i*10+1, 10)))"))
-          .as("seg"))
-      val totals = segs.groupBy($"doc_id").agg(count(lit(1)).as("n_seg"))
-      val kept = segs.groupBy($"seg").agg(min($"doc_id").as("doc_id"))
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_kept"))
-      totals.join(kept, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_seg",
-          ($"n_seg" - coalesce($"n_kept", lit(0L))).as("n_dup_seg"))
-        .orderBy($"doc_id")
-    }, sql = Some("""
+    Q("t_segment_dedup", (s, dir) =>
+      segmentDedupStats(t(s, dir, "documents")), sql = Some("""
       WITH docs AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         FROM documents WHERE length(trim(text)) > 0),
@@ -596,7 +606,7 @@ object TextAnalysis extends QModule {
              t.n_seg - COALESCE(k.n_kept, 0) AS n_dup_seg
       FROM totals t LEFT JOIN kept k USING (doc_id)
       ORDER BY doc_id
-    """)),
+    """), headline = true),
 
     // Tokenizer-training primitive: the first round of BPE-style merge
     // selection is "count every adjacent token pair across the corpus,

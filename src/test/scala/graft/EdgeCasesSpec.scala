@@ -19,6 +19,25 @@ class EdgeCasesSpec extends SparkSpec {
   private def emptyDocs = docsOf(Nil)
   private def oneDoc = docsOf(Seq((7L, "one lonely document with several words inside", "en")))
 
+  test("segment dedup: planted copies are counted as dups, first occurrence wins") {
+    // seg length 3; doc 1 owns two segments, doc 2 copies doc 1's first
+    // segment plus a fresh one, doc 3 repeats ONE segment internally
+    // (the second occurrence is a dup even within the same doc)
+    val docs = docsOf(Seq(
+      (1L, "a b c d e f", "en"),             // segs: "a b c", "d e f"
+      (2L, "a b c x y z", "en"),             // "a b c" dups doc 1
+      (3L, "p q r p q r", "en")))            // second "p q r" dups the first
+    val got = TextAnalysis.segmentDedupStats(docs, segLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
+
+  test("segment dedup: empty and single-doc corpora flow through") {
+    assert(TextAnalysis.segmentDedupStats(emptyDocs).count() === 0)
+    val one = TextAnalysis.segmentDedupStats(oneDoc).collect()
+    assert(one.length === 1 && one.head.getLong(2) === 0L)
+  }
+
   test("pair generators return empty on an empty corpus") {
     assert(Dedup.jaccardPairs(emptyDocs).count() === 0)
     assert(Dedup.containmentPairs(emptyDocs).count() === 0)
