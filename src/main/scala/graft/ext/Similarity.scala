@@ -284,6 +284,37 @@ object SimilarityQueries extends QModule {
       ORDER BY vec_i, vec_j
     """)),
 
+    // SemDeDup-style semantic cluster collapse: the SAME connected-
+    // components engine that serves shingle-Jaccard dedup, fed by the
+    // embedding-cosine pair generator — cluster collapse is similarity-
+    // backend-agnostic (one more reason it must not be welded to one
+    // pair source). Every vector maps to its semantic cluster's min-id
+    // representative; a curation pipeline keeps one exemplar per cluster.
+    Q("dedup_semantic_clusters", (s, dir) =>
+      Dedup.dupClusters(
+        cosinePairs(t(s, dir, "embeddings"), 0.4)
+          .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j")))
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy(col("vec_id")),
+      sql = Some(s"""
+      WITH RECURSIVE jp AS (
+        SELECT vec_i, vec_j FROM (
+          SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+                 CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        WHERE cosine_e9 >= 400000000),
+      edges AS (SELECT vec_i AS a, vec_j AS b FROM jp
+                UNION ALL SELECT vec_j, vec_i FROM jp),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      rep AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
+      sz AS (SELECT rep_id, COUNT(*) AS cluster_size FROM rep GROUP BY 1)
+      SELECT vec_id, rep_id, cluster_size
+      FROM rep JOIN sz USING (rep_id) ORDER BY vec_id
+    """)),
+
     // ANN via multi-probe random-hyperplane LSH (8 planes, Hamming ≤ 3
     // probe — parameters measured against the corpus, PERF.md §ANN). The
     // md5-derived ±1 hyperplanes and integer-quantized projections make
