@@ -706,6 +706,88 @@ object TextAnalysis extends QModule {
                              > 4 * (n * q - s * s) THEN 1 END) AS n_outliers
       FROM documents JOIN st USING (lang)
       GROUP BY lang ORDER BY lang
+    """)),
+
+    // Vocabulary growth (saturation) curve per language: after ingesting
+    // docs in id order, how many distinct tokens has the language seen?
+    // Distinct-over-window is not directly expressible in either engine;
+    // the portable form is the FIRST-OCCURRENCE FLAG (row_number = 1 per
+    // (lang, token) in stream order) summed cumulatively. Both windows
+    // are lang-partitioned (bounded strata, the w8 posture); the flag
+    // dedup is a hash-shuffle on (lang, token) — scale-safe.
+    Q("t_vocab_growth", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select($"lang", $"doc_id", explode(tokens(lower($"text"))).as("token"))
+      val firsts = toks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang", $"token").orderBy($"doc_id")))
+        .filter($"rn" === 1)
+        .groupBy($"lang", $"doc_id").agg(count(lit(1)).as("n_new"))
+      val perDoc = toks.select($"lang", $"doc_id").distinct()
+        .join(firsts, Seq("lang", "doc_id"), "left")
+        .withColumn("n_new", coalesce($"n_new", lit(0L)))
+      perDoc
+        .withColumn("vocab_seen", sum($"n_new").over(
+          Window.partitionBy($"lang").orderBy($"doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"lang", $"doc_id", $"n_new", $"vocab_seen")
+        .orderBy($"lang", $"doc_id")
+    }, sql = Some("""
+      WITH toks AS (
+        SELECT lang, doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      firsts AS (
+        SELECT lang, doc_id, COUNT(*) AS n_new FROM (
+          SELECT lang, doc_id, token,
+                 row_number() OVER (PARTITION BY lang, token ORDER BY doc_id) AS rn
+          FROM toks) t
+        WHERE rn = 1 GROUP BY lang, doc_id),
+      per_doc AS (
+        SELECT d.lang, d.doc_id, COALESCE(f.n_new, 0) AS n_new
+        FROM (SELECT DISTINCT lang, doc_id FROM toks) d
+        LEFT JOIN firsts f ON d.lang = f.lang AND d.doc_id = f.doc_id)
+      SELECT lang, doc_id, n_new,
+             SUM(n_new) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_seen
+      FROM per_doc ORDER BY lang, doc_id
+    """)),
+
+    // Rare-token density score: rank every token by global frequency
+    // (rank 1 = most common; ties broken by token text, so the rank
+    // table is deterministic), then score each doc by its mean token
+    // rank ×1e6 — a lexical-rarity quality signal with INTEGER sums and
+    // one IEEE divide + floor (hash-exact, where a log-prob LM score
+    // would not be). Rank table is vocab-sized → broadcast.
+    Q("t_rarity_score", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(tokens(lower($"text"))).as("token"))
+      val ranks = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"n".desc, $"token".asc)).cast("long"))
+        .select($"token", $"rk")
+      toks.join(broadcast(ranks), Seq("token"))
+        .groupBy($"doc_id").agg(
+          count(lit(1)).as("n_tok"), sum($"rk").as("rank_sum"))
+        .withColumn("rarity_e6",
+          floor($"rank_sum" * lit(1e6) / $"n_tok").cast("long"))
+        .select($"doc_id", $"n_tok", $"rarity_e6")
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      ranks AS (
+        SELECT token, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT) AS rk
+        FROM toks GROUP BY token)
+      SELECT doc_id, COUNT(*) AS n_tok,
+             CAST(floor(CAST(SUM(rk) AS BIGINT) * 1e6 / COUNT(*)) AS BIGINT) AS rarity_e6
+      FROM toks JOIN ranks USING (token)
+      GROUP BY doc_id ORDER BY doc_id
     """))
   )
 }
