@@ -86,8 +86,13 @@ object CorpusPipeline {
   def curateIncremental(docs: DataFrame, splitId: Long = 400L,
                         shardBudget: Int = 2000): DataFrame = {
     import TextAnalysis.{enPat, hits, tokens}
-    val q = docs.select(col("doc_id"), col("lang"), col("text"),
-      (hits(col("text"), enPat).cast("double") / size(tokens(col("text")))).as("r"))
+    // n_tok computed once and carried to shard packing (unlike [[curate]]
+    // there is no fan-out here — kept has a single consumer — so no
+    // materialization barrier is needed)
+    val q = docs
+      .withColumn("n_tok", size(tokens(col("text"))))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"),
+        (hits(col("text"), enPat).cast("double") / col("n_tok")).as("r"))
     val med = q.filter(col("doc_id") < splitId)
       .groupBy(col("lang"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
@@ -105,8 +110,7 @@ object CorpusPipeline {
       .filter(col("rn") === 1)
 
     TextAnalysis.packShards(
-      admitted.select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).as("n_tok")),
+      admitted.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
       .orderBy(col("doc_id"))
   }

@@ -175,9 +175,13 @@ object Dedup {
       // carry the convergence flag inside the same pass: one join + one
       // cheap count over the checkpointed rows, instead of a second
       // next-vs-lab join job per round
-      val stepped = lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
+      val stepped0 = lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"), col("prev"),
           least(col("prev"), col("nrep")).as("rep1"))
+      // in jump mode stepped feeds BOTH sides of the pointer self-join —
+      // checkpoint it so the neighbor join+agg computes once per round,
+      // not twice (the jump's budget is one extra self-join, nothing more)
+      val stepped = if (jump) ckpt(stepped0) else stepped0
       val next = ckpt(
         if (!jump) stepped.select(col("doc_id"), col("rep1").as("rep"),
           (col("rep1") < col("prev")).as("chg"))

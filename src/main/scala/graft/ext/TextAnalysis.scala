@@ -4,6 +4,7 @@ import graft.{Q, QModule}
 import graft.Tables.t
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a training-data pipeline over `documents`
   * (extension tier, BASELINE.json north star; no reference counterpart —
@@ -674,23 +675,29 @@ object TextAnalysis extends QModule {
 
     // Per-language 2-sigma length-outlier count, BIT-EXACT: |x - mean| >
     // 2*sigma is rewritten over raw integer moments as
-    // (n*x - S)^2 > 4*(n*Q - S^2) — pure BIGINT arithmetic, no mean, no
+    // (n*x - S)^2 > 4*(n*Q - S^2) — integer arithmetic only, no mean, no
     // sqrt, no float boundary to flip between engines (the g15_corr
-    // trick applied to an anomaly gate). Two passes: mergeable moment
-    // aggregates, broadcast back (one row per language), map-side
-    // predicate. The float version of this filter is NOT
-    // hash-comparable; the moments version is.
+    // trick applied to an anomaly gate). The moment products run in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): with n ≤ 1e9 docs per
+    // language and x ≤ 1e5 chars, dev^2 and n*Q stay ≤ ~1e28 — 10 orders
+    // inside the 38-digit budget, where raw BIGINT would overflow at
+    // ~1e6 docs. Two passes: mergeable moment aggregates, broadcast back
+    // (one row per language), map-side predicate. The float version of
+    // this filter is NOT hash-comparable; the moments version is.
     Q("t_outlier_zscore", (s, dir) => {
       import s.implicits._
+      val dec = DecimalType(38, 0)
       val d = t(s, dir, "documents").select($"lang", $"n_chars")
       val st = d.groupBy($"lang").agg(
         count(lit(1)).as("n"),
         sum($"n_chars").as("s"),
         sum($"n_chars" * $"n_chars").as("q"))
       d.join(broadcast(st), Seq("lang"))
-        .withColumn("dev", $"n" * $"n_chars" - $"s")
+        .withColumn("dev",
+          ($"n".cast(dec) * $"n_chars" - $"s").cast(dec))
         .withColumn("is_out",
-          $"dev" * $"dev" > lit(4L) * ($"n" * $"q" - $"s" * $"s"))
+          $"dev" * $"dev" >
+            ($"n".cast(dec) * $"q" - $"s".cast(dec) * $"s").cast(dec) * 4)
         .groupBy($"lang").agg(
           count(lit(1)).as("n_docs"),
           count(when($"is_out", 1)).as("n_outliers"))
@@ -702,8 +709,10 @@ object TextAnalysis extends QModule {
                CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
         FROM documents GROUP BY lang)
       SELECT lang, COUNT(*) AS n_docs,
-             COUNT(CASE WHEN (n * n_chars - s) * (n * n_chars - s)
-                             > 4 * (n * q - s * s) THEN 1 END) AS n_outliers
+             COUNT(CASE WHEN (CAST(n AS HUGEINT) * n_chars - s)
+                             * (CAST(n AS HUGEINT) * n_chars - s)
+                             > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                        THEN 1 END) AS n_outliers
       FROM documents JOIN st USING (lang)
       GROUP BY lang ORDER BY lang
     """)),
@@ -755,22 +764,31 @@ object TextAnalysis extends QModule {
       FROM per_doc ORDER BY lang, doc_id
     """)),
 
-    // Rare-token density score: rank every token by global frequency
-    // (rank 1 = most common; ties broken by token text, so the rank
-    // table is deterministic), then score each doc by its mean token
-    // rank ×1e6 — a lexical-rarity quality signal with INTEGER sums and
-    // one IEEE divide + floor (hash-exact, where a log-prob LM score
-    // would not be). Rank table is vocab-sized → broadcast.
+    // Rare-token density score: rank tokens by global frequency (rank 1
+    // = most common; ties broken by token text, so the rank table is
+    // deterministic), then score each doc by its mean token rank ×1e6 —
+    // a lexical-rarity quality signal with INTEGER sums and one IEEE
+    // divide + floor (hash-exact, where a log-prob LM score would not
+    // be). The rank table is CAPPED at the top 10k tokens (TakeOrdered,
+    // never a global window over the raw vocabulary — a web corpus has
+    // ~1e9 distinct "tokens" and an unpartitioned row_number would sort
+    // them in one task); everything past the cap scores the flat tail
+    // rank 10k+1. The capped table is what makes the broadcast bounded
+    // at any corpus size. Covers the full 31-token vocab here, so the
+    // cap is semantics-neutral at test scale.
     Q("t_rarity_score", (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      val cap = 10000
       val toks = t(s, dir, "documents")
         .select($"doc_id", explode(tokens(lower($"text"))).as("token"))
-      val ranks = toks.groupBy($"token").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
+      val top = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc).limit(cap)
+      val ranks = top.withColumn("rk", row_number().over(
           Window.orderBy($"n".desc, $"token".asc)).cast("long"))
         .select($"token", $"rk")
-      toks.join(broadcast(ranks), Seq("token"))
+      toks.join(broadcast(ranks), Seq("token"), "left")
+        .withColumn("rk", coalesce($"rk", lit(cap + 1L)))
         .groupBy($"doc_id").agg(
           count(lit(1)).as("n_tok"), sum($"rk").as("rank_sum"))
         .withColumn("rarity_e6",
@@ -782,12 +800,15 @@ object TextAnalysis extends QModule {
         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         FROM documents),
       ranks AS (
-        SELECT token, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT) AS rk
-        FROM toks GROUP BY token)
+        SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rk
+        FROM (SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+              ORDER BY n DESC, token ASC LIMIT 10000)),
+      scored AS (
+        SELECT t.doc_id, COALESCE(r.rk, 10001) AS rk
+        FROM toks t LEFT JOIN ranks r ON t.token = r.token)
       SELECT doc_id, COUNT(*) AS n_tok,
              CAST(floor(CAST(SUM(rk) AS BIGINT) * 1e6 / COUNT(*)) AS BIGINT) AS rarity_e6
-      FROM toks JOIN ranks USING (token)
-      GROUP BY doc_id ORDER BY doc_id
+      FROM scored GROUP BY doc_id ORDER BY doc_id
     """))
   )
 }

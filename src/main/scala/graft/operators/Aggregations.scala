@@ -427,15 +427,20 @@ object Aggregations extends QModule {
       import s.implicits._
       val o = t(s, dir, "orders")
       val mm = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+      // mx == mn (single-valued slice) would make the bucket 0.0/0.0 =
+      // NaN — guard it to bucket 0 instead of relying on either engine's
+      // NaN-cast behavior
       o.crossJoin(broadcast(mm))
-        .withColumn("bucket",
+        .withColumn("bucket", when($"mx" === $"mn", lit(0L)).otherwise(
           least(floor((($"o_totalprice" - $"mn") * 10) / ($"mx" - $"mn")), lit(9L))
-            .cast("long"))
+            .cast("long")))
         .groupBy($"bucket").agg(count(lit(1)).as("n"))
         .orderBy($"bucket")
     }, sql = Some("""
       WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
-      SELECT LEAST(CAST(floor(((o_totalprice - mn) * 10) / (mx - mn)) AS BIGINT), 9) AS bucket,
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(CAST(floor(((o_totalprice - mn) * 10) / (mx - mn)) AS BIGINT), 9)
+             END AS bucket,
              COUNT(*) AS n
       FROM orders CROSS JOIN mm
       GROUP BY 1 ORDER BY bucket
