@@ -114,6 +114,79 @@ object CorpusPipeline {
       budget = shardBudget)
       .orderBy(col("doc_id"))
   }
+
+  /** The COMPLETE pretraining-data curation pipeline — every cleaning
+    * stage a production corpus runs, composed into one deterministic,
+    * oracle-replayable flow:
+    *
+    *   0. eval split      — docs below `evalSplit` are the held-out eval
+    *                        set (stands in for the benchmark suite);
+    *   1. exact dedup     — one normalized-fingerprint hash-agg, keep the
+    *                        min-id copy (never a self-join);
+    *   2. quality gate    — per-language median stopword-ratio floor over
+    *                        the deduped corpus;
+    *   3. decontamination — drop any gated doc sharing one+ distinct
+    *                        8-gram with the eval set (broadcast eval
+    *                        shingles — eval sets are small by nature);
+    *   4. near-dup purge  — capped posting-list Jaccard pairs + min-label
+    *                        connected components, keep cluster reps;
+    *   5. shard packing   — two-level prefix-sum token-budget packing.
+    *
+    * Stage outputs that fan out (`gated` feeds contamination probing AND
+    * the survivor join; `clean` feeds pair generation, the rep anti-join
+    * AND packing) are materialized once via localCheckpoint — on a
+    * cluster each would be a persisted stage table, which is exactly how
+    * a day-scale pipeline checkpoints its progress. */
+  def fullCurate(docs: DataFrame, evalSplit: Long = 100L,
+                 shardBudget: Int = 2000): DataFrame = {
+    import TextAnalysis.{enPat, hits, tokens}
+    def grams8(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8))))"))
+        .as("g"))
+
+    val eval = docs.filter(col("doc_id") < evalSplit)
+    val corpus0 = docs.filter(col("doc_id") >= evalSplit)
+
+    // 1. exact dedup: min-id per normalized fingerprint
+    val keepIds = corpus0
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = corpus0.join(keepIds, Seq("doc_id"), "left_semi")
+
+    // 2. per-language median quality gate (median over the deduped set)
+    val q = exact
+      .withColumn("n_tok", size(tokens(col("text"))))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"),
+        (hits(col("text"), enPat).cast("double") / col("n_tok")).as("r"))
+    val med = q.groupBy(col("lang"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
+    val gated = q.join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"))
+      .localCheckpoint()
+
+    // 3. decontamination vs the eval set's distinct 8-grams
+    val evalG = grams8(eval).select(col("g")).distinct()
+    val contaminated = grams8(gated).join(broadcast(evalG), Seq("g"))
+      .select(col("doc_id")).distinct()
+    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    // 4. near-dup cluster collapse, keep each cluster's representative
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairs(clean.select(col("doc_id"), col("text"))))
+    val drop = clusters.filter(col("rep_id") =!= col("doc_id")).select(col("doc_id"))
+    val uniq = clean.join(drop, Seq("doc_id"), "left_anti")
+
+    // 5. token-budget shard packing
+    TextAnalysis.packShards(
+      uniq.select(col("doc_id"), col("lang"), col("n_tok")),
+      budget = shardBudget)
+      .orderBy(col("doc_id"))
+  }
 }
 
 object CorpusPipelineQueries extends QModule {
@@ -164,6 +237,90 @@ object CorpusPipelineQueries extends QModule {
                length(string_split_regex(trim(k.text), '\s+')) AS n_tok
         FROM kept k
         WHERE k.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))
+      SELECT doc_id, lang, n_tok,
+             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM uniq) t
+      ORDER BY doc_id
+    """), headline = true),
+
+    // The COMPLETE curation pipeline: eval split → exact dedup → median
+    // gate → 8-gram decontamination → near-dup cluster collapse → shard
+    // packing, oracle-replayed WHOLESALE (every stage is a CTE chained
+    // off the previous stage's survivors, closed transitively for the
+    // cluster stage by a recursive CTE).
+    Q("p3_full_curation", (s, dir) =>
+      CorpusPipeline.fullCurate(t(s, dir, "documents")), sql = Some("""
+      WITH RECURSIVE corpus0 AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id >= 100),
+      fps AS (
+        SELECT doc_id, lang, text,
+               md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                   '\s+', ' ', 'g')) AS fp
+        FROM corpus0),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+      exact AS (SELECT f.doc_id, f.lang, f.text FROM fps f JOIN keep k ON f.doc_id = k.doc_id),
+      q AS (
+        SELECT doc_id, lang, text,
+               length(string_split_regex(trim(text), '\s+')) AS n_tok,
+               CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')) AS r
+        FROM exact),
+      ord AS (
+        SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM q),
+      med AS (
+        SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN r END) AS m
+        FROM ord GROUP BY lang),
+      gated AS (
+        SELECT q.doc_id, q.lang, q.text, q.n_tok
+        FROM q JOIN med USING (lang) WHERE q.r >= med.m),
+      evg AS (
+        SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id < 100) t,
+             UNNEST(range(1, CASE WHEN len(toks) >= 8 THEN len(toks) - 6 ELSE 1 END)) u(i)
+        WHERE len(toks) >= 8),
+      gg AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM gated) t,
+             UNNEST(range(1, CASE WHEN len(toks) >= 8 THEN len(toks) - 6 ELSE 1 END)) u(i)
+        WHERE len(toks) >= 8),
+      contaminated AS (SELECT DISTINCT gg.doc_id FROM gg JOIN evg USING (g)),
+      clean AS (
+        SELECT * FROM gated
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      docs2 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM clean),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM docs2, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+      idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+      cand AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT doc_i, doc_j FROM cand
+        JOIN sizes si ON si.doc_id = doc_i
+        JOIN sizes sj ON sj.doc_id = doc_j
+        WHERE shared * 10 >= (si.n_sh + sj.n_sh - shared) * 3),
+      edges AS (SELECT doc_i AS a, doc_j AS b FROM jp
+                UNION ALL SELECT doc_j, doc_i FROM jp),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
+      uniq AS (
+        SELECT c.doc_id, c.lang, c.n_tok FROM clean c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))
       SELECT doc_id, lang, n_tok,
              CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
       FROM (
