@@ -809,6 +809,45 @@ object TextAnalysis extends QModule {
       SELECT doc_id, COUNT(*) AS n_tok,
              CAST(floor(CAST(SUM(rk) AS BIGINT) * 1e6 / COUNT(*)) AS BIGINT) AS rarity_e6
       FROM scored GROUP BY doc_id ORDER BY doc_id
+    """)),
+
+    // Quality-weighted epoch mixing: docs at/above their language's 75th
+    // quality percentile are repeated twice in the training mix, the rest
+    // once — the deterministic upsampling step of a data-mixture recipe.
+    // The percentile is a mergeable percentile_disc broadcast back (one
+    // row per language); replication is a map-side explode of
+    // sequence(1, n_copies) — no shuffle grows with the copy factor.
+    Q("t_upsample_mix", (s, dir) => {
+      import s.implicits._
+      val q = t(s, dir, "documents").select($"doc_id", $"lang",
+        (hits($"text", enPat).cast("double") / size(tokens($"text"))).as("r"))
+      val p75 = q.groupBy($"lang")
+        .agg(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY r)").as("p"))
+      q.join(broadcast(p75), Seq("lang"))
+        .withColumn("n_copies", when($"r" >= $"p", 2).otherwise(1))
+        .select($"doc_id", $"lang", $"n_copies",
+          explode(sequence(lit(1L), $"n_copies".cast("long"))).as("copy_id"))
+        .orderBy($"doc_id", $"copy_id")
+    }, sql = Some("""
+      WITH q AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')) AS r
+        FROM documents),
+      ord AS (
+        SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM q),
+      p75 AS (
+        SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN r END) AS p
+        FROM ord GROUP BY lang),
+      c AS (
+        SELECT q.doc_id, q.lang,
+               CASE WHEN q.r >= p75.p THEN 2 ELSE 1 END AS n_copies
+        FROM q JOIN p75 USING (lang))
+      SELECT doc_id, lang, n_copies, CAST(u.i AS BIGINT) AS copy_id
+      FROM c, UNNEST(range(1, n_copies + 1)) u(i)
+      ORDER BY doc_id, copy_id
     """))
   )
 }

@@ -68,4 +68,27 @@ class EdgeCasesSpec extends SparkSpec {
     val one = CorpusPipeline.curate(oneDoc).collect()
     assert(one.length === 1 && one.head.getLong(0) === 7L)
   }
+
+  test("full curation (p3 chain) survives empty / eval-only / one-corpus-doc inputs") {
+    assert(CorpusPipeline.fullCurate(emptyDocs).count() === 0)
+    // every doc below the eval split: corpus side is empty, not an error
+    val evalOnly = docsOf(Seq((7L, "held out eval doc with words", "en")))
+    assert(CorpusPipeline.fullCurate(evalOnly).count() === 0)
+    // one corpus doc sharing no 8-gram with the (empty) eval set survives
+    val oneCorpus = docsOf(Seq(
+      (200L, "one lonely corpus document with several distinct words inside", "en")))
+    val got = CorpusPipeline.fullCurate(oneCorpus).collect()
+    assert(got.length === 1 && got.head.getLong(0) === 200L)
+  }
+
+  test("full curation drops an exact 8-gram overlap with the eval set") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsOf(Seq(
+      (1L, s"$shared plus eval tail words", "en"),
+      (200L, s"$shared contaminated corpus document here", "en"),
+      (201L, "totally different clean corpus document with enough words", "en")))
+    val got = CorpusPipeline.fullCurate(docs).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(200L), "contaminated doc survived")
+    assert(got.contains(201L), "clean doc was dropped")
+  }
 }

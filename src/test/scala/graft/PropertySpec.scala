@@ -140,6 +140,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("segment dedup conservation: kept segments == distinct segments (random corpora)") {
+    // sum over docs of (n_seg - n_dup_seg) must equal the number of
+    // DISTINCT segments in the corpus — every distinct segment is kept
+    // exactly once, every other occurrence is a dup. A tiny 3-word
+    // vocabulary forces heavy segment collisions.
+    forAllSamples(Gen.listOfN(25, for {
+      id <- Gen.chooseNum(0L, 500L)
+      toks <- Gen.listOfN(9, Gen.oneOf("aa", "bb", "cc"))
+    } yield (id, toks.mkString(" "))), n = 4) { rows =>
+      import spark.implicits._
+      val docs = rows.distinctBy(_._1).map { case (id, t) => (id, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      val stats = graft.ext.TextAnalysis.segmentDedupStats(docs, segLen = 3)
+        .collect()
+      val kept = stats.map(r => r.getLong(1) - r.getLong(2)).sum
+      val distinctSegs = docs
+        .select(explode(expr(
+          "transform(sequence(0, (size(split(trim(text), '\\\\s+'))+2) div 3 - 1), " +
+            "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i*3+1, 3)))")).as("seg"))
+        .distinct().count()
+      assert(kept === distinctSegs)
+    }
+  }
+
   test("native MinHash/SimHash == aggregated forms on random repeat-heavy docs") {
     forAllSamples(Gen.listOfN(30, genDoc), n = 4) { docsList =>
       import spark.implicits._
