@@ -848,6 +848,48 @@ object TextAnalysis extends QModule {
       SELECT doc_id, lang, n_copies, CAST(u.i AS BIGINT) AS copy_id
       FROM c, UNNEST(range(1, n_copies + 1)) u(i)
       ORDER BY doc_id, copy_id
+    """)),
+
+    // 8-gram novelty: what fraction of a doc's distinct 8-grams appear
+    // here FIRST (min doc_id in id order)? Low novelty = mostly-copied
+    // content — the streaming-ingest complement of pairwise dedup. Same
+    // agg-only skew-proof shape as t_segment_dedup: hash-agg per gram
+    // with map-side combine, per-doc first-owner counts, doc_id joins —
+    // no window or self-join keyed by gram. The rate is one IEEE
+    // divide + floor on exact counts.
+    Q("t_novelty", (s, dir) => {
+      import s.implicits._
+      val g = t(s, dir, "documents")
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8))))"))
+          .as("g"))
+      val per = g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = g.groupBy($"g").agg(min($"doc_id").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+      per.join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce($"n_novel", lit(0L)))
+        .withColumn("novelty_e6",
+          floor($"n_novel" * lit(1e6) / $"n_grams").cast("long"))
+        .select($"doc_id", $"n_grams", $"n_novel", $"novelty_e6")
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 8 THEN len(toks) - 6 ELSE 1 END)) t(i)
+        WHERE len(toks) >= 8),
+      per AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+      novel AS (
+        SELECT doc_id, COUNT(*) AS n_novel FROM (
+          SELECT g, MIN(doc_id) AS doc_id FROM g GROUP BY g)
+        GROUP BY doc_id)
+      SELECT p.doc_id, p.n_grams, COALESCE(n.n_novel, 0) AS n_novel,
+             CAST(floor(COALESCE(n.n_novel, 0) * 1e6 / p.n_grams) AS BIGINT) AS novelty_e6
+      FROM per p LEFT JOIN novel n ON p.doc_id = n.doc_id
+      ORDER BY p.doc_id
     """))
   )
 }

@@ -271,6 +271,34 @@ object EventQueries extends QModule {
       FROM events GROUP BY 1 ORDER BY k_mod10
     """)),
 
+    // E3b: the same semi-structured payload through Spark 4's VARIANT
+    // type — parse_json once into the binary variant encoding, then
+    // schema-on-read extraction with variant_get (no up-front
+    // StructType, unlike e3's from_json). try_variant_get on an absent
+    // path yields null instead of failing — the tolerant-read contract
+    // a schema-drifting event stream needs. At scale variant's binary
+    // form is parsed once and pushed through codegen, not re-parsed
+    // per extraction like repeated get_json_object calls.
+    Q("e10_variant_props", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("v", parse_json($"props"))
+        .select(
+          variant_get($"v", "$.k", "long").as("k"),
+          try_variant_get($"v", "$.missing", "long").as("m"))
+        .groupBy(($"k" % 7).as("k_mod7"))
+        .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"),
+          count(when($"m".isNull, 1)).as("n_missing"))
+        .orderBy($"k_mod7")
+    }, sql = Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+             COUNT(*) AS n,
+             MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 END) AS n_missing
+      FROM events GROUP BY 1 ORDER BY k_mod7
+    """)),
+
     // E8: the interval join (stream-stream in StreamingSpec) in its batch
     // form — view→click attribution within 30 min per user. The oracle is
     // the equivalent range join; ordering pins the row set. Scale: both
