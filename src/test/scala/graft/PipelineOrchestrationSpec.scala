@@ -40,6 +40,32 @@ class PipelineOrchestrationSpec extends SparkSpec {
     }
   }
 
+  test("Observation: stage metrics ride the write pass itself — no second count job") {
+    // the production shape for the run-log's row counts: attach an
+    // Observation to the stage's plan and read the metrics after the
+    // SAME action that materialized the stage, instead of a separate
+    // df.count() that re-runs the scan (at 100 TB a metrics-only rescan
+    // is a real cost). Exactness: the observed count/sum must equal the
+    // ground truth computed independently.
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val df = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val obs = Observation("stage_metrics")
+    val out = java.nio.file.Files.createTempDirectory("obs").toString + "/o"
+    df.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("total_price"))
+      .write.parquet(out)
+    val m = obs.get
+    assert(m("n_rows") === df.count())
+    assert(m("total_price") ===
+      df.agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+        .head.getDecimal(0))
+    // and the written stage is intact
+    assert(spark.read.parquet(out).count() === m("n_rows"))
+  }
+
   test("P2 is gated on P1: an empty crawler drop fails at P1, nothing downstream runs") {
     val emptyDrop = Files.createTempDirectory("emptydrop").toString
     val root = Files.createTempDirectory("wh").toString + "/wh"
