@@ -86,6 +86,25 @@ object SetOps extends QModule {
       GROUP BY o_custkey ORDER BY o_custkey
     """)),
 
+    // EXCEPT ALL: bag difference with multiplicity (the one set-op
+    // variant the catalog lacked) — how many F-orders per customer
+    // EXCEED their O-order count. Same execution shape as INTERSECT ALL:
+    // one hash shuffle on the key with per-side counts.
+    Q("set_except_all", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        .exceptAll(o.filter($"o_orderstatus" === "O").select($"o_custkey"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy($"o_custkey")
+    }, sql = Some("""
+      SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      GROUP BY o_custkey ORDER BY o_custkey
+    """)),
+
     // Top-k by measure (argmax family, MartRepository.java:14-27 writ large).
     Q("topk_orders", (s, dir) => {
       import s.implicits._

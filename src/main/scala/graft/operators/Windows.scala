@@ -183,6 +183,45 @@ object Windows extends QModule {
       ORDER BY order_date
     """)),
 
+    // W12: WEIGHTED moving average with integer weights 16/8/4/2/1 over
+    // the last 5 days (the EWMA-style smoother, half-life one step) —
+    // the weighted sum is pure integer lag arithmetic and the single
+    // IEEE divide by the constant 31 keeps it hash-exact, where a
+    // pow()-based exponential decay would drift between libms. Emitted
+    // only once 5 days of history exist, so every row uses the full
+    // kernel.
+    Q("w12_wma5", (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy($"d")
+      daily
+        .select($"d".cast("string").as("order_date"), $"n",
+          (lag($"n", 4).over(w) * 1 + lag($"n", 3).over(w) * 2 +
+           lag($"n", 2).over(w) * 4 + lag($"n", 1).over(w) * 8 +
+           $"n" * 16).as("wsum"),
+          row_number().over(w).as("rn"))
+        .filter($"rn" >= 5)
+        .select($"order_date", $"n",
+          floor($"wsum" * lit(1e6) / 31).cast("long").as("wma_e6"))
+        .orderBy($"order_date")
+    }, sql = Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        FROM orders GROUP BY 1),
+      lagged AS (
+        SELECT d, n,
+               lag(n, 4) OVER (ORDER BY d) * 1 + lag(n, 3) OVER (ORDER BY d) * 2 +
+               lag(n, 2) OVER (ORDER BY d) * 4 + lag(n, 1) OVER (ORDER BY d) * 8 +
+               n * 16 AS wsum,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM daily)
+      SELECT CAST(d AS VARCHAR) AS order_date, n,
+             CAST(floor(wsum * 1e6 / 31) AS BIGINT) AS wma_e6
+      FROM lagged WHERE rn >= 5 ORDER BY order_date
+    """)),
+
     // W8: the remaining rank-function family — dense_rank, percent_rank,
     // cume_dist, nth_value — per-segment, top-3 by dense rank.
     // percent_rank/cume_dist are single IEEE divisions of exact integers,
