@@ -32,33 +32,43 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
   import TextAnalysis.{enPat, hits, tokens}
 
-  def curate(docs: DataFrame, shardBudget: Int = 2000): DataFrame = {
-    // 1. per-language median quality gate. Token count is computed ONCE
-    //    here and carried through — the shard-packing stage reuses it
-    //    instead of re-tokenizing the curated set.
+  /** Per-language median quality gate, the SHARED stage definition of
+    * p1 (curate) and p3 (fullCurate) — one place to fix the ratio or
+    * the tie rule, so the two oracled pipelines cannot silently
+    * diverge. Token count is computed once and carried through (the
+    * shard-packing stage reuses it instead of re-tokenizing), and the
+    * gated set is materialized via localCheckpoint: it fans out to pair
+    * generation AND the survivor anti-join, and without the barrier
+    * each branch replays the regex/tokenize scan (the pipeline's
+    * CPU-heaviest map). On a real cluster a persisted table / reliable
+    * checkpoint plays this role (same plan, durable). */
+  private def qualityGate(docs: DataFrame): DataFrame = {
     val q = docs
       .withColumn("n_tok", size(tokens(col("text"))))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tok"),
         (hits(col("text"), enPat).cast("double") / col("n_tok")).as("r"))
     val med = q.groupBy(col("lang"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
-    // The gated set fans out to BOTH the pair-generation branch and the
-    // final anti-join — without a materialization barrier each branch
-    // replays the regex/tokenize scan (the pipeline's CPU-heaviest map).
-    // localCheckpoint computes it once; on a real cluster a persisted
-    // table / reliable checkpoint plays this role (same plan, durable).
-    val kept = q.join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
+    q.join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"))
       .localCheckpoint()
+  }
 
-    // 2. collapse near-dup clusters to their representative
+  /** Near-dup purge, shared by p1 and p3: capped posting-list Jaccard
+    * pairs → connected-component collapse → keep each cluster's min-id
+    * representative. */
+  private def collapseNearDups(docs: DataFrame): DataFrame = {
     val clusters = Dedup.dupClusters(
-      Dedup.jaccardPairs(kept.select(col("doc_id"), col("text"))))
+      Dedup.jaccardPairs(docs.select(col("doc_id"), col("text"))))
     val drop = clusters.filter(col("rep_id") =!= col("doc_id")).select(col("doc_id"))
-    val uniq = kept.join(drop, Seq("doc_id"), "left_anti")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
 
-    // 3. token-budget shard packing (two-level prefix sum — see
-    //    TextAnalysis.packShards; same fixpoint as a per-lang running
-    //    sum, no single-language corpus sort)
+  def curate(docs: DataFrame, shardBudget: Int = 2000): DataFrame = {
+    // 1. quality gate; 2. near-dup collapse; 3. token-budget shard
+    // packing (two-level prefix sum — see TextAnalysis.packShards; same
+    // fixpoint as a per-lang running sum, no single-language corpus sort)
+    val uniq = collapseNearDups(qualityGate(docs))
     TextAnalysis.packShards(
       uniq.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
@@ -139,14 +149,6 @@ object CorpusPipeline {
     * a day-scale pipeline checkpoints its progress. */
   def fullCurate(docs: DataFrame, evalSplit: Long = 100L,
                  shardBudget: Int = 2000): DataFrame = {
-    import TextAnalysis.{enPat, hits, tokens}
-    def grams8(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8))))"))
-        .as("g"))
-
     val eval = docs.filter(col("doc_id") < evalSplit)
     val corpus0 = docs.filter(col("doc_id") >= evalSplit)
 
@@ -157,31 +159,23 @@ object CorpusPipeline {
       .select(col("doc_id"))
     val exact = corpus0.join(keepIds, Seq("doc_id"), "left_semi")
 
-    // 2. per-language median quality gate (median over the deduped set)
-    val q = exact
-      .withColumn("n_tok", size(tokens(col("text"))))
-      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"),
-        (hits(col("text"), enPat).cast("double") / col("n_tok")).as("r"))
-    val med = q.groupBy(col("lang"))
-      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
-    val gated = q.join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
-      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"))
-      .localCheckpoint()
+    // 2. per-language median quality gate (median over the deduped set;
+    //    SHARED stage definition with curate/p1)
+    val gated = qualityGate(exact)
 
-    // 3. decontamination vs the eval set's distinct 8-grams
-    val evalG = grams8(eval).select(col("g")).distinct()
-    val contaminated = grams8(gated).join(broadcast(evalG), Seq("g"))
+    // 3. decontamination vs the eval set's distinct 8-grams (the
+    //    canonical k-gram definition — Dedup.shingles — so the gram
+    //    window can never drift from the dedup tier's)
+    val evalG = Dedup.shingles(eval, 8).select(col("shingle").as("g")).distinct()
+    val contaminated = Dedup.shingles(gated, 8)
+      .withColumnRenamed("shingle", "g")
+      .join(broadcast(evalG), Seq("g"))
       .select(col("doc_id")).distinct()
     val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
-    // 4. near-dup cluster collapse, keep each cluster's representative
-    val clusters = Dedup.dupClusters(
-      Dedup.jaccardPairs(clean.select(col("doc_id"), col("text"))))
-    val drop = clusters.filter(col("rep_id") =!= col("doc_id")).select(col("doc_id"))
-    val uniq = clean.join(drop, Seq("doc_id"), "left_anti")
-
-    // 5. token-budget shard packing
+    // 4. near-dup cluster collapse (shared with p1); 5. shard packing
+    val uniq = collapseNearDups(clean)
     TextAnalysis.packShards(
       uniq.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)

@@ -421,12 +421,10 @@ object TextAnalysis extends QModule {
     // planted near-dups make real hits at both SFs.
     Q("t_contamination", (s, dir) => {
       import s.implicits._
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
-        .filter(size($"toks") >= 8)
-        .select($"doc_id", explode(expr(
-          "array_distinct(transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8))))"))
-          .as("g"))
+      // canonical k-gram definition (Dedup.shingles) — the gram window
+      // must never drift from the dedup tier's
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        Dedup.shingles(df, 8).withColumnRenamed("shingle", "g")
       val docs = t(s, dir, "documents")
       val eval8 = grams(docs.filter($"doc_id" < 100))
         .select($"g", $"doc_id".as("eval_id")).distinct()
@@ -859,12 +857,8 @@ object TextAnalysis extends QModule {
     // divide + floor on exact counts.
     Q("t_novelty", (s, dir) => {
       import s.implicits._
-      val g = t(s, dir, "documents")
-        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
-        .filter(size($"toks") >= 8)
-        .select($"doc_id", explode(expr(
-          "array_distinct(transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8))))"))
-          .as("g"))
+      val g = Dedup.shingles(t(s, dir, "documents"), 8)
+        .withColumnRenamed("shingle", "g")
       val per = g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
       val novel = g.groupBy($"g").agg(min($"doc_id").as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))

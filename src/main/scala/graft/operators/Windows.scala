@@ -184,12 +184,14 @@ object Windows extends QModule {
     """)),
 
     // W12: WEIGHTED moving average with integer weights 16/8/4/2/1 over
-    // the last 5 days (the EWMA-style smoother, half-life one step) —
-    // the weighted sum is pure integer lag arithmetic and the single
-    // IEEE divide by the constant 31 keeps it hash-exact, where a
-    // pow()-based exponential decay would drift between libms. Emitted
-    // only once 5 days of history exist, so every row uses the full
-    // kernel.
+    // the 5 most recent PRESENT dates (the EWMA-style smoother,
+    // half-life one step). The kernel is ROW-based — on a series with
+    // calendar gaps, compose with the w9 gap-fill first to make rows ==
+    // days; TPC-H order dates are dense, so here they coincide. The
+    // weighted sum is pure integer lag arithmetic and the single IEEE
+    // divide by the constant 31 keeps it hash-exact, where a pow()-based
+    // exponential decay would drift between libms. Emitted only once 5
+    // rows of history exist, so every row uses the full kernel.
     Q("w12_wma5", (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "orders")
