@@ -417,6 +417,31 @@ object Aggregations extends QModule {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
+    // Statistical mode per group in the DETERMINISTIC form: count per
+    // (group, value), keep the top row by (count desc, value asc). Both
+    // engines' native mode() leaves ties implementation-defined — the
+    // explicit rank pins them. The window partitions by group over the
+    // (small) per-value count table, not the raw rows.
+    Q("g24_mode", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "orders")
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"n".desc, $"o_orderpriority".asc)
+      counts.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"n")
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      SELECT o_orderstatus, mode_priority, n FROM (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, COUNT(*) AS n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rk
+        FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      WHERE rk = 1 ORDER BY o_orderstatus
+    """)),
+
     // Equi-width histogram of order values: global min/max in pass 1
     // (broadcast — 1 row), bucket assignment + count in pass 2. The
     // canonical two-pass distribution profile; at 100 TB both passes are

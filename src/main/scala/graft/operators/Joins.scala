@@ -127,6 +127,70 @@ object Joins extends QModule {
       GROUP BY v.event_id ORDER BY v.event_id
     """)),
 
+    // J9: NEAREST as-of join — each view matches its closest purchase in
+    // time, either direction, tie to the backward side (the j4 family's
+    // missing variant; sensor/trade alignment wants nearest, not
+    // last-before). Same single-shuffle union+window shape as j4 run in
+    // both directions: one pass computes last-purchase-before and
+    // first-purchase-after per view, then an integer-nanos distance
+    // compare picks the side. Never an inequality join.
+    Q("j9_asof_nearest", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events") // ts is LongType nanos (nanosAsLong)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("is_p"), $"event_id".as("p_event_id"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", lit(0).as("is_p"), $"event_id".as("p_event_id"))
+      val wB = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_p".desc, $"p_event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_p".desc, $"p_event_id".asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val pStruct = when($"is_p" === 1, struct($"ts", $"p_event_id"))
+      val pickB = col("b").isNotNull && (col("f").isNull ||
+        ($"ts" - col("b.ts")) <= (col("f.ts") - $"ts"))
+      purchases.unionByName(views)
+        .withColumn("b", last(pStruct, ignoreNulls = true).over(wB))
+        .withColumn("f", first(pStruct, ignoreNulls = true).over(wF))
+        .filter($"is_p" === 0)
+        .select($"p_event_id".as("view_event_id"),
+          when(pickB, col("b.p_event_id")).otherwise(col("f.p_event_id"))
+            .as("nearest_purchase"),
+          when(pickB, lit("B")).when(col("f").isNotNull, lit("F"))
+            .as("side"))
+        .orderBy($"view_event_id")
+    }, sql = Some("""
+      WITH v AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS vts FROM events
+        WHERE event_type = 'view'),
+      b AS (
+        SELECT v.event_id,
+               arg_max(p.event_id,
+                       CAST(epoch_ns(p.ts) AS HUGEINT) * 10000000 + p.event_id) AS b_id,
+               MAX(epoch_ns(p.ts)) AS b_ts
+        FROM v JOIN events p ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND epoch_ns(p.ts) <= v.vts
+        GROUP BY v.event_id),
+      f AS (
+        SELECT v.event_id,
+               arg_min(p.event_id,
+                       CAST(epoch_ns(p.ts) AS HUGEINT) * 10000000 + p.event_id) AS f_id,
+               MIN(epoch_ns(p.ts)) AS f_ts
+        FROM v JOIN events p ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND epoch_ns(p.ts) > v.vts
+        GROUP BY v.event_id)
+      SELECT v.event_id AS view_event_id,
+             CASE WHEN b_id IS NOT NULL
+                   AND (f_id IS NULL OR (vts - b_ts) <= (f_ts - vts))
+                  THEN b_id ELSE f_id END AS nearest_purchase,
+             CASE WHEN b_id IS NOT NULL
+                   AND (f_id IS NULL OR (vts - b_ts) <= (f_ts - vts))
+                  THEN 'B' WHEN f_id IS NOT NULL THEN 'F' END AS side
+      FROM v LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+      ORDER BY view_event_id
+    """)),
+
     // Range join (extension): orders bucketed into uniform price bands.
     // Scalable form: uniform bands ⇒ band membership is a computed equi-key
     // (floor(price/width)); the general interval-join collapses to a
