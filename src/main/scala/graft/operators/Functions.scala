@@ -48,6 +48,32 @@ object Functions extends QModule {
       FROM orders
     """)),
 
+    // ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, where
+    // x/0 THROWS — try_divide is the null-on-error form a pipeline uses
+    // for ratio columns over possibly-zero denominators. The oracle
+    // expresses the same contract as x / nullif(y, 0). One IEEE divide
+    // on exact counts, hash-comparable.
+    Q("fn_try_arith", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      li.groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned"))
+        .select($"l_linestatus", $"n", $"n_returned",
+          expr("try_divide(n_returned, n - n)").as("div_zero_is_null"),
+          floor(expr("try_divide(n_returned * 1e6, n)")).cast("long")
+            .as("return_rate_e6"))
+        .orderBy($"l_linestatus")
+    }, sql = Some("""
+      SELECT l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               / nullif(COUNT(*) - COUNT(*), 0) AS div_zero_is_null,
+             CAST(floor(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) * 1e6
+               / COUNT(*)) AS BIGINT) AS return_rate_e6
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """)),
+
     // Date arithmetic: add/sub, month boundaries, truncation.
     Q("fn_date_arith", (s, dir) => {
       import s.implicits._
