@@ -143,6 +143,41 @@ object UpsertQueries extends QModule {
         FROM j WHERE bk IS NOT NULL
           AND (c_custkey IS NULL OR c_mktsegment IS DISTINCT FROM bseg))
       ORDER BY c_custkey, valid_from
+    """)),
+
+    // K7: cascade-deletion impact report (the GDPR right-to-erasure
+    // shape): given a deletion set of customers, how many rows would be
+    // purged from each downstream table through key propagation? Pure
+    // semi-join fan-out — customer keys → orders → lineitems — each hop
+    // one equi-join, the deletion set broadcastable at any fact scale.
+    // A real pipeline runs exactly this report before the destructive
+    // pass; negative-balance customers stand in for erasure requests.
+    Q("k7_cascade_delete", (s, dir) => {
+      import s.implicits._
+      val victims = t(s, dir, "customer")
+        .filter($"c_acctbal" < 0).select($"c_custkey")
+      val orders = t(s, dir, "orders")
+        .join(broadcast(victims), $"o_custkey" === $"c_custkey", "left_semi")
+      val doomedOrders = orders.select($"o_orderkey")
+      val lineitems = t(s, dir, "lineitem")
+        .join(doomedOrders, $"l_orderkey" === doomedOrders("o_orderkey"), "left_semi")
+      victims.agg(count(lit(1)).as("n")).select(lit("customer").as("table_name"), $"n")
+        .unionByName(orders.agg(count(lit(1)).as("n"))
+          .select(lit("orders").as("table_name"), $"n"))
+        .unionByName(lineitems.agg(count(lit(1)).as("n"))
+          .select(lit("lineitem").as("table_name"), $"n"))
+        .orderBy($"table_name")
+    }, sql = Some("""
+      WITH victims AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+      o AS (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+      l AS (SELECT 1 FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+      SELECT * FROM (
+        SELECT 'customer' AS table_name, COUNT(*) AS n FROM victims
+        UNION ALL SELECT 'orders', COUNT(*) FROM o
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM l)
+      ORDER BY table_name
     """))
   )
 }

@@ -305,6 +305,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: stream drains the backlog as batches then STOPS on its own") {
+    // the batch-catchup mode a scheduled pipeline uses: process
+    // everything available (respecting maxFilesPerTrigger batching +
+    // checkpointed offsets), then terminate — no manual stop, no
+    // always-on cluster. awaitTermination returning is the assertion
+    // that the trigger self-terminates.
+    import graft.pipeline.Lottery
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = getClass.getResource("/lottery").getPath
+    val ckpt = java.nio.file.Files.createTempDirectory("an_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("an_out").toString + "/o"
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Lottery.crawlSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("header", "true")
+        .csv(dir)
+        .na.drop("any", Seq("prize", "number_value", "full_date"))
+        .withColumn("load_timestamp", current_timestamp())
+      val q = Lottery.transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow did not self-terminate")
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 7)
+    // second AvailableNow run over the SAME checkpoint: offsets say
+    // everything is consumed — drains nothing, still self-terminates
+    run()
+    assert(spark.read.parquet(out).count() === 7)
+  }
+
   test("lottery transform runs unchanged as a file-source stream") {
     import graft.pipeline.Lottery
     val dir = getClass.getResource("/lottery").getPath
