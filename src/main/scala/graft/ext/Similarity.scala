@@ -119,6 +119,79 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
   }
 
+  // --- k-means-trained IVF: integer Lloyd iteration ----------------------
+
+  /** e6-quantized integer copy of a float-vector column: every training
+    * step downstream is then EXACT BIGINT arithmetic — a k-means loop on
+    * raw doubles would let a 1-ulp fold-order divergence at one
+    * assignment boundary cascade through the centroid means into a
+    * different index on each engine; the integer loop cannot diverge. */
+  private def e6Vec(colName: String): Column = expr(
+    s"transform($colName, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+
+  private def intDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** Map-side argmax assignment by exact integer dot (broadcast
+    * centroids), ties to the lower centroid id. */
+  private def assignByDot(base: DataFrame, cent: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dotv").desc, col("centroid_id").asc)
+    base.crossJoin(broadcast(cent))
+      .withColumn("dotv", expr(intDot("ve6", "ce6")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .drop("rk", "dotv")
+  }
+
+  /** One Lloyd iteration over the stride-initialized centroids: assign
+    * every vector by integer dot, recenter each list at the per-dimension
+    * FLOOR mean (floor-div via the pmod identity, so both engines agree
+    * on negative sums where trunc-div and floor-div differ). Mergeable
+    * aggregates only: the update is posexplode → hash-agg on
+    * (centroid, dim) → re-pack — at 100 TB one shuffle of (nlist × dim)
+    * partial sums. Centroids that lose every member drop out, same in
+    * the oracle replay. */
+  def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    val base = embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
+    val cent0 = ivfCentroids(embeddings, nlist)
+      .select(col("centroid_id"), e6Vec("centroid").as("ce6"))
+    assignByDot(base, cent0)
+      .select(col("centroid_id"), posexplode(col("ve6")).as(Seq("d", "v")))
+      .groupBy(col("centroid_id"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("(s - pmod(s, cnt)) div cnt"))
+      .groupBy(col("centroid_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)")
+        .as("ce6"))
+  }
+
+  /** IVF ANN over the k-means-trained index: probe the `nprobe` lists
+    * whose trained centroid has the highest integer dot with the query,
+    * exact e9-cosine re-rank inside them. Training, assignment and probe
+    * selection are all-integer (engine-exact); only the final ranking
+    * touches floats, with the established e9 guard. */
+  def ivfTrainedTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                     nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+    val cent = ivfTrainedCentroids(embeddings, nlist)
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      e6Vec("embedding").as("ve6"))
+    val assigned = assignByDot(base, cent)
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(e6Vec("embedding").as("qe6"), col("embedding").as("q"))
+    val probed = cent.crossJoin(broadcast(qv))
+      .withColumn("dotv", expr(intDot("ce6", "qe6")))
+      .orderBy(col("dotv").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned.join(broadcast(probed), Seq("centroid_id"))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosineE9(cosine("embedding", "q")).as("cosine_e9"))
+      .orderBy(col("cosine_e9").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Assign each vector to its nearest centroid (broadcast centroid table;
     * one map-side argmax per vector — no shuffle of the vectors). Ranking
     * uses the e9-quantized cosine so the argmax is engine-independent. */
@@ -380,6 +453,70 @@ object SimilarityQueries extends QModule {
         FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
         WHERE a.vec_id <> 0
         ORDER BY cosine_e9 DESC, a.vec_id ASC LIMIT 10) t
+    """)),
+
+    // IVF with a TRAINED coarse quantizer: one integer Lloyd iteration
+    // (e6-quantized vectors, exact BIGINT dot assignment, per-dimension
+    // floor-mean recentering) over the stride init — k-means training as
+    // mergeable-aggregate Spark, replayed verbatim by the oracle. The
+    // all-integer training loop is what makes a TRAINED index
+    // hash-checkable at all: a raw-double loop would let one 1-ulp
+    // assignment flip cascade through the means into a different index
+    // per engine. Only the final re-rank touches floats (e9-guarded).
+    Q("sim_ann_ivf_kmeans", (s, dir) =>
+      ivfTrainedTopK(t(s, dir, "embeddings"), 0L, 10), sql = Some(s"""
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+        FROM embeddings),
+      c0 AS (
+        SELECT vec_id AS centroid_id, ve6 AS ce6
+        FROM base,
+             (SELECT greatest(CAST(floor(COUNT(*) / 16) AS BIGINT), 1) AS stride
+              FROM embeddings) s
+        WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+      a1 AS (
+        SELECT vec_id, ve6, centroid_id FROM (
+          SELECT b.vec_id, b.ve6, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base b CROSS JOIN c0 c) t
+        WHERE rk = 1),
+      c1 AS (
+        SELECT centroid_id, list(m ORDER BY d) AS ce6 FROM (
+          SELECT centroid_id, d,
+                 (s - (((s % cnt) + cnt) % cnt)) // cnt AS m
+          FROM (
+            SELECT centroid_id, d, CAST(SUM(ve6[d]) AS BIGINT) AS s,
+                   COUNT(*) AS cnt
+            FROM a1, UNNEST(range(1, 65)) t(d)
+            GROUP BY centroid_id, d) x) y
+        GROUP BY centroid_id),
+      a2 AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT b.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base b CROSS JOIN c1 c) t
+        WHERE rk = 1),
+      qv AS (SELECT ve6 AS qe6 FROM base WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM c1 CROSS JOIN qv
+        ORDER BY list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
+                 centroid_id ASC
+        LIMIT 6)
+      SELECT vec_id, cosine_e9 FROM (
+        SELECT b.vec_id,
+               CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
+        FROM embeddings b
+        JOIN a2 ON a2.vec_id = b.vec_id
+        JOIN probed p ON a2.centroid_id = p.centroid_id
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
+        WHERE b.vec_id <> 0
+        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
     """)),
 
     // Per-language embedding centroid (mean pooling — the "cluster/domain

@@ -119,6 +119,23 @@ class ExtensionSpec extends SparkSpec {
       s"IVF found none of the true top-10: ${ivf.toSeq}")
   }
 
+  test("k-means-trained ivf: recall@10 over 20 queries meets the stride-init floor") {
+    val queries = (0L until 20L)
+    def recall(fn: Long => Set[Long]): Double = queries.map { q =>
+      val brute = Similarity.topK(embs, q, 10).collect().map(_.getLong(0)).toSet
+      fn(q).intersect(brute).size / 10.0
+    }.sum / queries.size
+    val stride = recall(q => Similarity.ivfTopK(embs, q, 10).collect().map(_.getLong(0)).toSet)
+    val trained = recall(q => Similarity.ivfTrainedTopK(embs, q, 10).collect().map(_.getLong(0)).toSet)
+    info(f"recall@10 stride=$stride%.2f trained=$trained%.2f")
+    // the trained quantizer must not LOSE recall vs the stride init at
+    // equal nprobe (small slack for list-boundary churn), and must keep
+    // the absolute floor the LSH path is held to
+    assert(trained >= 0.5, f"trained IVF recall $trained%.2f < 0.5")
+    assert(trained >= stride - 0.05,
+      f"training degraded recall: $trained%.2f vs stride $stride%.2f")
+  }
+
   test("contamination check finds real planted overlap (never a vacuous empty pass)") {
     val hits = graft.SparkEntry.queries("t_contamination")(spark, dir)
     assert(hits.count() > 0, "eval/corpus split no longer crosses any planted dup pair")
