@@ -33,7 +33,7 @@ object VectorFunctions {
   val fnInfo: ExpressionInfo = new ExpressionInfo(
     classOf[FloatVectorDot].getCanonicalName, null, "vec_dot",
     "_FUNC_(a, b) - dot product of two float vectors, accumulated in double in element order.",
-    "")
+    "", "", "", "", "", "", "")
 
   val fnBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => FloatVectorDot(a, b)

@@ -34,7 +34,7 @@ object Serving {
     import org.apache.spark.sql.functions.col
     df.select(col(keyCol).cast("string").as("__k"),
         org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.struct(df.columns.map(col): _*)).as("__j"))
+          org.apache.spark.sql.functions.struct(df.columns.toIndexedSeq.map(col): _*)).as("__j"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (k, rows) => k -> rows.map(_.getString(1)).mkString("[", ",", "]") }

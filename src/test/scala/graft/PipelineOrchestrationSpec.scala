@@ -61,7 +61,7 @@ class PipelineOrchestrationSpec extends SparkSpec {
     assert(m("n_rows") === df.count())
     assert(m("total_price") ===
       df.agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
-        .head.getDecimal(0))
+        .head().getDecimal(0))
     // and the written stage is intact
     assert(spark.read.parquet(out).count() === m("n_rows"))
   }
