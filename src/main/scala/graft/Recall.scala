@@ -33,12 +33,14 @@ object Recall {
         val truth = ids(Similarity.topK(emb, q, k))
         val lsh = ids(Similarity.annTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
         val ivf = ids(Similarity.ivfTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
-        (lsh, ivf)
+        val ivfK = ids(Similarity.ivfTrainedTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
+        (lsh, ivf, ivfK)
       }
       val lshAvg = recalls.map(_._1).sum / nQueries
       val ivfAvg = recalls.map(_._2).sum / nQueries
+      val ivfKAvg = recalls.map(_._3).sum / nQueries
       emb.unpersist()
-      println(f"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":$lshAvg%.3f,"ivf":$ivfAvg%.3f}""")
+      println(f"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":$lshAvg%.3f,"ivf":$ivfAvg%.3f,"ivf_kmeans":$ivfKAvg%.3f}""")
     }
     spark.stop()
   }
