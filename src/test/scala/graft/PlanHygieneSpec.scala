@@ -268,6 +268,9 @@ class PlanHygieneSpec extends SparkSpec {
     "j6_cross_join", "g7_mart_aggregate", "g17b_percentile_bound",
     "w6b_quartiles_bucketed", "w9_gap_fill", "q22_rich_inactive",
     "t_tfidf", "sim_topk_cosine", "sim_range_search", "sim_ann_ivf",
+    // nlist-row centroid table + 1-row query broadcasts under the
+    // trained-IVF assignment and probe
+    "sim_ann_ivf_kmeans",
     "e4_funnel", "q11_important_value", "s10_dpp_join",
     // 1-row global min/max broadcast under the histogram bucketing
     "g23_histogram")
