@@ -442,6 +442,42 @@ object Aggregations extends QModule {
       WHERE rk = 1 ORDER BY o_orderstatus
     """)),
 
+    // Robust statistics: median absolute deviation per group — the
+    // outlier-resistant spread measure (stddev is dragged by the tails a
+    // quality gate is trying to find). Two mergeable percentile_disc
+    // passes with a broadcast join between them; both medians are ACTUAL
+    // data values (no interpolation arithmetic), so the doubles are
+    // bit-identical cross-engine.
+    Q("g25_mad", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_orderstatus", $"o_totalprice")
+      val med = o.groupBy($"o_orderstatus")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("med"))
+      o.join(broadcast(med), Seq("o_orderstatus"))
+        .withColumn("dev", abs($"o_totalprice" - $"med"))
+        .groupBy($"o_orderstatus")
+        .agg(max($"med").as("med"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+        .orderBy($"o_orderstatus")
+    }, sql = Some("""
+      WITH o AS (SELECT o_orderstatus AS st, o_totalprice AS x FROM orders),
+      ord1 AS (
+        SELECT st, x, row_number() OVER (PARTITION BY st ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY st) AS n
+        FROM o),
+      med AS (
+        SELECT st, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN x END) AS m
+        FROM ord1 GROUP BY st),
+      dev AS (SELECT o.st, med.m, abs(o.x - med.m) AS d FROM o JOIN med USING (st)),
+      ord2 AS (
+        SELECT st, m, d, row_number() OVER (PARTITION BY st ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY st) AS n
+        FROM dev)
+      SELECT st AS o_orderstatus, MAX(m) AS med,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad
+      FROM ord2 GROUP BY st ORDER BY o_orderstatus
+    """)),
+
     // Equi-width histogram of order values: global min/max in pass 1
     // (broadcast — 1 row), bucket assignment + count in pass 2. The
     // canonical two-pass distribution profile; at 100 TB both passes are
