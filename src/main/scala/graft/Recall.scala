@@ -27,13 +27,17 @@ object Recall {
     for (dir <- dirs) {
       val emb = Tables.t(spark, dir, "embeddings").cache()
       val n = emb.count()
+      // train the k-means index ONCE per corpus (the centroids param's
+      // purpose) instead of re-running the Lloyd iteration per query
+      val cent = Similarity.ivfTrainedCentroids(emb).localCheckpoint()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("vec_id").collect().map(_.getLong(0)).toSet
       val recalls = (0L until nQueries.toLong).map { q =>
         val truth = ids(Similarity.topK(emb, q, k))
         val lsh = ids(Similarity.annTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
         val ivf = ids(Similarity.ivfTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
-        val ivfK = ids(Similarity.ivfTrainedTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
+        val ivfK = ids(Similarity.ivfTrainedTopK(emb, q, k, centroids = Some(cent)))
+          .intersect(truth).size / truth.size.toDouble
         (lsh, ivf, ivfK)
       }
       val lshAvg = recalls.map(_._1).sum / nQueries

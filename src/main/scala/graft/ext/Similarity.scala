@@ -172,8 +172,15 @@ object Similarity {
     * selection are all-integer (engine-exact); only the final ranking
     * touches floats, with the established e9 guard. */
   def ivfTrainedTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-                     nlist: Int = 16, nprobe: Int = 6): DataFrame = {
-    val cent = ivfTrainedCentroids(embeddings, nlist)
+                     nlist: Int = 16, nprobe: Int = 6,
+                     centroids: Option[DataFrame] = None): DataFrame = {
+    // the trained table feeds BOTH the assignment broadcast and the
+    // probe cross-join — materialize once or the Lloyd iteration's
+    // lineage executes twice per query (ReuseExchange cannot dedupe the
+    // streamed copy). Callers ranking MANY queries pass a precomputed
+    // `centroids` (train once, the production posture).
+    val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nlist))
+      .localCheckpoint()
     val base = embeddings.select(col("vec_id"), col("embedding"),
       e6Vec("embedding").as("ve6"))
     val assigned = assignByDot(base, cent)

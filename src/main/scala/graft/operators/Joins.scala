@@ -118,7 +118,7 @@ object Joins extends QModule {
     }, sql = Some("""
       SELECT v.event_id AS view_event_id,
              arg_max(p.event_id,
-                     CAST(epoch_ns(p.ts) AS HUGEINT) * 10000000 + p.event_id)
+                     CAST(epoch_ns(p.ts) AS HUGEINT) * 1000000000000 + p.event_id)
                AS matched_purchase
       FROM events v
       LEFT JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
@@ -167,7 +167,7 @@ object Joins extends QModule {
       b AS (
         SELECT v.event_id,
                arg_max(p.event_id,
-                       CAST(epoch_ns(p.ts) AS HUGEINT) * 10000000 + p.event_id) AS b_id,
+                       CAST(epoch_ns(p.ts) AS HUGEINT) * 1000000000000 + p.event_id) AS b_id,
                MAX(epoch_ns(p.ts)) AS b_ts
         FROM v JOIN events p ON p.user_id = v.user_id
              AND p.event_type = 'purchase' AND epoch_ns(p.ts) <= v.vts
@@ -175,7 +175,7 @@ object Joins extends QModule {
       f AS (
         SELECT v.event_id,
                arg_min(p.event_id,
-                       CAST(epoch_ns(p.ts) AS HUGEINT) * 10000000 + p.event_id) AS f_id,
+                       CAST(epoch_ns(p.ts) AS HUGEINT) * 1000000000000 + p.event_id) AS f_id,
                MIN(epoch_ns(p.ts)) AS f_ts
         FROM v JOIN events p ON p.user_id = v.user_id
              AND p.event_type = 'purchase' AND epoch_ns(p.ts) > v.vts

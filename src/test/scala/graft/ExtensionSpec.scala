@@ -121,12 +121,19 @@ class ExtensionSpec extends SparkSpec {
 
   test("k-means-trained ivf: recall@10 over 20 queries meets the stride-init floor") {
     val queries = (0L until 20L)
-    def recall(fn: Long => Set[Long]): Double = queries.map { q =>
+    // train once (the production posture ivfTrainedTopK's centroids
+    // param exists for) and compute each query's brute-force truth once
+    val cent = Similarity.ivfTrainedCentroids(embs).localCheckpoint()
+    val per = queries.map { q =>
       val brute = Similarity.topK(embs, q, 10).collect().map(_.getLong(0)).toSet
-      fn(q).intersect(brute).size / 10.0
-    }.sum / queries.size
-    val stride = recall(q => Similarity.ivfTopK(embs, q, 10).collect().map(_.getLong(0)).toSet)
-    val trained = recall(q => Similarity.ivfTrainedTopK(embs, q, 10).collect().map(_.getLong(0)).toSet)
+      val s = Similarity.ivfTopK(embs, q, 10).collect().map(_.getLong(0)).toSet
+        .intersect(brute).size / 10.0
+      val tr = Similarity.ivfTrainedTopK(embs, q, 10, centroids = Some(cent))
+        .collect().map(_.getLong(0)).toSet.intersect(brute).size / 10.0
+      (s, tr)
+    }
+    val stride = per.map(_._1).sum / queries.size
+    val trained = per.map(_._2).sum / queries.size
     info(f"recall@10 stride=$stride%.2f trained=$trained%.2f")
     // the trained quantizer must not LOSE recall vs the stride init at
     // equal nprobe (small slack for list-boundary churn), and must keep

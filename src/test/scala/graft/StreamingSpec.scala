@@ -331,7 +331,10 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      assert(q.awaitTermination(60000), "AvailableNow did not self-terminate")
+      // stop() is a no-op after normal self-termination but keeps a
+      // timed-out query from leaking into the rest of the suite
+      try assert(q.awaitTermination(60000), "AvailableNow did not self-terminate")
+      finally q.stop()
     }
     run()
     assert(spark.read.parquet(out).count() === 7)
