@@ -566,6 +566,73 @@ object DedupQueries extends QModule {
       ORDER BY doc_i, doc_j
     """), headline = true),
 
+    // The MinHash ACCURACY CONTRACT made exact: for every LSH candidate
+    // pair, the signature-estimated Jaccard (matching components / 32)
+    // next to the true shingle Jaccard — both in integer e6 units, so
+    // the estimator's quality is itself hash-checked (the md5-derived
+    // signatures are engine-portable, which is what makes a sketch's
+    // ERROR oracle-able, not just its output shape). The exact side is
+    // the standard candidate-verification join: shingle intersection
+    // restricted to the (banding-bounded, ~linear) pair set — never the
+    // corpus.
+    Q("dedup_minhash_estimate", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = minhashLshPairs(docs)
+      val sigs = minhash(docs)
+      val si = sigs.select(col("doc_id").as("doc_i") +:
+        (0 until 32).map(i => col(s"h$i").as(s"hi_$i")): _*)
+      val sj = sigs.select(col("doc_id").as("doc_j") +:
+        (0 until 32).map(i => col(s"h$i").as(s"hj_$i")): _*)
+      val nMatch = (0 until 32)
+        .map(i => when(col(s"hi_$i") === col(s"hj_$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("long")
+      val sh = shingles(docs)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = pairs
+        .join(sh.select($"doc_id".as("doc_i"), $"shingle"), Seq("doc_i"))
+        .join(sh.select($"doc_id".as("doc_j"), $"shingle"), Seq("doc_j", "shingle"))
+        .groupBy($"doc_i", $"doc_j").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(si, Seq("doc_i")).join(sj, Seq("doc_j"))
+        .withColumn("n_match", nMatch)
+        .select($"doc_i", $"doc_j", $"n_match")
+        .join(shared, Seq("doc_i", "doc_j"), "left")
+        .withColumn("shared", coalesce($"shared", lit(0L)))
+        .join(sizes.select($"doc_id".as("doc_i"), $"n_sh".as("n_i")), Seq("doc_i"))
+        .join(sizes.select($"doc_id".as("doc_j"), $"n_sh".as("n_j")), Seq("doc_j"))
+        .withColumn("union_n", $"n_i" + $"n_j" - $"shared")
+        .select($"doc_i", $"doc_j", $"n_match",
+          expr("(n_match * 1000000) div 32").as("est_e6"),
+          expr("(shared * 1000000) div union_n").as("jac_e6"))
+        .orderBy($"doc_i", $"doc_j")
+    }, sql = Some(s"""
+      $minhashPairsCtes,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      shr AS (
+        SELECT p.doc_i, p.doc_j, COUNT(*) AS shared
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_i
+        JOIN sh b ON b.doc_id = p.doc_j AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      mtch AS (
+        SELECT p.doc_i, p.doc_j,
+               COUNT(CASE WHEN ma.h = mb.h THEN 1 END) AS n_match
+        FROM pairs p
+        JOIN mins ma ON ma.doc_id = p.doc_i
+        JOIN mins mb ON mb.doc_id = p.doc_j AND mb.i = ma.i
+        GROUP BY 1, 2)
+      SELECT m.doc_i, m.doc_j, m.n_match,
+             (m.n_match * 1000000) // 32 AS est_e6,
+             (COALESCE(s.shared, 0) * 1000000)
+               // (si.n_sh + sj.n_sh - COALESCE(s.shared, 0)) AS jac_e6
+      FROM mtch m
+      JOIN sizes si ON si.doc_id = m.doc_i
+      JOIN sizes sj ON sj.doc_id = m.doc_j
+      LEFT JOIN shr s ON s.doc_i = m.doc_i AND s.doc_j = m.doc_j
+      ORDER BY m.doc_i, m.doc_j
+    """)),
+
     // Edit-distance re-rank of the LSH candidates — the "cheap candidate
     // generation → expensive exact verification" pipeline in its string
     // form: levenshtein (identical definition both engines, integer
