@@ -147,8 +147,18 @@ object CorpusPipeline {
     * AND packing) are materialized once via localCheckpoint — on a
     * cluster each would be a persisted stage table, which is exactly how
     * a day-scale pipeline checkpoints its progress. */
-  def fullCurate(docs: DataFrame, evalSplit: Long = 100L,
-                 shardBudget: Int = 2000): DataFrame = {
+  /** The staged frames of the full curation chain, built ONCE and
+    * consumed by both [[fullCurate]] (p3) and [[curationFunnel]] (p4) —
+    * the same one-definition guard that qualityGate/collapseNearDups
+    * provide for p1/p3. `exact` is materialized: it fans out to the
+    * gate AND the funnel's stage counts, and the fingerprint/normalize
+    * scan must not replay per consumer (`clean` likewise, for pair
+    * generation + anti-join + packing/counting). */
+  private case class Stages(corpus0: DataFrame, exact: DataFrame,
+                            gated: DataFrame, clean: DataFrame,
+                            uniq: DataFrame)
+
+  private def curationStages(docs: DataFrame, evalSplit: Long): Stages = {
     val eval = docs.filter(col("doc_id") < evalSplit)
     val corpus0 = docs.filter(col("doc_id") >= evalSplit)
 
@@ -158,6 +168,7 @@ object CorpusPipeline {
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exact = corpus0.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
 
     // 2. per-language median quality gate (median over the deduped set;
     //    SHARED stage definition with curate/p1)
@@ -174,111 +185,43 @@ object CorpusPipeline {
     val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
-    // 4. near-dup cluster collapse (shared with p1); 5. shard packing
-    val uniq = collapseNearDups(clean)
+    // 4. near-dup cluster collapse (shared with p1)
+    Stages(corpus0, exact, gated, clean, collapseNearDups(clean))
+  }
+
+  def fullCurate(docs: DataFrame, evalSplit: Long = 100L,
+                 shardBudget: Int = 2000): DataFrame = {
+    val st = curationStages(docs, evalSplit)
     TextAnalysis.packShards(
-      uniq.select(col("doc_id"), col("lang"), col("n_tok")),
+      st.uniq.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
       .orderBy(col("doc_id"))
   }
 
   /** Stage-by-stage survivor counts of [[fullCurate]] — the curation
     * FUNNEL an operator reads before shipping a corpus (where did the
-    * data go?). Same stage definitions as p3, one count per stage,
-    * assembled with unions of 1-row aggregates. */
+    * data go?). Built from the SAME [[curationStages]] frames as p3,
+    * one count per stage, assembled with unions of 1-row aggregates. */
   def curationFunnel(docs: DataFrame, evalSplit: Long = 100L): DataFrame = {
-    val corpus0 = docs.filter(col("doc_id") >= evalSplit)
-    val keepIds = corpus0
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exact = corpus0.join(keepIds, Seq("doc_id"), "left_semi")
-    val gated = qualityGate(exact)
-    val evalG = Dedup.shingles(docs.filter(col("doc_id") < evalSplit), 8)
-      .select(col("shingle").as("g")).distinct()
-    val contaminated = Dedup.shingles(gated, 8)
-      .withColumnRenamed("shingle", "g")
-      .join(broadcast(evalG), Seq("g"))
-      .select(col("doc_id")).distinct()
-    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    val uniq = collapseNearDups(clean)
+    val st = curationStages(docs, evalSplit)
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    stage("1_corpus", corpus0)
-      .unionByName(stage("2_exact_dedup", exact))
-      .unionByName(stage("3_quality_gate", gated))
-      .unionByName(stage("4_decontaminated", clean))
-      .unionByName(stage("5_near_dedup", uniq))
+    stage("1_corpus", st.corpus0)
+      .unionByName(stage("2_exact_dedup", st.exact))
+      .unionByName(stage("3_quality_gate", st.gated))
+      .unionByName(stage("4_decontaminated", st.clean))
+      .unionByName(stage("5_near_dedup", st.uniq))
       .orderBy(col("stage"))
   }
 }
 
 object CorpusPipelineQueries extends QModule {
 
-  def qs: Seq[Q] = Seq(
-    Q("p1_curate_corpus", (s, dir) =>
-      CorpusPipeline.curate(t(s, dir, "documents")), sql = Some("""
-      WITH RECURSIVE q AS (
-        SELECT doc_id, lang, text,
-               CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
-                 / length(string_split_regex(trim(text), '\s+')) AS r
-        FROM documents),
-      ord AS (
-        SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn,
-               COUNT(*) OVER (PARTITION BY lang) AS n
-        FROM q),
-      med AS (
-        SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN r END) AS m
-        FROM ord GROUP BY lang),
-      kept AS (
-        SELECT q.doc_id, q.lang, q.text FROM q JOIN med USING (lang) WHERE q.r >= med.m),
-      docs AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM kept),
-      sh AS (
-        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
-        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
-      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
-      idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-      cand AS (
-        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
-        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      jp AS (
-        SELECT doc_i, doc_j FROM cand
-        JOIN sizes si ON si.doc_id = doc_i
-        JOIN sizes sj ON sj.doc_id = doc_j
-        WHERE shared * 10 >= (si.n_sh + sj.n_sh - shared) * 3),
-      edges AS (SELECT doc_i AS a, doc_j AS b FROM jp
-                UNION ALL SELECT doc_j, doc_i FROM jp),
-      reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
-      uniq AS (
-        SELECT k.doc_id, k.lang,
-               length(string_split_regex(trim(k.text), '\s+')) AS n_tok
-        FROM kept k
-        WHERE k.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))
-      SELECT doc_id, lang, n_tok,
-             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
-      FROM (
-        SELECT doc_id, lang, n_tok,
-               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM uniq) t
-      ORDER BY doc_id
-    """), headline = true),
-
-    // The COMPLETE curation pipeline: eval split → exact dedup → median
-    // gate → 8-gram decontamination → near-dup cluster collapse → shard
-    // packing, oracle-replayed WHOLESALE (every stage is a CTE chained
-    // off the previous stage's survivors, closed transitively for the
-    // cluster stage by a recursive CTE).
-    Q("p3_full_curation", (s, dir) =>
-      CorpusPipeline.fullCurate(t(s, dir, "documents")), sql = Some("""
+  /** Shared oracle replay of [[CorpusPipeline.curationStages]] (through
+    * `uniq`), interpolated into BOTH the p3 and p4 oracles — one text to
+    * keep in lockstep with the Scala stages, the same factoring the
+    * minhash oracles use (`Dedup.minhashPairsCtes`). */
+  private val curationStagesCtes = """
       WITH RECURSIVE corpus0 AS (
         SELECT doc_id, lang, text FROM documents WHERE doc_id >= 100),
       fps AS (
@@ -345,37 +288,16 @@ object CorpusPipelineQueries extends QModule {
       rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
       uniq AS (
         SELECT c.doc_id, c.lang, c.n_tok FROM clean c
-        WHERE c.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))
-      SELECT doc_id, lang, n_tok,
-             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
-      FROM (
-        SELECT doc_id, lang, n_tok,
-               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM uniq) t
-      ORDER BY doc_id
-    """), headline = true),
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))"""
 
-    // The curation FUNNEL: per-stage survivor counts of the p3 chain —
-    // the where-did-the-data-go report an operator reads before shipping
-    // a corpus. The oracle replays the identical stage CTEs and counts
-    // each one.
-    Q("p4_curation_funnel", (s, dir) =>
-      CorpusPipeline.curationFunnel(t(s, dir, "documents")), sql = Some("""
-      WITH RECURSIVE corpus0 AS (
-        SELECT doc_id, lang, text FROM documents WHERE doc_id >= 100),
-      fps AS (
-        SELECT doc_id, lang, text,
-               md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
-                   '\s+', ' ', 'g')) AS fp
-        FROM corpus0),
-      keep AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
-      exact AS (SELECT f.doc_id, f.lang, f.text FROM fps f JOIN keep k ON f.doc_id = k.doc_id),
-      q AS (
+  def qs: Seq[Q] = Seq(
+    Q("p1_curate_corpus", (s, dir) =>
+      CorpusPipeline.curate(t(s, dir, "documents")), sql = Some("""
+      WITH RECURSIVE q AS (
         SELECT doc_id, lang, text,
                CAST(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) AS DOUBLE)
                  / length(string_split_regex(trim(text), '\s+')) AS r
-        FROM exact),
+        FROM documents),
       ord AS (
         SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn,
                COUNT(*) OVER (PARTITION BY lang) AS n
@@ -383,28 +305,13 @@ object CorpusPipelineQueries extends QModule {
       med AS (
         SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN r END) AS m
         FROM ord GROUP BY lang),
-      gated AS (
+      kept AS (
         SELECT q.doc_id, q.lang, q.text FROM q JOIN med USING (lang) WHERE q.r >= med.m),
-      evg AS (
-        SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
-        FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
-              FROM documents WHERE doc_id < 100) t,
-             UNNEST(range(1, CASE WHEN len(toks) >= 8 THEN len(toks) - 6 ELSE 1 END)) u(i)
-        WHERE len(toks) >= 8),
-      gg AS (
-        SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM gated) t,
-             UNNEST(range(1, CASE WHEN len(toks) >= 8 THEN len(toks) - 6 ELSE 1 END)) u(i)
-        WHERE len(toks) >= 8),
-      contaminated AS (SELECT DISTINCT gg.doc_id FROM gg JOIN evg USING (g)),
-      clean AS (
-        SELECT * FROM gated
-        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-      docs2 AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM clean),
+      docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM kept),
       sh AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
-        FROM docs2, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
       rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
       idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
@@ -425,8 +332,45 @@ object CorpusPipelineQueries extends QModule {
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
       uniq AS (
-        SELECT c.doc_id FROM clean c
-        WHERE c.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))
+        SELECT k.doc_id, k.lang,
+               length(string_split_regex(trim(k.text), '\s+')) AS n_tok
+        FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_id <> doc_id))
+      SELECT doc_id, lang, n_tok,
+             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM uniq) t
+      ORDER BY doc_id
+    """), headline = true),
+
+    // The COMPLETE curation pipeline: eval split → exact dedup → median
+    // gate → 8-gram decontamination → near-dup cluster collapse → shard
+    // packing, oracle-replayed WHOLESALE (every stage is a CTE chained
+    // off the previous stage's survivors, closed transitively for the
+    // cluster stage by a recursive CTE).
+    Q("p3_full_curation", (s, dir) =>
+      CorpusPipeline.fullCurate(t(s, dir, "documents")), sql = Some(s"""
+      $curationStagesCtes
+      SELECT doc_id, lang, n_tok,
+             CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM uniq) t
+      ORDER BY doc_id
+    """), headline = true),
+
+    // The curation FUNNEL: per-stage survivor counts of the p3 chain —
+    // the where-did-the-data-go report an operator reads before shipping
+    // a corpus. The oracle replays the identical stage CTEs and counts
+    // each one.
+    Q("p4_curation_funnel", (s, dir) =>
+      CorpusPipeline.curationFunnel(t(s, dir, "documents")), sql = Some(s"""
+      $curationStagesCtes
       SELECT stage, n_docs FROM (
         SELECT '1_corpus' AS stage, COUNT(*) AS n_docs FROM corpus0
         UNION ALL SELECT '2_exact_dedup', COUNT(*) FROM exact

@@ -578,8 +578,13 @@ object DedupQueries extends QModule {
     Q("dedup_minhash_estimate", (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val pairs = minhashLshPairs(docs)
-      val sigs = minhash(docs)
+      // every fanned-out frame is materialized once: `pairs` is consumed
+      // by the shared-count aggregation AND the signature join, `sigs`
+      // by both pair sides, `sh` by sizes and both intersection sides —
+      // without the barriers the corpus-wide sketch would recompute ~4x
+      // (the qualityGate/p1 lesson applied here)
+      val pairs = minhashLshPairs(docs).localCheckpoint()
+      val sigs = minhash(docs).localCheckpoint()
       val si = sigs.select(col("doc_id").as("doc_i") +:
         (0 until 32).map(i => col(s"h$i").as(s"hi_$i")): _*)
       val sj = sigs.select(col("doc_id").as("doc_j") +:
@@ -587,7 +592,7 @@ object DedupQueries extends QModule {
       val nMatch = (0 until 32)
         .map(i => when(col(s"hi_$i") === col(s"hj_$i"), 1).otherwise(0))
         .reduce(_ + _).cast("long")
-      val sh = shingles(docs)
+      val sh = shingles(docs).localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val shared = pairs
         .join(sh.select($"doc_id".as("doc_i"), $"shingle"), Seq("doc_i"))
