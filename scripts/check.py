@@ -27,6 +27,24 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_ok = n_bad = 0
+    # Type lint over EVERY oracle, even when the dump is restricted: the
+    # driver's hash is TYPE-sensitive while this script's Python == is not,
+    # so a DuckDB-widened aggregate (count_if → HUGEINT in r4, windowed
+    # SUM → HUGEINT in r5) leaking into an output column passes here and
+    # fails the driver. Any HUGEINT/UHUGEINT output column is a hard FAIL.
+    n_type_bad = 0
+    for name in sorted(oracle):
+        try:
+            desc = con.execute("DESCRIBE " + oracle[name]).fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE: {e}")
+            n_type_bad += 1
+            continue
+        wide = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        if wide:
+            print(f"FAIL {name}: oracle output widened (driver hash will "
+                  f"mismatch) — CAST it: {wide}")
+            n_type_bad += 1
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -34,25 +52,59 @@ def main():
             n_bad += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+            spark_rel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            got = con.execute(spark_rel).fetchall()
             got_cols = [d[0] for d in con.description]
+            got_types = dict((c, t) for c, t, *_ in
+                             con.execute("DESCRIBE " + spark_rel).fetchall())
             exp = con.execute(oracle[name]).fetchall()
             exp_cols = [d[0] for d in con.description]
+            exp_types = dict((c, t) for c, t, *_ in
+                             con.execute("DESCRIBE " + oracle[name]).fetchall())
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
         msg = compare(name, got, got_cols, exp, exp_cols)
         if msg is None:
+            msg = type_mismatch(got_types, exp_types)
+        if msg is None:
             print(f"ok   {name} ({len(got)} rows)")
             n_ok += 1
         else:
             print(f"FAIL {name}: {msg}")
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} failed, "
+    print(f"\n{n_ok} ok, {n_bad} failed, {n_type_bad} oracle-type lint fails, "
           f"{len(SPARK_ONLY(out_dir, oracle))} rows-only (no oracle)")
-    sys.exit(1 if n_bad else 0)
+    sys.exit(1 if (n_bad or n_type_bad) else 0)
+
+
+# DuckDB's read of Spark parquet vs the oracle's computed types, per
+# column. Exact string compare after two normalizations that mirror the
+# driver's observed hash behavior (it pulls both sides into a common
+# in-memory representation before hashing):
+#  - the ≤64-bit integer family is one type (r5's p3 hashed green with
+#    Spark INTEGER vs oracle BIGINT) — but HUGEINT is NOT in the family:
+#    int128 coerces to float64/object on fetch, which is exactly how
+#    count_if (r4) and the windowed SUM (r5) failed the driver;
+#  - the timestamp family is one type (Spark writes NANOS/MICROS
+#    annotations which DuckDB surfaces as TIMESTAMP_NS/TIMESTAMP).
+# Everything else (DOUBLE vs DECIMAL, VARCHAR vs numeric, DECIMAL
+# scales) must match exactly.
+def type_mismatch(got_types, exp_types):
+    def norm(t):
+        u = t.upper()
+        if u.startswith("TIMESTAMP"):
+            return "TIMESTAMP"
+        if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+            return "INT64"
+        return u
+    bad = [(c, got_types[c], exp_types[c]) for c in sorted(got_types)
+           if c in exp_types and norm(got_types[c]) != norm(exp_types[c])]
+    if bad:
+        return ("result TYPES differ (driver hash is type-sensitive): " +
+                ", ".join(f"{c}: spark={g} oracle={e}" for c, g, e in bad))
+    return None
 
 
 def SPARK_ONLY(out_dir, oracle):

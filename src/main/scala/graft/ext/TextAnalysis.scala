@@ -675,11 +675,14 @@ object TextAnalysis extends QModule {
     // 2*sigma is rewritten over raw integer moments as
     // (n*x - S)^2 > 4*(n*Q - S^2) — integer arithmetic only, no mean, no
     // sqrt, no float boundary to flip between engines (the g15_corr
-    // trick applied to an anomaly gate). The moment products run in
-    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): with n ≤ 1e9 docs per
-    // language and x ≤ 1e5 chars, dev^2 and n*Q stay ≤ ~1e28 — 10 orders
-    // inside the 38-digit budget, where raw BIGINT would overflow at
-    // ~1e6 docs. Two passes: mergeable moment aggregates, broadcast back
+    // trick applied to an anomaly gate). The moment products AND the
+    // second-moment SUM itself run in DECIMAL(38,0) (Spark) / HUGEINT
+    // (DuckDB): with n ≤ 1e9 docs per language and x ≤ 1e5 chars, Q ≤
+    // 1e19 (already past BIGINT's 9.2e18 — a BIGINT accumulator would
+    // overflow the sum at ~9e8 max-length docs) and dev^2 / n*Q stay ≤
+    // ~1e28 — 10 orders inside the 38-digit budget, where raw BIGINT
+    // products would overflow at ~1e6 docs.
+    // Two passes: mergeable moment aggregates, broadcast back
     // (one row per language), map-side predicate. The float version of
     // this filter is NOT hash-comparable; the moments version is.
     Q("t_outlier_zscore", (s, dir) => {
@@ -689,7 +692,7 @@ object TextAnalysis extends QModule {
       val st = d.groupBy($"lang").agg(
         count(lit(1)).as("n"),
         sum($"n_chars").as("s"),
-        sum($"n_chars" * $"n_chars").as("q"))
+        sum(($"n_chars" * $"n_chars").cast(dec)).as("q"))
       d.join(broadcast(st), Seq("lang"))
         .withColumn("dev",
           ($"n".cast(dec) * $"n_chars" - $"s").cast(dec))
@@ -704,7 +707,7 @@ object TextAnalysis extends QModule {
       WITH st AS (
         SELECT lang, COUNT(*) AS n,
                CAST(SUM(n_chars) AS BIGINT) AS s,
-               CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+               SUM(n_chars * n_chars) AS q
         FROM documents GROUP BY lang)
       SELECT lang, COUNT(*) AS n_docs,
              COUNT(CASE WHEN (CAST(n AS HUGEINT) * n_chars - s)
@@ -757,8 +760,8 @@ object TextAnalysis extends QModule {
         FROM (SELECT DISTINCT lang, doc_id FROM toks) d
         LEFT JOIN firsts f ON d.lang = f.lang AND d.doc_id = f.doc_id)
       SELECT lang, doc_id, n_new,
-             SUM(n_new) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_seen
+             CAST(SUM(n_new) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_seen
       FROM per_doc ORDER BY lang, doc_id
     """)),
 

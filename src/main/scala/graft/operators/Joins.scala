@@ -211,7 +211,10 @@ object Joins extends QModule {
         .orderBy($"lo")
     }, sql = Some("""
       WITH bands AS (
-        SELECT g * 25000.0 AS lo, (g + 1) * 25000.0 AS hi
+        -- lo must be DOUBLE to mirror Spark (DuckDB's g * 25000.0 is
+        -- DECIMAL(25,1); exact here, but keep output types aligned)
+        SELECT CAST(g * 25000.0 AS DOUBLE) AS lo,
+               CAST((g + 1) * 25000.0 AS DOUBLE) AS hi
         FROM generate_series(0, 19) t(g))
       SELECT lo, COUNT(o_orderkey) AS n_orders,
              CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS band_value
