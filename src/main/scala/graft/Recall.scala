@@ -28,8 +28,9 @@ object Recall {
       val emb = Tables.t(spark, dir, "embeddings").cache()
       val n = emb.count()
       // train the k-means index ONCE per corpus (the centroids param's
-      // purpose) instead of re-running the Lloyd iteration per query
-      val cent = Similarity.ivfTrainedCentroids(emb).localCheckpoint()
+      // purpose) instead of re-running the Lloyd iteration per query;
+      // ivfTrainedCentroids returns it already localCheckpoint'd
+      val cent = Similarity.ivfTrainedCentroids(emb)
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("vec_id").collect().map(_.getLong(0)).toSet
       val recalls = (0L until nQueries.toLong).map { q =>

@@ -132,38 +132,74 @@ object Similarity {
   private def intDot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 
-  /** Map-side argmax assignment by exact integer dot (broadcast
-    * centroids), ties to the lower centroid id. */
-  private def assignByDot(base: DataFrame, cent: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("dotv").desc, col("centroid_id").asc)
-    base.crossJoin(broadcast(cent))
-      .withColumn("dotv", expr(intDot("ve6", "ce6")))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .drop("rk", "dotv")
-  }
+  /** Map-side argmax assignment by exact integer dot: the centroid table
+    * is packed into ONE broadcast array-of-structs row and the argmax is a
+    * single higher-order expression per vector — no ×nlist row fan-out and
+    * NO shuffle (the r5 form expanded crossJoin(cent) then took argmax
+    * through a row_number window partitioned by vec_id, i.e. a full
+    * shuffle of n×nlist rows; at 100 TB of embeddings that is a 16×-corpus
+    * exchange for what is logically a map). Ties go to the lower centroid
+    * id via the (dotv, -id) struct max. IvfPlanSpec pins the no-Exchange /
+    * no-Window shape. */
+  private def assignByDot(base: DataFrame, cent: DataFrame): DataFrame =
+    base.crossJoin(broadcast(
+        cent.agg(collect_list(struct(col("centroid_id"), col("ce6"))).as("cents"))))
+      .withColumn("centroid_id", expr(
+        s"""-array_max(transform(cents, c -> named_struct(
+           |  'dotv', ${intDot("ve6", "c.ce6")},
+           |  'ncid', -c.centroid_id))).ncid""".stripMargin))
+      .drop("cents")
 
-  /** One Lloyd iteration over the stride-initialized centroids: assign
-    * every vector by integer dot, recenter each list at the per-dimension
-    * FLOOR mean (floor-div via the pmod identity, so both engines agree
-    * on negative sums where trunc-div and floor-div differ). Mergeable
-    * aggregates only: the update is posexplode → hash-agg on
-    * (centroid, dim) → re-pack — at 100 TB one shuffle of (nlist × dim)
-    * partial sums. Centroids that lose every member drop out, same in
-    * the oracle replay. */
-  def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+  /** Lloyd iterations over the stride-initialized centroids: assign every
+    * vector by integer dot (map-only, broadcast centroids), recenter each
+    * list at the per-dimension FLOOR mean (floor-div via the pmod
+    * identity, so both engines agree on negative sums where trunc-div and
+    * floor-div differ). Mergeable aggregates only: each update is
+    * posexplode → hash-agg on (centroid, dim) → re-pack — at 100 TB one
+    * shuffle of (nlist × dim) partial sums per round. Centroids that lose
+    * every member drop out, same in the oracle replay.
+    *
+    * Runs up to `iters` rounds with a fixed-point early stop: integer
+    * Lloyd is a deterministic map on the centroid table, so once a round
+    * reproduces its input table every later round is a no-op — which is
+    * exactly why the early stop stays oracle-replayable (the oracle just
+    * unrolls all `iters` rounds; converged rounds rewrite the same table).
+    * The convergence probe collects the ≤ nlist-row centroid table —
+    * driver-side by nature (nlist is small by design), never the vectors. */
+  /** Lloyd rounds for the trained IVF index — single source of truth for
+    * the Spark trainer AND the generated oracle CTE rounds
+    * (SimilarityQueries.duckLloydRounds). */
+  val ivfKmeansIters = 2
+
+  def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 16,
+                          iters: Int = ivfKmeansIters): DataFrame = {
     val base = embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
-    val cent0 = ivfCentroids(embeddings, nlist)
+    def recenter(cent: DataFrame): DataFrame =
+      assignByDot(base, cent)
+        .select(col("centroid_id"), posexplode(col("ve6")).as(Seq("d", "v")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("(s - pmod(s, cnt)) div cnt"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)")
+          .as("ce6"))
+    def snapshot(cent: DataFrame): Seq[(Long, Seq[Long])] =
+      cent.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    var cent = ivfCentroids(embeddings, nlist)
       .select(col("centroid_id"), e6Vec("centroid").as("ce6"))
-    assignByDot(base, cent0)
-      .select(col("centroid_id"), posexplode(col("ve6")).as(Seq("d", "v")))
-      .groupBy(col("centroid_id"), col("d"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-      .withColumn("m", expr("(s - pmod(s, cnt)) div cnt"))
-      .groupBy(col("centroid_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)")
-        .as("ce6"))
+      .localCheckpoint()
+    var prev = snapshot(cent)
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
+      cent = recenter(cent).localCheckpoint()
+      val cur = snapshot(cent)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    cent
   }
 
   /** IVF ANN over the k-means-trained index: probe the `nprobe` lists
@@ -175,12 +211,13 @@ object Similarity {
                      nlist: Int = 16, nprobe: Int = 6,
                      centroids: Option[DataFrame] = None): DataFrame = {
     // the trained table feeds BOTH the assignment broadcast and the
-    // probe cross-join — materialize once or the Lloyd iteration's
-    // lineage executes twice per query (ReuseExchange cannot dedupe the
-    // streamed copy). Callers ranking MANY queries pass a precomputed
-    // `centroids` (train once, the production posture).
+    // probe cross-join; ivfTrainedCentroids returns it already
+    // localCheckpoint'd (its training loop materializes per round), so no
+    // re-checkpoint here — in particular a caller-passed precomputed
+    // `centroids` (train once, the production posture; Recall.scala,
+    // ExtensionSpec) is used as-is instead of being re-materialized per
+    // query as it was in r5.
     val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nlist))
-      .localCheckpoint()
     val base = embeddings.select(col("vec_id"), col("embedding"),
       e6Vec("embedding").as("ve6"))
     val assigned = assignByDot(base, cent)
@@ -199,16 +236,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** Assign each vector to its nearest centroid (broadcast centroid table;
-    * one map-side argmax per vector — no shuffle of the vectors). Ranking
-    * uses the e9-quantized cosine so the argmax is engine-independent. */
+  /** Assign each vector to its nearest centroid — genuinely map-only: the
+    * centroid table (with its norm precomputed once per centroid) is
+    * packed into ONE broadcast array row and the e9-cosine argmax is a
+    * single higher-order expression per vector, so there is no ×nlist
+    * fan-out and no Exchange on vec_id (the r5 form shuffled n×nlist rows
+    * through a row_number window — a 16×-corpus shuffle at 100 TB).
+    * The lambda dot is the in-order HOF fold, bit-equal to the native
+    * vecDot (VectorExprSpec); the vector's own norm stays the native
+    * codegen'd expression, hoisted out of the lambda as loop-invariant.
+    * Ranking uses the e9-quantized cosine so the argmax is
+    * engine-independent; ties to the lower centroid id. */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("sim_e9", cosineE9(cosine("embedding", "centroid")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("sim_e9").desc, col("centroid_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    val hofDot = s"""aggregate(
+      zip_with(embedding, c.centroid, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+    embeddings.crossJoin(broadcast(
+        centroids.select(col("centroid_id"), col("centroid"),
+            norm("centroid").as("cnorm"))
+          .agg(collect_list(struct(col("centroid_id"), col("centroid"),
+            col("cnorm"))).as("cents"))))
+      .withColumn("enorm", norm("embedding"))
+      .withColumn("centroid_id", expr(
+        s"""-array_max(transform(cents, c -> named_struct(
+           |  'sim_e9', CAST(floor($hofDot / enorm / c.cnorm * 1e9 + 0.5) AS BIGINT),
+           |  'ncid', -c.centroid_id))).ncid""".stripMargin))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
@@ -309,6 +361,31 @@ object SimilarityQueries extends QModule {
        | / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   private val duckCosine = duckCos("a.embedding", "b.embedding")
+
+  /** One SQL CTE pair (assign + recenter) per Lloyd round — generated
+    * from the SAME iteration count the Spark side trains with, so the
+    * oracle replays training verbatim at any `iters`. */
+  private def duckLloydRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, ve6, centroid_id FROM (
+         |    SELECT b.vec_id, b.ve6, c.centroid_id,
+         |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |             list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+         |             c.centroid_id ASC) AS rk
+         |    FROM base b CROSS JOIN c${i - 1} c) t
+         |  WHERE rk = 1),
+         |c$i AS (
+         |  SELECT centroid_id, list(m ORDER BY d) AS ce6 FROM (
+         |    SELECT centroid_id, d,
+         |           (s - (((s % cnt) + cnt) % cnt)) // cnt AS m
+         |    FROM (
+         |      SELECT centroid_id, d, CAST(SUM(ve6[d]) AS BIGINT) AS s,
+         |             COUNT(*) AS cnt
+         |      FROM a$i, UNNEST(range(1, 65)) t(d)
+         |      GROUP BY centroid_id, d) x) y
+         |  GROUP BY centroid_id),""".stripMargin
+    }.mkString("\n")
 
   def qs: Seq[Q] = Seq(
     // Brute-force cosine top-10 for query vector 0 (the exact baseline).
@@ -462,10 +539,13 @@ object SimilarityQueries extends QModule {
         ORDER BY cosine_e9 DESC, a.vec_id ASC LIMIT 10) t
     """)),
 
-    // IVF with a TRAINED coarse quantizer: one integer Lloyd iteration
-    // (e6-quantized vectors, exact BIGINT dot assignment, per-dimension
-    // floor-mean recentering) over the stride init — k-means training as
-    // mergeable-aggregate Spark, replayed verbatim by the oracle. The
+    // IVF with a TRAINED coarse quantizer: `ivfKmeansIters` integer Lloyd
+    // iterations (e6-quantized vectors, exact BIGINT dot assignment,
+    // per-dimension floor-mean recentering) over the stride init — k-means
+    // training as mergeable-aggregate Spark, replayed verbatim by the
+    // oracle (the rounds below are GENERATED from the same iteration
+    // count; Spark's fixed-point early stop is oracle-neutral because a
+    // converged Lloyd round rewrites the same centroid table). The
     // all-integer training loop is what makes a TRAINED index
     // hash-checkable at all: a raw-double loop would let one 1-ulp
     // assignment flip cascade through the means into a different index
@@ -483,35 +563,18 @@ object SimilarityQueries extends QModule {
              (SELECT greatest(CAST(floor(COUNT(*) / 16) AS BIGINT), 1) AS stride
               FROM embeddings) s
         WHERE vec_id % stride = 0 AND vec_id < stride * 16),
-      a1 AS (
-        SELECT vec_id, ve6, centroid_id FROM (
-          SELECT b.vec_id, b.ve6, c.centroid_id,
-                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
-                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
-                   c.centroid_id ASC) AS rk
-          FROM base b CROSS JOIN c0 c) t
-        WHERE rk = 1),
-      c1 AS (
-        SELECT centroid_id, list(m ORDER BY d) AS ce6 FROM (
-          SELECT centroid_id, d,
-                 (s - (((s % cnt) + cnt) % cnt)) // cnt AS m
-          FROM (
-            SELECT centroid_id, d, CAST(SUM(ve6[d]) AS BIGINT) AS s,
-                   COUNT(*) AS cnt
-            FROM a1, UNNEST(range(1, 65)) t(d)
-            GROUP BY centroid_id, d) x) y
-        GROUP BY centroid_id),
-      a2 AS (
+      ${duckLloydRounds(ivfKmeansIters)}
+      aF AS (
         SELECT vec_id, centroid_id FROM (
           SELECT b.vec_id, c.centroid_id,
                  row_number() OVER (PARTITION BY b.vec_id ORDER BY
                    list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
                    c.centroid_id ASC) AS rk
-          FROM base b CROSS JOIN c1 c) t
+          FROM base b CROSS JOIN c$ivfKmeansIters c) t
         WHERE rk = 1),
       qv AS (SELECT ve6 AS qe6 FROM base WHERE vec_id = 0),
       probed AS (
-        SELECT centroid_id FROM c1 CROSS JOIN qv
+        SELECT centroid_id FROM c$ivfKmeansIters CROSS JOIN qv
         ORDER BY list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
                  centroid_id ASC
         LIMIT 6)
@@ -519,8 +582,8 @@ object SimilarityQueries extends QModule {
         SELECT b.vec_id,
                CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
         FROM embeddings b
-        JOIN a2 ON a2.vec_id = b.vec_id
-        JOIN probed p ON a2.centroid_id = p.centroid_id
+        JOIN aF ON aF.vec_id = b.vec_id
+        JOIN probed p ON aF.centroid_id = p.centroid_id
         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
         WHERE b.vec_id <> 0
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t

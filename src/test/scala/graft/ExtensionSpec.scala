@@ -122,8 +122,9 @@ class ExtensionSpec extends SparkSpec {
   test("k-means-trained ivf: recall@10 over 20 queries meets the stride-init floor") {
     val queries = (0L until 20L)
     // train once (the production posture ivfTrainedTopK's centroids
-    // param exists for) and compute each query's brute-force truth once
-    val cent = Similarity.ivfTrainedCentroids(embs).localCheckpoint()
+    // param exists for) and compute each query's brute-force truth once;
+    // ivfTrainedCentroids returns it already localCheckpoint'd
+    val cent = Similarity.ivfTrainedCentroids(embs)
     val per = queries.map { q =>
       val brute = Similarity.topK(embs, q, 10).collect().map(_.getLong(0)).toSet
       val s = Similarity.ivfTopK(embs, q, 10).collect().map(_.getLong(0)).toSet

@@ -110,13 +110,27 @@ class PlanHygieneSpec extends SparkSpec {
   }
 
   test("sim_ann_ivf: centroid selection has no single-partition window") {
-    // the stride predicate replaced the global row_number pass; the only
-    // window left in the full query is ivfAssign's KEYED one (by vec_id)
+    // the stride predicate replaced the global row_number pass
     val embs = graft.Tables.t(spark, dir, "embeddings")
     val cents = graft.ext.Similarity.ivfCentroids(embs, 16)
     cents.queryExecution.toRdd.count()
     val p = cents.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), "global window crept back into IVF centroids:\n" + p)
+  }
+
+  test("ivf assignment is map-only: no window, no exchange on vec_id") {
+    // the r5 shape expanded vectors ×nlist then took argmax through a
+    // row_number window partitioned by vec_id — a full n×nlist shuffle;
+    // the broadcast-array HOF argmax must keep BOTH variants map-shaped
+    val embs = graft.Tables.t(spark, dir, "embeddings")
+    val cents = graft.ext.Similarity.ivfCentroids(embs, 16)
+    val assigned = graft.ext.Similarity.ivfAssign(embs, cents)
+    assigned.queryExecution.toRdd.count()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "argmax window crept back into IVF assignment:\n" + p)
+    assert(!p.contains("hashpartitioning(vec_id"),
+      "vec_id shuffle crept back into IVF assignment:\n" + p)
   }
 
   test("q4: EXISTS compiles to a left-semi hash join, never a nested loop") {
@@ -273,7 +287,10 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ann_ivf_kmeans",
     "e4_funnel", "q11_important_value", "s10_dpp_join",
     // 1-row global min/max broadcast under the histogram bucketing
-    "g23_histogram")
+    "g23_histogram",
+    // statistic's three 1-row dashboard scalars composed by cross join
+    // over the checkpointed ≤100-row mart
+    "serve_statistic")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     val trips = SparkEntry.all.flatMap { q =>
