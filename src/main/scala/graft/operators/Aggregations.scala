@@ -103,47 +103,40 @@ object Aggregations extends QModule {
     // PlanHygieneSpec). A ROLLUP formulation does NOT work here: the
     // grouping-flag filters get rewritten into structurally different
     // aggregates per branch, defeating exchange reuse.
-    Q("g7_mart_aggregate", (s, dir) => {
-      import s.implicits._
-      val grid = t(s, dir, "lineitem").select(
-          lpad(pmod($"l_partkey", lit(100)).cast("string"), 2, "0").as("number_value"),
-          $"l_shipdate".cast("date").as("d"))
-        .groupBy($"number_value", $"d")
-        .agg(count(lit(1)).as("cnt"))
-      // `when(cnt >= 1, d)` ≡ `d` (cnt is a count(*), always ≥ 1) but keeps
-      // `cnt` referenced in this branch: otherwise column pruning drops the
-      // count from totals' copy of the grid aggregate, the two exchange
-      // subtrees stop being identical, and ReuseExchange can no longer
-      // serve this branch from the per-number branch's shuffle — costing a
-      // second full lineitem scan.
-      val totals = grid.agg(
-        countDistinct(when($"cnt" >= 1, $"d")).as("total_draws"),
-        max(when($"cnt" >= 1, $"d")).as("global_last"))
-      grid.groupBy($"number_value")
-        .agg(sum($"cnt").as("occ"), max($"d").as("last_d"))
-        .crossJoin(broadcast(totals))
-        .select(
-          $"number_value", $"occ".as("total_occurrences"), $"total_draws",
-          ($"occ".cast("double") / $"total_draws").as("probability"),
-          $"last_d".cast("string").as("last_appeared_date"),
-          datediff($"global_last", $"last_d").cast("long").as("days_since_last"))
-        .orderBy($"number_value")
-    }, sql = Some("""
-      WITH grid AS (
-        SELECT lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS number_value,
-               CAST(l_shipdate AS DATE) AS d, COUNT(*) AS cnt
-        FROM lineitem GROUP BY 1, 2),
-      totals AS (
-        SELECT COUNT(DISTINCT d) AS total_draws, MAX(d) AS global_last FROM grid)
-      SELECT number_value, CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
-             CAST(total_draws AS BIGINT) AS total_draws,
-             CAST(SUM(cnt) AS DOUBLE) / total_draws AS probability,
-             CAST(MAX(d) AS VARCHAR) AS last_appeared_date,
-             date_diff('day', MAX(d), global_last) AS days_since_last
-      FROM grid CROSS JOIN totals
-      GROUP BY number_value, total_draws, global_last
-      ORDER BY number_value
+    Q("g7_mart_aggregate", (s, dir) =>
+      reconstructedMart(s, dir).orderBy(col("number_value")),
+      sql = Some(s"""
+      $martCte
+      SELECT * FROM mart ORDER BY number_value
     """), headline = true),
+
+    // §2.9 GET /mart/statistic AS ONE ORACLED ROW: the four dashboard
+    // scalars (MartRepository.java:14-33) composed by Lottery.statistic
+    // over the reconstructed mart — the serving layer's exact input, so
+    // the full compose (argmax/argmin with the lowest-numeric-value
+    // tie-break, max-draws, last-update) is hash-checked wholesale, not
+    // just its g4/g5 components. The mart is localCheckpoint'd first:
+    // statistic() fans out into three branches (most/least/scalars), and
+    // in production statistic reads the MATERIALIZED mart table — the
+    // reference's precompute-then-serve split — so re-deriving the
+    // lineage three times would misstate the serving cost shape.
+    Q("serve_statistic", (s, dir) =>
+      graft.pipeline.Lottery.statistic(
+        reconstructedMart(s, dir).localCheckpoint()),
+      sql = Some(s"""
+      $martCte,
+      most AS (
+        SELECT number_value AS mostNumber FROM mart
+        ORDER BY total_occurrences DESC, CAST(number_value AS INT) ASC LIMIT 1),
+      least AS (
+        SELECT number_value AS leastNumber FROM mart
+        ORDER BY total_occurrences ASC, CAST(number_value AS INT) ASC LIMIT 1),
+      scalars AS (
+        SELECT MAX(total_draws) AS totalOccurrences,
+               MAX(last_appeared_date) AS lastUpdate FROM mart)
+      SELECT totalOccurrences, mostNumber, leastNumber, lastUpdate
+      FROM scalars CROSS JOIN most CROSS JOIN least
+    """)),
 
     // ROLLUP (absent in reference; SURVEY §2.5 last row). Null ordering
     // pinned explicitly: Spark sorts NULLS FIRST asc by default; DuckDB
@@ -557,4 +550,50 @@ object Aggregations extends QModule {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """))
   )
+
+  /** The g7 mart reconstruction, shared by g7_mart_aggregate and
+    * serve_statistic (one definition, Scala side — the SQL twin is
+    * `martCte`). Unordered; callers add their own ORDER BY / compose. */
+  private def reconstructedMart(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val grid = t(s, dir, "lineitem").select(
+        lpad(pmod($"l_partkey", lit(100)).cast("string"), 2, "0").as("number_value"),
+        $"l_shipdate".cast("date").as("d"))
+      .groupBy($"number_value", $"d")
+      .agg(count(lit(1)).as("cnt"))
+    // `when(cnt >= 1, d)` ≡ `d` (cnt is a count(*), always ≥ 1) but keeps
+    // `cnt` referenced in this branch: otherwise column pruning drops the
+    // count from totals' copy of the grid aggregate, the two exchange
+    // subtrees stop being identical, and ReuseExchange can no longer
+    // serve this branch from the per-number branch's shuffle — costing a
+    // second full lineitem scan.
+    val totals = grid.agg(
+      countDistinct(when($"cnt" >= 1, $"d")).as("total_draws"),
+      max(when($"cnt" >= 1, $"d")).as("global_last"))
+    grid.groupBy($"number_value")
+      .agg(sum($"cnt").as("occ"), max($"d").as("last_d"))
+      .crossJoin(broadcast(totals))
+      .select(
+        $"number_value", $"occ".as("total_occurrences"), $"total_draws",
+        ($"occ".cast("double") / $"total_draws").as("probability"),
+        $"last_d".cast("string").as("last_appeared_date"),
+        datediff($"global_last", $"last_d").cast("long").as("days_since_last"))
+  }
+
+  /** SQL twin of `reconstructedMart` as a WITH prefix ending in `mart`. */
+  private val martCte = """WITH grid AS (
+        SELECT lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS number_value,
+               CAST(l_shipdate AS DATE) AS d, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      totals AS (
+        SELECT COUNT(DISTINCT d) AS total_draws, MAX(d) AS global_last FROM grid),
+      mart AS (
+        SELECT number_value, CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+               CAST(total_draws AS BIGINT) AS total_draws,
+               CAST(SUM(cnt) AS DOUBLE) / total_draws AS probability,
+               CAST(MAX(d) AS VARCHAR) AS last_appeared_date,
+               date_diff('day', MAX(d), global_last) AS days_since_last
+        FROM grid CROSS JOIN totals
+        GROUP BY number_value, total_draws, global_last)"""
 }
