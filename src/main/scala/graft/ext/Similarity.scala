@@ -169,7 +169,7 @@ object Similarity {
   /** Lloyd rounds for the trained IVF index — single source of truth for
     * the Spark trainer AND the generated oracle CTE rounds
     * (SimilarityQueries.duckLloydRounds). */
-  val ivfKmeansIters = 2
+  val ivfKmeansIters = 3
 
   def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 16,
                           iters: Int = ivfKmeansIters): DataFrame = {

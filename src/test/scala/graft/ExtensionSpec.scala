@@ -136,11 +136,12 @@ class ExtensionSpec extends SparkSpec {
     val stride = per.map(_._1).sum / queries.size
     val trained = per.map(_._2).sum / queries.size
     info(f"recall@10 stride=$stride%.2f trained=$trained%.2f")
-    // the trained quantizer must not LOSE recall vs the stride init at
-    // equal nprobe (small slack for list-boundary churn), and must keep
-    // the absolute floor the LSH path is held to
-    assert(trained >= 0.5, f"trained IVF recall $trained%.2f < 0.5")
-    assert(trained >= stride - 0.05,
+    // the trained quantizer must BEAT the stride init at equal nprobe
+    // (3 Lloyd rounds measure 0.695-0.75 vs stride's 0.64-0.70 across
+    // the SFs — Recall.scala / PERF.md §ANN), with a floor well above
+    // the LSH path's
+    assert(trained >= 0.65, f"trained IVF recall $trained%.2f < 0.65")
+    assert(trained >= stride,
       f"training degraded recall: $trained%.2f vs stride $stride%.2f")
   }
 
