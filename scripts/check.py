@@ -33,6 +33,7 @@ def main():
     # SUM → HUGEINT in r5) leaking into an output column passes here and
     # fails the driver. Any HUGEINT/UHUGEINT output column is a hard FAIL.
     n_type_bad = 0
+    oracle_types = {}  # name -> {col: type}; reused by the main loop
     for name in sorted(oracle):
         try:
             desc = con.execute("DESCRIBE " + oracle[name]).fetchall()
@@ -40,7 +41,9 @@ def main():
             print(f"FAIL {name}: oracle DESCRIBE: {e}")
             n_type_bad += 1
             continue
-        wide = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        oracle_types[name] = dict((c, t) for c, t, *_ in desc)
+        wide = [(c, t) for c, t in oracle_types[name].items()
+                if "HUGEINT" in t.upper()]
         if wide:
             print(f"FAIL {name}: oracle output widened (driver hash will "
                   f"mismatch) — CAST it: {wide}")
@@ -59,8 +62,7 @@ def main():
                              con.execute("DESCRIBE " + spark_rel).fetchall())
             exp = con.execute(oracle[name]).fetchall()
             exp_cols = [d[0] for d in con.description]
-            exp_types = dict((c, t) for c, t, *_ in
-                             con.execute("DESCRIBE " + oracle[name]).fetchall())
+            exp_types = oracle_types.get(name, {})
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1

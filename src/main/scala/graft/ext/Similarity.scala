@@ -27,11 +27,17 @@ object Similarity {
   private def foldSum(arrExpr: String): String =
     s"aggregate($arrExpr, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  /** HOF-fold dot product as SQL text (the single definition of the
+    * in-order double fold — VectorExprSpec pins its bit-equality with the
+    * native vecDot, and ivfAssign's per-centroid lambda reuses this exact
+    * string so that contract covers both call sites). */
+  private[ext] def dotHofStr(a: String, b: String): String = foldSum(
+    s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))")
+
   /** HOF-fold dot product — semantically identical to vecDot but
     * CodegenFallback (interpreted per element); used only as the
     * cross-check baseline in SimilarityExprSpec. */
-  def dotHof(a: String, b: String): Column = expr(foldSum(
-    s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"))
+  def dotHof(a: String, b: String): Column = expr(dotHofStr(a, b))
 
   /** dot(a, b): native codegen'd expression, double accumulation in
     * element order (graft.functions.FloatVectorDot). */
@@ -150,6 +156,11 @@ object Similarity {
            |  'ncid', -c.centroid_id))).ncid""".stripMargin))
       .drop("cents")
 
+  /** Lloyd rounds for the trained IVF index — single source of truth for
+    * the Spark trainer AND the generated oracle CTE rounds
+    * (SimilarityQueries.duckLloydRounds). */
+  val ivfKmeansIters = 3
+
   /** Lloyd iterations over the stride-initialized centroids: assign every
     * vector by integer dot (map-only, broadcast centroids), recenter each
     * list at the per-dimension FLOOR mean (floor-div via the pmod
@@ -166,11 +177,6 @@ object Similarity {
     * unrolls all `iters` rounds; converged rounds rewrite the same table).
     * The convergence probe collects the ≤ nlist-row centroid table —
     * driver-side by nature (nlist is small by design), never the vectors. */
-  /** Lloyd rounds for the trained IVF index — single source of truth for
-    * the Spark trainer AND the generated oracle CTE rounds
-    * (SimilarityQueries.duckLloydRounds). */
-  val ivfKmeansIters = 3
-
   def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 16,
                           iters: Int = ivfKmeansIters): DataFrame = {
     val base = embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
@@ -248,9 +254,7 @@ object Similarity {
     * Ranking uses the e9-quantized cosine so the argmax is
     * engine-independent; ties to the lower centroid id. */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val hofDot = s"""aggregate(
-      zip_with(embedding, c.centroid, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+    val hofDot = dotHofStr("embedding", "c.centroid")
     embeddings.crossJoin(broadcast(
         centroids.select(col("centroid_id"), col("centroid"),
             norm("centroid").as("cnorm"))
