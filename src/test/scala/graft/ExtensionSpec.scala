@@ -119,6 +119,21 @@ class ExtensionSpec extends SparkSpec {
       s"IVF found none of the true top-10: ${ivf.toSeq}")
   }
 
+  test("k-means training reaches a fixed point: more rounds cannot change a converged table") {
+    // the early stop's oracle-neutrality argument made concrete: integer
+    // Lloyd is a deterministic map on the centroid table, so once training
+    // converges, any larger round budget must return the IDENTICAL table
+    // (the oracle unrolls a fixed round count; this is why a Spark-side
+    // early stop can never diverge from it)
+    def tbl(iters: Int): Seq[(Long, Seq[Long])] =
+      Similarity.ivfTrainedCentroids(embs, 16, iters).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    val at25 = tbl(25)
+    val at26 = tbl(26)
+    assert(at25 == at26,
+      "training had not converged by 25 rounds OR the early stop is not a fixed point")
+  }
+
   test("k-means-trained ivf: recall@10 over 20 queries meets the stride-init floor") {
     val queries = (0L until 20L)
     // train once (the production posture ivfTrainedTopK's centroids
