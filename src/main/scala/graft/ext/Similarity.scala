@@ -140,14 +140,27 @@ object Similarity {
 
   /** Map-side argmax assignment by exact integer dot: the centroid table
     * is packed into ONE broadcast array-of-structs row and the argmax is a
-    * single higher-order expression per vector — no ×nlist row fan-out and
-    * NO shuffle (the r5 form expanded crossJoin(cent) then took argmax
-    * through a row_number window partitioned by vec_id, i.e. a full
-    * shuffle of n×nlist rows; at 100 TB of embeddings that is a 16×-corpus
-    * exchange for what is logically a map). Ties go to the lower centroid
-    * id via the (dotv, -id) struct max. IvfPlanSpec pins the no-Exchange /
-    * no-Window shape. */
+    * single native codegen expression per vector (VectorArgmaxDotLong) —
+    * no ×nlist row fan-out and NO shuffle (the r5 form expanded
+    * crossJoin(cent) then took argmax through a row_number window
+    * partitioned by vec_id, i.e. a full shuffle of n×nlist rows; at
+    * 100 TB of embeddings that is a 16×-corpus exchange for what is
+    * logically a map). Ties go to the lower centroid id — exactly the
+    * (dotv, -id) struct max of the HOF baseline `assignByDotHof`, which
+    * ExtensionSpec pins row-for-row against this. PlanHygieneSpec pins
+    * the no-Exchange / no-Window shape. */
   private def assignByDot(base: DataFrame, cent: DataFrame): DataFrame =
+    base.crossJoin(broadcast(
+        cent.agg(collect_list(struct(col("centroid_id"), col("ce6"))).as("cents"))))
+      .withColumn("centroid_id",
+        graft.functions.VectorFunctions.vecArgmaxDotI64(col("ve6"), col("cents")))
+      .drop("cents")
+
+  /** HOF baseline of assignByDot — semantically identical argmax via
+    * transform + array_max (CodegenFallback, nlist×dim interpreted lambda
+    * dispatches per vector); kept ONLY as the spec cross-check proving
+    * the native expression's tie-break and score parity. */
+  private[graft] def assignByDotHof(base: DataFrame, cent: DataFrame): DataFrame =
     base.crossJoin(broadcast(
         cent.agg(collect_list(struct(col("centroid_id"), col("ce6"))).as("cents"))))
       .withColumn("centroid_id", expr(
@@ -242,24 +255,36 @@ object Similarity {
       .limit(k)
   }
 
-  /** Assign each vector to its nearest centroid — genuinely map-only: the
-    * centroid table (with its norm precomputed once per centroid) is
-    * packed into ONE broadcast array row and the e9-cosine argmax is a
-    * single higher-order expression per vector, so there is no ×nlist
-    * fan-out and no Exchange on vec_id (the r5 form shuffled n×nlist rows
-    * through a row_number window — a 16×-corpus shuffle at 100 TB).
-    * The lambda dot is the in-order HOF fold, bit-equal to the native
-    * vecDot (VectorExprSpec); the vector's own norm stays the native
-    * codegen'd expression, hoisted out of the lambda as loop-invariant.
-    * Ranking uses the e9-quantized cosine so the argmax is
-    * engine-independent; ties to the lower centroid id. */
-  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Assign each vector to its nearest centroid — genuinely map-only AND
+    * codegen'd: the centroid table (with its norm precomputed once per
+    * centroid) is packed into ONE broadcast array row and the e9-cosine
+    * argmax is a single native expression per vector
+    * (VectorArgmaxE9Cosine), so there is no ×nlist fan-out, no Exchange
+    * on vec_id (the r5 form shuffled n×nlist rows through a row_number
+    * window — a 16×-corpus shuffle at 100 TB), and no interpreted lambda
+    * dispatch (the intermediate HOF form, kept below as `ivfAssignHof`,
+    * was map-only but 4.7× the CPU — AssignBench). Ranking uses the
+    * e9-quantized cosine so the argmax is engine-independent; ties to
+    * the lower centroid id. */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(packedCents(centroids)))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.vecArgmaxCosE9(col("embedding"),
+          col("cents")).as("centroid_id"))
+
+  private def packedCents(centroids: DataFrame): DataFrame =
+    centroids.select(col("centroid_id"), col("centroid"),
+        norm("centroid").as("cnorm"))
+      .agg(collect_list(struct(col("centroid_id"), col("centroid"),
+        col("cnorm"))).as("cents"))
+
+  /** HOF baseline of ivfAssign — same broadcast-array argmax via
+    * transform + array_max with the spec-pinned in-order fold dot
+    * (dotHofStr); kept ONLY as the spec cross-check for the native
+    * expression. */
+  private[graft] def ivfAssignHof(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val hofDot = dotHofStr("embedding", "c.centroid")
-    embeddings.crossJoin(broadcast(
-        centroids.select(col("centroid_id"), col("centroid"),
-            norm("centroid").as("cnorm"))
-          .agg(collect_list(struct(col("centroid_id"), col("centroid"),
-            col("cnorm"))).as("cents"))))
+    embeddings.crossJoin(broadcast(packedCents(centroids)))
       .withColumn("enorm", norm("embedding"))
       .withColumn("centroid_id", expr(
         s"""-array_max(transform(cents, c -> named_struct(

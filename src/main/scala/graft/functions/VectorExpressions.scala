@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, Shims, SimHashSignature, VectorLshSignature}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, Shims, SimHashSignature, VectorArgmaxDotLong, VectorArgmaxE9Cosine, VectorLshSignature}
 
 /** Public surface for the native vector expressions (implementations:
   * org.apache.spark.sql.graftshim.FloatVectorDot / VectorLshSignature —
@@ -27,6 +27,16 @@ object VectorFunctions {
     * array of chunk values; null for < k tokens). */
   def simhashSig(tokens: Column, k: Int, chunks: Int, bitsPerChunk: Int): Column =
     Shims.column(SimHashSignature(Shims.expression(tokens), k, chunks, bitsPerChunk))
+
+  /** Column API for the native e9-cosine centroid argmax (IVF assignment;
+    * cents = array of (centroid_id, centroid, cnorm) structs). */
+  def vecArgmaxCosE9(vec: Column, cents: Column): Column =
+    Shims.column(VectorArgmaxE9Cosine(Shims.expression(vec), Shims.expression(cents)))
+
+  /** Column API for the native integer-dot centroid argmax (k-means
+    * training assignment; cents = array of (centroid_id, ce6) structs). */
+  def vecArgmaxDotI64(vec: Column, cents: Column): Column =
+    Shims.column(VectorArgmaxDotLong(Shims.expression(vec), Shims.expression(cents)))
 
   val fnId: FunctionIdentifier = FunctionIdentifier("vec_dot")
 

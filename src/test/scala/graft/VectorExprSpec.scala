@@ -107,4 +107,56 @@ class VectorExprSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), "vec_lsh_sig fell out of codegen:\n" + plan)
   }
+
+  test("native e9-cosine argmax == HOF argmax, row-for-row, on real embeddings") {
+    // the IVF assignment hot loop: same score quantization, same
+    // lower-centroid-id tie-break as the transform+array_max form
+    val embs = t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(embs, 16).localCheckpoint()
+    val nat = Similarity.ivfAssign(embs, cents)
+      .select("vec_id", "centroid_id")
+    val hof = Similarity.ivfAssignHof(embs, cents)
+      .select(col("vec_id"), col("centroid_id").as("hof_id"))
+    val joined = nat.join(hof, "vec_id")
+    assert(joined.filter(col("centroid_id") =!= col("hof_id")).count() === 0)
+    assert(joined.count() === embs.count())
+    // non-degenerate: assignment actually spreads across lists
+    assert(nat.select("centroid_id").distinct().count() > 1)
+  }
+
+  test("native integer-dot argmax == HOF argmax through the full training loop") {
+    // run the WHOLE Lloyd training (which assigns with the native
+    // expression internally) and the HOF-assigned single round; the
+    // centroid tables after round 1 must be identical, proving the
+    // training-path argmax parity end-to-end
+    val embs = t(spark, dir, "embeddings")
+    def e6 = Similarity.ivfTrainedCentroids(embs, 16, 1)
+    val viaNative = e6.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toSeq.sortBy(_._1)
+    // HOF twin of round 1: stride init, HOF assignment, same recenter
+    import org.apache.spark.sql.functions.{posexplode, sum => fsum, count => fcount, lit, expr}
+    val base = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("ve6"))
+    val cent0 = Similarity.ivfCentroids(embs, 16)
+      .select(col("centroid_id"),
+        expr("transform(centroid, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("ce6"))
+    val viaHof = Similarity.assignByDotHof(base, cent0)
+      .select(col("centroid_id"), posexplode(col("ve6")).as(Seq("d", "v")))
+      .groupBy(col("centroid_id"), col("d"))
+      .agg(fsum(col("v")).as("s"), fcount(lit(1)).as("cnt"))
+      .withColumn("m", expr("(s - pmod(s, cnt)) div cnt"))
+      .groupBy(col("centroid_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)").as("ce6"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    assert(viaNative === viaHof)
+  }
+
+  test("argmax expressions stay in whole-stage codegen") {
+    val embs = t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(embs, 16).localCheckpoint()
+    val df = Similarity.ivfAssign(embs, cents)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "vec_argmax_cos_e9 fell out of codegen:\n" + plan)
+  }
 }
