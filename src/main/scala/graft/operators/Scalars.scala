@@ -154,6 +154,65 @@ object Scalars extends QModule {
              'type')[1] AS parsed_type,
              COUNT(*) AS n
       FROM events GROUP BY 1 ORDER BY parsed_type
+    """)),
+
+    // X14: composite string key — the reference builds its fact key as
+    // `dateKey + "_" + numberKey` (load_warehouse/.../ETLMain.java:354,387).
+    // SURVEY §2.7's verdict stands: multi-column join keys are the native
+    // Spark form (every join in this engine uses them), so the composite
+    // string exists as a COMPATIBILITY COLUMN, not a join key. This query
+    // proves the rendered key round-trips: built with concat_ws over the
+    // same (date_key, number_value) pair the mart uses, aggregated to one
+    // row per key — the grouped counts are identical to grouping by the
+    // two columns (the injectivity that makes the reference's key valid).
+    Q("x14_composite_key", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(date_format($"l_shipdate", "yyyyMMdd").as("date_key"),
+          lpad(pmod($"l_partkey", lit(100)).cast("string"), 2, "0").as("number_value"))
+        .withColumn("fact_key", concat_ws("_", $"date_key", $"number_value"))
+        .groupBy($"fact_key").agg(count(lit(1)).as("n"))
+        .orderBy($"fact_key")
+    }, sql = Some("""
+      SELECT strftime(CAST(l_shipdate AS DATE), '%Y%m%d') || '_' ||
+             lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS fact_key,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY fact_key
+    """)),
+
+    // X15: percent render — the frontend shows `(probability*100)
+    // .toFixed(2)` (lottery_frontend/.../TableComponent.jsx:46). Rendered
+    // engine-side as an exact integer path: scale to hundredths of a
+    // percent with ONE IEEE divide + floor (the established exactness
+    // pattern), then assemble the "NN.NN" string from integer div/mod —
+    // no float formatting, so the string is hash-identical across
+    // engines (toFixed's binary-rounding quirks are exactly why the
+    // render is pinned to integers here).
+    Q("x15_percent_render", (s, dir) => {
+      import s.implicits._
+      val grid = t(s, dir, "lineitem").select(
+          lpad(pmod($"l_partkey", lit(100)).cast("string"), 2, "0").as("number_value"))
+        .groupBy($"number_value").agg(count(lit(1)).as("occ"))
+      val total = grid.agg(sum($"occ").as("total"))
+      grid.crossJoin(broadcast(total))
+        .withColumn("pct_e2",
+          floor($"occ" * lit(10000.0) / $"total" + 0.5).cast("long"))
+        .select($"number_value",
+          concat(expr("CAST(pct_e2 div 100 AS STRING)"), lit("."),
+            lpad(($"pct_e2" % 100).cast("string"), 2, "0")).as("percent"))
+        .orderBy($"number_value")
+    }, sql = Some("""
+      WITH grid AS (
+        SELECT lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS number_value,
+               COUNT(*) AS occ
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(SUM(occ) AS BIGINT) AS total FROM grid)
+      SELECT number_value,
+             CAST(CAST(floor(occ * 10000.0 / total + 0.5) AS BIGINT) // 100 AS VARCHAR)
+               || '.' ||
+               lpad(CAST(CAST(floor(occ * 10000.0 / total + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+               AS percent
+      FROM grid CROSS JOIN t ORDER BY number_value
     """))
   )
 }

@@ -290,7 +290,9 @@ class PlanHygieneSpec extends SparkSpec {
     "g23_histogram",
     // statistic's three 1-row dashboard scalars composed by cross join
     // over the checkpointed ≤100-row mart
-    "serve_statistic")
+    "serve_statistic",
+    // 1-row global total broadcast under the percent render
+    "x15_percent_render")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     val trips = SparkEntry.all.flatMap { q =>
