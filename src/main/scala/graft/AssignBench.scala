@@ -59,13 +59,18 @@ object AssignBench {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    // warm both paths once (codegen compile, broadcast build)
+    // warm all paths once (codegen compile, broadcast build)
     r5Assign(emb, cents).queryExecution.toRdd.count()
+    Similarity.ivfAssignHof(emb, cents).queryExecution.toRdd.count()
     Similarity.ivfAssign(emb, cents).queryExecution.toRdd.count()
 
     val tOld = bestOf2(r5Assign(emb, cents))
+    // the intermediate map-only HOF form (kept as the spec baseline):
+    // same plan shape as the shipped path but transform+array_max is
+    // CodegenFallback — this row is what justified the native expression
+    val tHof = bestOf2(Similarity.ivfAssignHof(emb, cents))
     val tNew = bestOf2(Similarity.ivfAssign(emb, cents))
-    println(f"""{"metric":"ivf_assign","n_vectors":$n,"nlist":16,"r5_crossjoin_window_sec":$tOld%.3f,"r6_maponly_sec":$tNew%.3f,"speedup":${tOld / tNew}%.2f}""")
+    println(f"""{"metric":"ivf_assign","n_vectors":$n,"nlist":16,"r5_crossjoin_window_sec":$tOld%.3f,"maponly_hof_sec":$tHof%.3f,"r6_native_sec":$tNew%.3f,"speedup_vs_r5":${tOld / tNew}%.2f,"speedup_vs_hof":${tHof / tNew}%.2f}""")
     spark.stop()
   }
 }

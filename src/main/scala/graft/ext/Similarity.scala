@@ -29,8 +29,9 @@ object Similarity {
 
   /** HOF-fold dot product as SQL text (the single definition of the
     * in-order double fold — VectorExprSpec pins its bit-equality with the
-    * native vecDot, and ivfAssign's per-centroid lambda reuses this exact
-    * string so that contract covers both call sites). */
+    * native vecDot; ivfAssignHof's per-centroid lambda reuses this exact
+    * string, and the production ivfAssign path is covered through the
+    * separate native-vs-HOF argmax parity spec). */
   private[ext] def dotHofStr(a: String, b: String): String = foldSum(
     s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))")
 

@@ -119,19 +119,30 @@ class ExtensionSpec extends SparkSpec {
       s"IVF found none of the true top-10: ${ivf.toSeq}")
   }
 
-  test("k-means training reaches a fixed point: more rounds cannot change a converged table") {
+  test("k-means training reaches a fixed point: one MORE Lloyd round cannot change the converged table") {
     // the early stop's oracle-neutrality argument made concrete: integer
-    // Lloyd is a deterministic map on the centroid table, so once training
-    // converges, any larger round budget must return the IDENTICAL table
-    // (the oracle unrolls a fixed round count; this is why a Spark-side
-    // early stop can never diverge from it)
-    def tbl(iters: Int): Seq[(Long, Seq[Long])] =
-      Similarity.ivfTrainedCentroids(embs, 16, iters).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
-    val at25 = tbl(25)
-    val at26 = tbl(26)
-    assert(at25 == at26,
-      "training had not converged by 25 rounds OR the early stop is not a fixed point")
+    // Lloyd is a deterministic map on the centroid table, so the trained
+    // result must be a true fixed point of that map. Crucially the extra
+    // round here is applied OUTSIDE ivfTrainedCentroids (via the HOF
+    // assignment twin + the same recenter aggregation), so a falsely-firing
+    // internal convergence predicate cannot mask itself — comparing
+    // tbl(25) to tbl(26) would trivially pass if both early-stopped at the
+    // same broken round
+    import org.apache.spark.sql.functions.{posexplode, sum => fsum, count => fcount, lit, expr, col}
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Long])] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    val trained = Similarity.ivfTrainedCentroids(embs, 16, 25)
+    val base = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("ve6"))
+    val oneMore = Similarity.assignByDotHof(base, trained)
+      .select(col("centroid_id"), posexplode(col("ve6")).as(Seq("d", "v")))
+      .groupBy(col("centroid_id"), col("d"))
+      .agg(fsum(col("v")).as("s"), fcount(lit(1)).as("cnt"))
+      .withColumn("m", expr("(s - pmod(s, cnt)) div cnt"))
+      .groupBy(col("centroid_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)").as("ce6"))
+    assert(snap(trained) === snap(oneMore),
+      "training had not converged by 25 rounds OR the trained table is not a Lloyd fixed point")
   }
 
   test("k-means-trained ivf: recall@10 over 20 queries meets the stride-init floor") {

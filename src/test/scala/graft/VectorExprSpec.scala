@@ -118,8 +118,11 @@ class VectorExprSpec extends SparkSpec {
     val hof = Similarity.ivfAssignHof(embs, cents)
       .select(col("vec_id"), col("centroid_id").as("hof_id"))
     val joined = nat.join(hof, "vec_id")
-    assert(joined.filter(col("centroid_id") =!= col("hof_id")).count() === 0)
+    // null-safe inequality: a native NULL vs a HOF id must COUNT as a
+    // mismatch (=!= would return NULL and slip through the filter)
+    assert(joined.filter(!(col("centroid_id") <=> col("hof_id"))).count() === 0)
     assert(joined.count() === embs.count())
+    assert(nat.filter(col("centroid_id").isNull).count() === 0)
     // non-degenerate: assignment actually spreads across lists
     assert(nat.select("centroid_id").distinct().count() > 1)
   }
@@ -152,11 +155,33 @@ class VectorExprSpec extends SparkSpec {
   }
 
   test("argmax expressions stay in whole-stage codegen") {
+    // assert on the SPECIFIC plan line carrying the expression — a bare
+    // plan.contains("*(") would be satisfied by the broadcast-side
+    // aggregate stage even if the argmax Project fell back to interpreted
+    def exprLineCodegend(df: org.apache.spark.sql.DataFrame, fn: String): Unit = {
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.filter(_.contains(fn)).toSeq
+      assert(lines.nonEmpty, s"$fn not found in plan:\n" + plan)
+      // the tree prefix ("+- ") precedes the codegen marker, so match the
+      // "*(" WITHIN the expression's own line, not at its start
+      assert(lines.exists(_.contains("*(")),
+        s"$fn's stage fell out of codegen:\n" + plan)
+    }
     val embs = t(spark, dir, "embeddings")
     val cents = Similarity.ivfCentroids(embs, 16).localCheckpoint()
-    val df = Similarity.ivfAssign(embs, cents)
-    df.queryExecution.toRdd.count()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("*("), "vec_argmax_cos_e9 fell out of codegen:\n" + plan)
+    exprLineCodegend(Similarity.ivfAssign(embs, cents), "vec_argmax_cos_e9")
+    // the integer-dot variant through a packed-cents projection
+    val base = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("ve6"))
+    val packed = cents
+      .select(col("centroid_id"),
+        expr("transform(centroid, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("ce6"))
+      .agg(collect_list(struct(col("centroid_id"), col("ce6"))).as("cents"))
+    exprLineCodegend(
+      base.crossJoin(broadcast(packed))
+        .select(col("vec_id"),
+          VectorFunctions.vecArgmaxDotI64(col("ve6"), col("cents")).as("cid")),
+      "vec_argmax_dot_i64")
   }
 }
