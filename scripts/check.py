@@ -68,6 +68,10 @@ def main():
             n_bad += 1
             continue
         msg = compare(name, got, got_cols, exp, exp_cols)
+        if msg is None and name not in oracle_types:
+            # the lint pass's DESCRIBE errored for this query — without
+            # oracle types a HUGEINT-class regression would print 'ok'
+            msg = "oracle types unavailable (DESCRIBE failed above) — type check skipped, treating as FAIL"
         if msg is None:
             msg = type_mismatch(got_types, exp_types)
         if msg is None:
@@ -106,6 +110,12 @@ def type_mismatch(got_types, exp_types):
     if bad:
         return ("result TYPES differ (driver hash is type-sensitive): " +
                 ", ".join(f"{c}: spark={g} oracle={e}" for c, g, e in bad))
+    # compare() already equates the column SETS case-sensitively, but the
+    # type maps can still diverge on case (DuckDB lowercases some DESCRIBE
+    # output) — a column we couldn't type-check must not pass silently
+    only_exp = sorted(set(exp_types) - set(got_types))
+    if only_exp:
+        return f"oracle columns missing from spark type map: {only_exp}"
     return None
 
 

@@ -70,7 +70,11 @@ object AssignBench {
     // CodegenFallback — this row is what justified the native expression
     val tHof = bestOf2(Similarity.ivfAssignHof(emb, cents))
     val tNew = bestOf2(Similarity.ivfAssign(emb, cents))
-    println(f"""{"metric":"ivf_assign","n_vectors":$n,"nlist":16,"r5_crossjoin_window_sec":$tOld%.3f,"maponly_hof_sec":$tHof%.3f,"r6_native_sec":$tNew%.3f,"speedup_vs_r5":${tOld / tNew}%.2f,"speedup_vs_hof":${tHof / tNew}%.2f}""")
+    // Locale.ROOT keeps the JSON valid on comma-decimal default locales
+    // (the f interpolator is locale-sensitive)
+    def num(v: Double, p: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + p + "f", Double.box(v))
+    println(s"""{"metric":"ivf_assign","n_vectors":$n,"nlist":16,"r5_crossjoin_window_sec":${num(tOld, 3)},"maponly_hof_sec":${num(tHof, 3)},"r6_native_sec":${num(tNew, 3)},"speedup_vs_r5":${num(tOld / tNew, 2)},"speedup_vs_hof":${num(tHof / tNew, 2)}}""")
     spark.stop()
   }
 }

@@ -77,8 +77,12 @@ object Bench {
         .map(e => if (good.nonEmpty) s"intermittent: $e" else e)
       (q.name, best._1, err)
     }
+    // JSON must stay JSON on comma-decimal default locales: the f
+    // interpolator is locale-sensitive, so format through Locale.ROOT
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val ok = results.collect { case (k, v, None) => k -> v }
-    val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
@@ -87,11 +91,11 @@ object Bench {
       case Some((bSf, bQs)) if bSf == sfDir =>
         ok.collect {
           case (k, v) if bQs.get(k).exists(b => v > 1.5 * b) =>
-            f""""$k":{"now":$v%.4f,"baseline":${bQs(k)}%.4f}"""
+            s""""$k":{"now":${num(v)},"baseline":${num(bQs(k))}}"""
         }.mkString("{", ",", "}")
       case _ => "{}"
     }
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
     // a broken headliner fails the bench run outright (after the JSON line
     // above has named it) instead of shipping a silently-shrunken total

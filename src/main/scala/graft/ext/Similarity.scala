@@ -226,7 +226,15 @@ object Similarity {
     * whose trained centroid has the highest integer dot with the query,
     * exact e9-cosine re-rank inside them. Training, assignment and probe
     * selection are all-integer (engine-exact); only the final ranking
-    * touches floats, with the established e9 guard. */
+    * touches floats, with the established e9 guard.
+    *
+    * PRECONDITION on a caller-supplied `centroids`: it must already be
+    * materialized (localCheckpoint'd / cached / read from storage). The
+    * table feeds BOTH the assignment broadcast and the probe cross-join,
+    * so a lazy DataFrame would re-execute its full lineage twice per
+    * query. `ivfTrainedCentroids` returns it checkpointed; train once
+    * and pass that handle (the production posture — Recall.scala,
+    * ExtensionSpec). */
   def ivfTrainedTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                      nlist: Int = 16, nprobe: Int = 6,
                      centroids: Option[DataFrame] = None): DataFrame = {

@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftshim
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructType}
 
 /** Native codegen expressions for the IVF assignment argmax — the
   * 100 TB embedding-index hot loop (one evaluation per vector per index
@@ -46,6 +47,25 @@ case class VectorArgmaxE9Cosine(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_argmax_cos_e9"
+
+  // The eval/codegen bodies read through positional unsafe accessors
+  // (getFloat / getStruct(_, 3) / getLong / getDouble), so a mistyped
+  // input (array<double> embedding, reordered struct fields) would read
+  // garbage silently — fail at analysis instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(st: StructType, _))
+          if st.length == 3 && st(0).dataType == LongType &&
+            (st(1).dataType match {
+              case ArrayType(FloatType, _) => true; case _ => false
+            }) && st(2).dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<float>, array<struct<id:bigint," +
+            s"centroid:array<float>,cnorm:double>>), got " +
+            s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
@@ -159,6 +179,23 @@ case class VectorArgmaxDotLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_argmax_dot_i64"
+
+  // Same rationale as VectorArgmaxE9Cosine: positional unsafe accessors
+  // demand the exact (array<bigint>, array<struct<id,ce6>>) shape.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(st: StructType, _))
+          if st.length == 2 && st(0).dataType == LongType &&
+            (st(1).dataType match {
+              case ArrayType(LongType, _) => true; case _ => false
+            }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<bigint>, array<struct<id:bigint," +
+            s"ce6:array<bigint>>>), got " +
+            s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
