@@ -272,6 +272,40 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("Generate"), "explode missing — merge shape changed:\n" + p)
   }
 
+  // ---- runtime shuffle-footprint pins (r6 verdict item 3) ----------------
+  // Wall-time on this host is noisy (±70% single-pass); STRUCTURAL
+  // regressions are not. For the five most expensive plans, pin the
+  // number of shuffle-map stages actually submitted (ShuffleCount — a
+  // listener, so stages behind eager localCheckpoints are counted too,
+  // and exchanges skipped via ReuseExchange are not). The pin is a
+  // ceiling at the measured repeat-stable value (+1 where a cold first
+  // run wobbled): a stage that gains a shuffle, a lost exchange reuse,
+  // or a checkpoint that starts replaying lineage fails here long before
+  // it shows up as wall-time at scale. Jobs are pinned too — for the
+  // checkpointed pipelines the job count is the localCheckpoint count
+  // plus AQE stage materializations, so a pipeline that silently doubles
+  // its materializations is caught even when shuffle counts hold.
+  private val footprintCeilings: Map[String, (Int, Int)] = Map(
+    // name -> (max jobs, max shuffle-map stages), measured at sf0.001
+    "p3_full_curation"    -> (39, 19),
+    "p1_curate_corpus"    -> (32, 17),
+    "dedup_clusters"      -> (21, 10),
+    "dedup_ngram_jaccard" -> (9, 5),
+    "t_tfidf"             -> (11, 6))
+
+  footprintCeilings.foreach { case (name, (maxJobs, maxShuffles)) =>
+    test(s"footprint: $name stays within $maxShuffles shuffles / $maxJobs jobs") {
+      val fp = ShuffleCount.of(spark) {
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      }
+      assert(fp.shuffleStages <= maxShuffles,
+        s"$name gained a shuffle: ${fp.shuffleStages} > $maxShuffles " +
+          "(re-audit the plan before raising the ceiling)")
+      assert(fp.jobs <= maxJobs,
+        s"$name gained jobs (extra materializations?): ${fp.jobs} > $maxJobs")
+    }
+  }
+
   // Queries whose plan INTENTIONALLY contains a BroadcastNestedLoopJoin:
   // the explicit cross-join demo, plus crossJoin(broadcast(<tiny>)) of a
   // 1-row scalar / query vector / boundary row — a map-stage multiply

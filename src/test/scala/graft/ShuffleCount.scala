@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.sql.SparkSession
+
+/** Counts the RUNTIME shuffle footprint of a query: jobs started and
+  * shuffle-map stages actually submitted while the thunk runs.
+  *
+  * Why a listener and not the plan string: the expensive pipelines
+  * (p1/p2/p3, dedup_clusters) materialize stages through eager
+  * localCheckpoints, whose jobs never appear in the final
+  * `executedPlan.toString` — but they DO hit the scheduler. Submitted
+  * stages with a shuffle dependency are exactly the map sides of
+  * exchanges that really executed; stages skipped via ReuseExchange are
+  * never submitted, so exchange reuse keeps the count down — which is
+  * the behavior worth pinning.
+  */
+object ShuffleCount {
+
+  final case class Footprint(jobs: Int, shuffleStages: Int)
+
+  def of(spark: SparkSession)(run: => Unit): Footprint = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val shuffles = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (org.apache.spark.scheduler.GraftStageInfoAccess
+              .isShuffleMapStage(s.stageInfo)) shuffles.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run
+      // the listener bus is async; wait for the counters to go quiet
+      var last = (-1, -1)
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val now = (jobs.get, shuffles.get)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    Footprint(jobs.get, shuffles.get)
+  }
+}

@@ -1,0 +1,9 @@
+package org.apache.spark.scheduler
+
+/** Test-scope accessor for `StageInfo.shuffleDepId` (private[spark]).
+  * A submitted stage with a shuffle dependency is the map side of an
+  * exchange that actually executed — the quantity the plan-hygiene
+  * footprint pins count. Same shim pattern as main's graftshim package. */
+object GraftStageInfoAccess {
+  def isShuffleMapStage(si: StageInfo): Boolean = si.shuffleDepId.isDefined
+}
