@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Counts the RUNTIME shuffle footprint of a query: jobs started and
@@ -43,5 +43,31 @@ object ShuffleCount {
       }
     } finally spark.sparkContext.removeSparkListener(listener)
     Footprint(jobs.get, shuffles.get)
+  }
+
+  /** Per-task shuffle-read record counts across every stage the thunk
+    * executes — the raw material for max-task-share (skew) assertions. */
+  def taskShuffleReads(spark: SparkSession)(run: => Unit): Seq[Long] = {
+    val reads = new scala.collection.concurrent.TrieMap[Long, Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics != null)
+          reads.put(t.taskInfo.taskId, m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val now = reads.size
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    reads.values.toSeq
   }
 }
