@@ -39,13 +39,24 @@ object Recall {
         val ivf = ids(Similarity.ivfTopK(emb, q, k)).intersect(truth).size / truth.size.toDouble
         val ivfK = ids(Similarity.ivfTrainedTopK(emb, q, k, centroids = Some(cent)))
           .intersect(truth).size / truth.size.toDouble
-        (lsh, ivf, ivfK)
+        // the r6-verdict multi-probe comparison: 6 query-ranked lists + 2
+        // neighbors of the best list, vs plain top-8 by query dot as the
+        // honest control (same scan fraction, 8/16 lists each)
+        val ivfMp = ids(Similarity.ivfTrainedTopK(emb, q, k,
+            neighborProbes = 2, centroids = Some(cent)))
+          .intersect(truth).size / truth.size.toDouble
+        val ivfP8 = ids(Similarity.ivfTrainedTopK(emb, q, k, nprobe = 8,
+            centroids = Some(cent)))
+          .intersect(truth).size / truth.size.toDouble
+        (lsh, ivf, ivfK, ivfMp, ivfP8)
       }
       val lshAvg = recalls.map(_._1).sum / nQueries
       val ivfAvg = recalls.map(_._2).sum / nQueries
       val ivfKAvg = recalls.map(_._3).sum / nQueries
+      val ivfMpAvg = recalls.map(_._4).sum / nQueries
+      val ivfP8Avg = recalls.map(_._5).sum / nQueries
       emb.unpersist()
-      println(f"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":$lshAvg%.3f,"ivf":$ivfAvg%.3f,"ivf_kmeans":$ivfKAvg%.3f}""")
+      println(f"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":$lshAvg%.3f,"ivf":$ivfAvg%.3f,"ivf_kmeans":$ivfKAvg%.3f,"ivf_kmeans_mp6p2":$ivfMpAvg%.3f,"ivf_kmeans_p8":$ivfP8Avg%.3f}""")
     }
     spark.stop()
   }

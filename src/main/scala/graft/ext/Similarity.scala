@@ -237,6 +237,7 @@ object Similarity {
     * ExtensionSpec). */
   def ivfTrainedTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                      nlist: Int = 16, nprobe: Int = 6,
+                     neighborProbes: Int = 0,
                      centroids: Option[DataFrame] = None): DataFrame = {
     // the trained table feeds BOTH the assignment broadcast and the
     // probe cross-join; ivfTrainedCentroids returns it already
@@ -251,11 +252,33 @@ object Similarity {
     val assigned = assignByDot(base, cent)
     val qv = embeddings.filter(col("vec_id") === queryVecId)
       .select(e6Vec("embedding").as("qe6"), col("embedding").as("q"))
-    val probed = cent.crossJoin(broadcast(qv))
+    val scored = cent.crossJoin(broadcast(qv))
       .withColumn("dotv", expr(intDot("ce6", "qe6")))
+    val topProbed = scored
       .orderBy(col("dotv").desc, col("centroid_id").asc)
       .limit(nprobe)
       .select(col("centroid_id"))
+    // Multi-probe (opt-in, off in the oracled query): widen the probe set
+    // with the `neighborProbes` centroids closest (by the same exact
+    // integer dot) to the BEST query centroid, excluding lists already
+    // probed. Selection stays all-integer with centroid-id tie-breaks —
+    // deterministic and oracle-replayable like the base path. Everything
+    // here touches only the ≤nlist-row centroid table; the corpus-side
+    // cost is identical to plain nprobe+neighborProbes lists.
+    val probed =
+      if (neighborProbes <= 0) topProbed
+      else {
+        val best = scored
+          .orderBy(col("dotv").desc, col("centroid_id").asc)
+          .limit(1).select(col("ce6").as("be6"))
+        val extra = cent.crossJoin(broadcast(best))
+          .withColumn("ndot", expr(intDot("ce6", "be6")))
+          .join(topProbed, Seq("centroid_id"), "left_anti")
+          .orderBy(col("ndot").desc, col("centroid_id").asc)
+          .limit(neighborProbes)
+          .select(col("centroid_id"))
+        topProbed.union(extra)
+      }
     assigned.join(broadcast(probed), Seq("centroid_id"))
       .crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= queryVecId)
