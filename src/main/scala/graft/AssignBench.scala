@@ -72,8 +72,7 @@ object AssignBench {
     val tNew = bestOf2(Similarity.ivfAssign(emb, cents))
     // Locale.ROOT keeps the JSON valid on comma-decimal default locales
     // (the f interpolator is locale-sensitive)
-    def num(v: Double, p: Int): String =
-      String.format(java.util.Locale.ROOT, "%." + p + "f", Double.box(v))
+    def num(v: Double, p: Int): String = Fmt.num(v, p)
     println(s"""{"metric":"ivf_assign","n_vectors":$n,"nlist":16,"r5_crossjoin_window_sec":${num(tOld, 3)},"maponly_hof_sec":${num(tHof, 3)},"r6_native_sec":${num(tNew, 3)},"speedup_vs_r5":${num(tOld / tNew, 2)},"speedup_vs_hof":${num(tHof / tNew, 2)}}""")
     spark.stop()
   }

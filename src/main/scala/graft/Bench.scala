@@ -79,8 +79,7 @@ object Bench {
     }
     // JSON must stay JSON on comma-decimal default locales: the f
     // interpolator is locale-sensitive, so format through Locale.ROOT
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def num(v: Double): String = Fmt.num(v, 4)
     val ok = results.collect { case (k, v, None) => k -> v }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")

@@ -131,17 +131,20 @@ object Fuzz {
   /** A boolean predicate rendered for both engines. */
   private final case class Pred(c: Column, sql: String)
 
-  /** A generated query: DataFrame thunk + the DuckDB oracle SQL. */
+  /** A generated query: DataFrame thunk + the DuckDB oracle SQL.
+    * `template` names the generator class, so FuzzSpec can prove every
+    * template's Spark plan actually executes. */
   final case class FuzzQuery(name: String,
                              df: (SparkSession, String) => DataFrame,
-                             sql: String)
+                             sql: String,
+                             template: String)
 
   private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
 
   /** Exactly-representable double literal: lo + (hi-lo) * k/8. */
   private def dblLit(r: Random, c: Col): (Double, String) = {
     val v = c.lo + (c.hi - c.lo) * (1 + r.nextInt(7)) / 8.0
-    (v, java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
+    (v, Fmt.num(v, 4))
   }
 
   private def tsLit(r: Random): String = {
@@ -305,7 +308,7 @@ object Fuzz {
       s"${orderSql(outCols)} LIMIT 500"
     FuzzQuery(name, (s, dir) =>
       read(s, dir, t.name).filter(p.c).select(sparkSel: _*)
-        .orderBy(orderCols(outCols): _*).limit(500), sql)
+        .orderBy(orderCols(outCols): _*).limit(500), sql, "scan")
   }
 
   /** T1: two-table equi-join (inner or left), projected scan. */
@@ -335,7 +338,7 @@ object Fuzz {
         else l.join(rght.filter(rp.c), col(lk) === col(rk))
       joined.select(out.map(col): _*)
         .orderBy(orderCols(out): _*).limit(500)
-    }, sql)
+    }, sql, "join")
   }
 
   /** T2/T3: group-by aggregate over a table or an inner join. */
@@ -359,7 +362,7 @@ object Fuzz {
           .agg(as.head.c, as.tail.map(_.c): _*)
         val gated = if (having) base.filter(col("cnt") >= hk) else base
         gated.select(out.map(col): _*).orderBy(orderCols(out): _*)
-      }, sql)
+      }, sql, "agg")
     } else {
       val (ln, rn, lk, rk) = pick(r, joins)
       val (lt, rt) = (tbl(ln), tbl(rn))
@@ -378,7 +381,7 @@ object Fuzz {
           .groupBy(keys.map(col): _*)
           .agg(as.head.c, as.tail.map(_.c): _*)
           .select(out.map(col): _*).orderBy(orderCols(out): _*)
-      }, sql)
+      }, sql, "join_agg")
     }
   }
 
@@ -428,7 +431,7 @@ object Fuzz {
         .select((out.dropRight(1).map(col) :+ wc.as("w")): _*)
       val gated = if (topk) base.filter(col("w") <= kk) else base
       gated.orderBy(orderCols(out): _*)
-    }, sql)
+    }, sql, "window")
   }
 
   /** T5: set operation between two filtered projections of one table. */
@@ -452,7 +455,7 @@ object Fuzz {
       val a = base.filter(p1.c).select(cols0.map(col): _*)
       val b = base.filter(p2.c).select(cols0.map(col): _*)
       opDf(a, b).orderBy(orderCols(cols0): _*).limit(500)
-    }, sql)
+    }, sql, "setop")
   }
 
   /** T6: DISTINCT projection. */
@@ -464,7 +467,7 @@ object Fuzz {
       s"WHERE ${p.sql} ${orderSql(cols0)} LIMIT 500"
     FuzzQuery(name, (s, dir) =>
       read(s, dir, t.name).filter(p.c).select(cols0.map(col): _*)
-        .distinct().orderBy(orderCols(cols0): _*).limit(500), sql)
+        .distinct().orderBy(orderCols(cols0): _*).limit(500), sql, "distinct")
   }
 
   /** T7: semi/anti join via EXISTS / NOT EXISTS. */
@@ -485,7 +488,7 @@ object Fuzz {
       l.join(rf, col(lk) === col(rk), if (anti) "leftanti" else "leftsemi")
         .select(cols0.map(col): _*)
         .orderBy(orderCols(cols0): _*).limit(500)
-    }, sql)
+    }, sql, "semi_anti")
   }
 
   // ---- corpus --------------------------------------------------------------

@@ -56,7 +56,9 @@ object Recall {
       val ivfMpAvg = recalls.map(_._4).sum / nQueries
       val ivfP8Avg = recalls.map(_._5).sum / nQueries
       emb.unpersist()
-      println(f"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":$lshAvg%.3f,"ivf":$ivfAvg%.3f,"ivf_kmeans":$ivfKAvg%.3f,"ivf_kmeans_mp6p2":$ivfMpAvg%.3f,"ivf_kmeans_p8":$ivfP8Avg%.3f}""")
+      // Fmt.num: JSON stays valid on comma-decimal default locales
+      def r3(v: Double): String = Fmt.num(v, 3)
+      println(s"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":${r3(lshAvg)},"ivf":${r3(ivfAvg)},"ivf_kmeans":${r3(ivfKAvg)},"ivf_kmeans_mp6p2":${r3(ivfMpAvg)},"ivf_kmeans_p8":${r3(ivfP8Avg)}}""")
     }
     spark.stop()
   }

@@ -37,17 +37,18 @@ class FuzzSpec extends SparkSpec {
   }
 
   test("every template executes on Spark (one per template id, sf0.001)") {
-    // corpus(seed) walks templates pseudo-randomly; take the first query
-    // of each template class by name-order scan until all 8 appear
     val qs = Fuzz.corpus(42L, 120)
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
-    val picked = qs.filter { q =>
-      val key = q.sql.take(30) // crude but stable class proxy
-      seen.add(key)
-    }.take(12)
-    picked.foreach { q =>
+    val byTemplate = qs.groupBy(_.template)
+    // all 8 generator templates must be present in the pinned corpus...
+    assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
+      "window", "setop", "distinct", "semi_anti"),
+      s"corpus template coverage changed: ${byTemplate.keySet}")
+    // ...and the FIRST query of each must execute as a Spark plan (a
+    // Spark-only planning regression in any generator surfaces here, not
+    // only in the external check.py differential)
+    byTemplate.values.map(_.head).foreach { q =>
       val n = q.df(spark, sf).count()
-      assert(n >= 0, s"${q.name} failed to execute")
+      assert(n >= 0, s"${q.name} (${q.template}) failed to execute")
     }
   }
 

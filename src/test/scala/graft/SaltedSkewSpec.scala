@@ -41,6 +41,7 @@ class SaltedSkewSpec extends SparkSpec {
     val naiveReads = ShuffleCount.taskShuffleReads(spark) {
       naive.queryExecution.toRdd.count()
     }
+    assert(naiveReads.nonEmpty, "listener saw no naive-path tasks")
     val naiveMax = naiveReads.max
     // the plant worked: one task really did absorb ~90% of the corpus
     assert(naiveMax >= (n * 0.8).toLong,
@@ -50,7 +51,9 @@ class SaltedSkewSpec extends SparkSpec {
     val saltedReads = ShuffleCount.taskShuffleReads(spark) {
       salted.queryExecution.toRdd.count()
     }
-    val saltedMax = if (saltedReads.isEmpty) 0L else saltedReads.max
+    // an empty read-set would make the bound below pass vacuously
+    assert(saltedReads.nonEmpty, "listener saw no salted-path tasks")
+    val saltedMax = saltedReads.max
     // phase-1 partials spread the hot key over the salt buckets and
     // combine map-side, so no task's shuffle read may come anywhere near
     // the naive hot task; 1/8 is a deliberately loose ceiling (measured

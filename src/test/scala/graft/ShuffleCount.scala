@@ -32,15 +32,11 @@ object ShuffleCount {
     spark.sparkContext.addSparkListener(listener)
     try {
       run
-      // the listener bus is async; wait for the counters to go quiet
-      var last = (-1, -1)
-      var stable = 0
-      var waited = 0
-      while (stable < 3 && waited < 10000) {
-        Thread.sleep(100); waited += 100
-        val now = (jobs.get, shuffles.get)
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
+      // the listener bus is async: drain it deterministically (a
+      // sleep-poll can undercount on a loaded host and turn the
+      // footprint ceilings into false greens)
+      org.apache.spark.scheduler.GraftStageInfoAccess
+        .waitUntilListenerBusEmpty(spark.sparkContext, 30000)
     } finally spark.sparkContext.removeSparkListener(listener)
     Footprint(jobs.get, shuffles.get)
   }
@@ -59,14 +55,8 @@ object ShuffleCount {
     spark.sparkContext.addSparkListener(listener)
     try {
       run
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 3 && waited < 10000) {
-        Thread.sleep(100); waited += 100
-        val now = reads.size
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
+      org.apache.spark.scheduler.GraftStageInfoAccess
+        .waitUntilListenerBusEmpty(spark.sparkContext, 30000)
     } finally spark.sparkContext.removeSparkListener(listener)
     reads.values.toSeq
   }

@@ -78,6 +78,13 @@ class StreamingCatchupSpec extends SparkSpec {
     // run 2: a brand-new query instance cold-starts from the checkpoint
     drainOnce()
 
+    // RAW sink count first: the set-based reconciliation below is
+    // duplicate-blind, so this is the assertion that actually proves
+    // effectively-once — lost dedupe state or offsets would re-emit the
+    // redelivered 200 rows (or all of A) and land above 700 here
+    assert(spark.read.parquet(out).count() === (a.length + b.length).toLong,
+      "sink row count shows double-emission after the cold restart")
+
     // reconcile against the batch twin over EVERYTHING ever delivered:
     // same transform minus the streaming-only dedupe operator
     val delivered = spark.read.parquet(inbox)
