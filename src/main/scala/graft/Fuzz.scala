@@ -59,7 +59,12 @@ object Fuzz {
   final case class Col(name: String, kind: Kind, lits: Seq[String] = Nil,
                        lo: Double = 0, hi: Double = 0)
 
-  /** uniq: minimal unique key, the deterministic window order tie-break. */
+  /** uniq: the table's id-like columns — used only to keep them out of
+    * the window partition-key pool. NOT assumed unique: the synthetic
+    * lineitem has ~12k duplicate (l_orderkey, l_linenumber) pairs, which
+    * seed 1002 caught diverging a running sum when the window order
+    * leaned on them as a tie-break (fz1002_104, spark−oracle = one
+    * partkey swap). Window order is therefore built from ALL columns. */
   final case class Tbl(name: String, uniq: Seq[String], cols: Seq[Col])
 
   private val tables: Seq[Tbl] = Seq(
@@ -385,16 +390,22 @@ object Fuzz {
     }
   }
 
-  /** T4: windowed computation in a subquery (deterministic order: the
-    * partition's sort ends with the table's unique key). */
+  /** T4: windowed computation in a subquery. Deterministic order WITHOUT
+    * assuming any unique key: the window sorts by the chosen column then
+    * ALL remaining table columns, so ties are fully-identical rows —
+    * interchangeable under every emitted function (sum/lag read equal
+    * values, rank ties share a rank, row_number permutes identical rows
+    * into the same output multiset). Ordering by an id-pair instead
+    * proved wrong: lineitem's (l_orderkey, l_linenumber) is NOT unique
+    * in the testdata and seed 1002 caught the running sum diverging. */
   private def genWindow(r: Random, name: String): FuzzQuery = {
     val t = pick(r, tables)
     val p = preds(r, t)
     val pkPool = t.cols.filter(c => c.kind == StrK ||
       (c.kind == IntK && !t.uniq.contains(c.name))).map(_.name)
-    val pk = if (pkPool.nonEmpty) pick(r, pkPool) else t.uniq.head
+    val pk = if (pkPool.nonEmpty) pick(r, pkPool) else t.cols.head.name
     val oc = pick(r, t.cols.map(_.name).filterNot(n => n == pk))
-    val ord = (Seq(oc) ++ t.uniq.filterNot(_ == oc)).distinct
+    val ord = Seq(oc) ++ t.cols.map(_.name).filterNot(n => n == oc || n == pk)
     val ordSql = ord.map(c => s"$c ASC NULLS FIRST").mkString(", ")
     val w = Window.partitionBy(col(pk)).orderBy(ord.map(col(_).asc): _*)
     val intCols = t.cols.filter(c => c.kind == IntK).map(_.name)
