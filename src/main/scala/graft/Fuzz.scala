@@ -11,7 +11,8 @@ import java.util.Random
   * verdict item 2).
   *
   * The 174 fixed oracles are point coverage; this generator emits N seeded
-  * random filter / join / agg / window / set-op compositions over the
+  * random filter / join (inner, left, full outer, 3-table chain) / agg /
+  * window / set-op / CASE-and-string-scalar compositions over the
   * testdata tables, building each query TWICE from the same random
   * decisions — once as a DataFrame plan (the engine idiom under test) and
   * once as ANSI SQL for DuckDB — and dumps them in exactly `Verify`'s
@@ -116,6 +117,23 @@ object Fuzz {
       Col("n_chars", IntK, lo = 48, hi = 553),
       Col("lang", StrK, lits = Seq("de", "en", "es", "fr", "zh")),
       Col("source", StrK, lits = (0 to 19).map(i => s"src$i")))))
+
+  /** (fact, mid, dim, factKey, midKeyIn, midKeyOut, dimKey) 3-table
+    * chains: fact JOIN mid ON factKey = midKeyIn JOIN dim ON midKeyOut =
+    * dimKey. All inner — the chain shape itself (two shuffles or
+    * broadcast picks, key propagation through the middle table) is what
+    * the template exercises. */
+  private val chains: Seq[(String, String, String, String, String, String, String)] = Seq(
+    ("lineitem", "orders", "customer",
+     "l_orderkey", "o_orderkey", "o_custkey", "c_custkey"),
+    ("lineitem", "supplier", "nation",
+     "l_suppkey", "s_suppkey", "s_nationkey", "n_nationkey"),
+    ("orders", "customer", "nation",
+     "o_custkey", "c_custkey", "c_nationkey", "n_nationkey"),
+    ("customer", "nation", "region",
+     "c_nationkey", "n_nationkey", "n_regionkey", "r_regionkey"),
+    ("supplier", "nation", "region",
+     "s_nationkey", "n_nationkey", "n_regionkey", "r_regionkey"))
 
   /** (left table, right table, left key, right key) equi-join pairs. */
   private val joins: Seq[(String, String, String, String)] = Seq(
@@ -502,6 +520,116 @@ object Fuzz {
     }, sql, "semi_anti")
   }
 
+  /** T8: FULL OUTER equi-join — both predicates live in the ON clause
+    * (standard full-outer form; a WHERE would silently turn it inner),
+    * so the result carries null-extended rows from BOTH sides. The
+    * NULLS FIRST ordering convention is what makes those rows
+    * hash-comparable — this template is the one that would catch either
+    * engine drifting on null-extension or null ordering. */
+  private def genFullJoin(r: Random, name: String): FuzzQuery = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (tbl(ln), tbl(rn))
+    val lp = preds(r, lt)
+    val rp = preds(r, rt)
+    val lcols = subset(r, lt.cols.map(_.name), 3)
+    val rcols = subset(r, rt.cols.map(_.name), 2)
+    val out = lcols ++ rcols
+    val sql = s"SELECT ${out.mkString(", ")} FROM $ln FULL JOIN $rn " +
+      s"ON $lk = $rk AND (${lp.sql}) AND (${rp.sql}) " +
+      s"${orderSql(out)} LIMIT 500"
+    FuzzQuery(name, (s, dir) => {
+      read(s, dir, ln)
+        .join(read(s, dir, rn), col(lk) === col(rk) && lp.c && rp.c, "full")
+        .select(out.map(col): _*)
+        .orderBy(orderCols(out): _*).limit(500)
+    }, sql, "full_join")
+  }
+
+  /** T9: three-table inner-join chain (fact -> mid -> dim), filtered on
+    * the fact side; coin flip between a projected scan across all three
+    * tables and a grouped aggregate keyed on dim columns. Exercises key
+    * propagation through the middle table — a shape no 2-table template
+    * reaches. */
+  private def genJoin3(r: Random, name: String): FuzzQuery = {
+    val (fn, mn, dn, fk, mkIn, mkOut, dk) = pick(r, chains)
+    val (ft, dt) = (tbl(fn), tbl(dn))
+    val fp = preds(r, ft)
+    val joinSql = s"FROM $fn JOIN $mn ON $fk = $mkIn " +
+      s"JOIN $dn ON $mkOut = $dk WHERE ${fp.sql}"
+    def joinDf(s: SparkSession, dir: String): DataFrame =
+      read(s, dir, fn).filter(fp.c)
+        .join(read(s, dir, mn), col(fk) === col(mkIn))
+        .join(read(s, dir, dn), col(mkOut) === col(dk))
+    if (r.nextBoolean()) {
+      val fcols = subset(r, ft.cols.map(_.name), 2)
+      val dcols = subset(r, dt.cols.map(_.name), 2)
+      val out = fcols ++ dcols
+      val sql = s"SELECT ${out.mkString(", ")} $joinSql " +
+        s"${orderSql(out)} LIMIT 500"
+      FuzzQuery(name, (s, dir) => joinDf(s, dir).select(out.map(col): _*)
+        .orderBy(orderCols(out): _*).limit(500), sql, "join3")
+    } else {
+      val keyPool = dt.cols.filter(c => c.kind != DblK).map(_.name)
+      val keys = subset(r, keyPool, 2)
+      val as = aggs(r, ft, Set(fk))
+      val out = keys ++ as.map(_.name)
+      val sql = s"SELECT ${(keys ++ as.map(_.sql)).mkString(", ")} " +
+        s"$joinSql GROUP BY ${keys.mkString(", ")} " + orderSql(out)
+      FuzzQuery(name, (s, dir) => joinDf(s, dir)
+        .groupBy(keys.map(col): _*)
+        .agg(as.head.c, as.tail.map(_.c): _*)
+        .select(out.map(col): _*).orderBy(orderCols(out): _*), sql, "join3")
+    }
+  }
+
+  /** T10: CASE WHEN + string scalar functions. The CASE arms reuse the
+    * predicate generator (first-match-wins evaluation order is part of
+    * what's under test); the string column goes through one of
+    * UPPER / LOWER / SUBSTR / LENGTH (ASCII-only testdata, so char
+    * semantics agree across engines). Coin flip between the projected
+    * form and a GROUP BY over the computed tag — the latter checks the
+    * engines agree on the tag BEFORE hashing collapses row identity. */
+  private def genCaseStr(r: Random, name: String): FuzzQuery = {
+    val pool = tables.filter(_.cols.exists(_.kind == StrK))
+    val t = pick(r, pool)
+    val p = preds(r, t)
+    val a1 = atom(r, t)
+    val a2 = atom(r, t)
+    val tagC = when(a1.c, "hi").when(a2.c, "mid").otherwise("lo").as("tag")
+    val tagSql = s"CASE WHEN ${a1.sql} THEN 'hi' WHEN ${a2.sql} " +
+      "THEN 'mid' ELSE 'lo' END AS tag"
+    val sc = pick(r, t.cols.filter(_.kind == StrK)).name
+    val (fnC, fnSql) = r.nextInt(4) match {
+      case 0 => (upper(col(sc)).as("sfn"), s"UPPER($sc) AS sfn")
+      case 1 => (lower(col(sc)).as("sfn"), s"LOWER($sc) AS sfn")
+      case 2 =>
+        val k = 1 + r.nextInt(5)
+        (substring(col(sc), 1, k).as("sfn"), s"SUBSTR($sc, 1, $k) AS sfn")
+      case _ => (length(col(sc)).cast("int").as("sfn"),
+                 s"CAST(LENGTH($sc) AS INTEGER) AS sfn")
+    }
+    if (r.nextBoolean()) {
+      val cols0 = subset(r, t.cols.filter(_.kind != DblK).map(_.name), 2)
+      val out = cols0 ++ Seq("tag", "sfn")
+      val sql = s"SELECT ${(cols0 :+ tagSql :+ fnSql).mkString(", ")} " +
+        s"FROM ${t.name} WHERE ${p.sql} ${orderSql(out)} LIMIT 500"
+      FuzzQuery(name, (s, dir) =>
+        read(s, dir, t.name).filter(p.c)
+          .select((cols0.map(col) :+ tagC :+ fnC): _*)
+          .orderBy(orderCols(out): _*).limit(500), sql, "case_str")
+    } else {
+      val out = Seq("tag", "sfn", "cnt")
+      val sql = s"SELECT $tagSql, $fnSql, COUNT(*) AS cnt " +
+        s"FROM ${t.name} WHERE ${p.sql} GROUP BY tag, sfn ${orderSql(out)}"
+      FuzzQuery(name, (s, dir) =>
+        read(s, dir, t.name).filter(p.c)
+          .select(tagC, fnC)
+          .groupBy(col("tag"), col("sfn"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(orderCols(out): _*), sql, "case_str")
+    }
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -510,7 +638,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(8) match {
+      r.nextInt(11) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -519,6 +647,9 @@ object Fuzz {
         case 5 => genSetOp(r, name)
         case 6 => genDistinct(r, name)
         case 7 => genSemiAnti(r, name)
+        case 8 => genFullJoin(r, name)
+        case 9 => genJoin3(r, name)
+        case _ => genCaseStr(r, name)
       }
     }
   }

@@ -39,9 +39,10 @@ class FuzzSpec extends SparkSpec {
   test("every template executes on Spark (one per template id, sf0.001)") {
     val qs = Fuzz.corpus(42L, 120)
     val byTemplate = qs.groupBy(_.template)
-    // all 8 generator templates must be present in the pinned corpus...
+    // all 11 generator templates must be present in the pinned corpus...
     assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
-      "window", "setop", "distinct", "semi_anti"),
+      "window", "setop", "distinct", "semi_anti",
+      "full_join", "join3", "case_str"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
     // ...and the FIRST query of each must execute as a Spark plan (a
     // Spark-only planning regression in any generator surfaces here, not
