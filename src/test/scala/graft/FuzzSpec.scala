@@ -36,7 +36,7 @@ class FuzzSpec extends SparkSpec {
         "re-dump, re-run scripts/check.py green, and commit the new corpus")
   }
 
-  test("every template executes on Spark (one per template id, sf0.001)") {
+  test("every template and coin-flip branch executes on Spark (sf0.001)") {
     val qs = Fuzz.corpus(42L, 120)
     val byTemplate = qs.groupBy(_.template)
     // all 11 generator templates must be present in the pinned corpus...
@@ -44,12 +44,24 @@ class FuzzSpec extends SparkSpec {
       "window", "setop", "distinct", "semi_anti",
       "full_join", "join3", "case_str"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
-    // ...and the FIRST query of each must execute as a Spark plan (a
-    // Spark-only planning regression in any generator surfaces here, not
-    // only in the external check.py differential)
-    byTemplate.values.map(_.head).foreach { q =>
-      val n = q.df(spark, sf).count()
-      assert(n >= 0, s"${q.name} (${q.template}) failed to execute")
+    // ...and one query per (template, branch) must execute as a Spark
+    // plan — a Spark-only planning regression in any generator surfaces
+    // here, not only in the external check.py differential. Branch =
+    // (GROUP BY?, HAVING?): the join3/case_str generators coin-flip
+    // between projected and grouped forms and agg coin-flips a HAVING
+    // gate; executing only the corpus head per template could leave a
+    // branch unplanned in-JVM (the proxy-coverage class that once left
+    // the window template unexecuted).
+    byTemplate.foreach { case (t, tq) =>
+      val branches = tq.groupBy(q =>
+        (q.sql.contains("GROUP BY"), q.sql.contains("HAVING")))
+      if (Set("join3", "case_str").contains(t))
+        assert(branches.size == 2,
+          s"$t: pinned corpus lost a coin-flip branch — regenerate or bump n")
+      branches.values.map(_.head).foreach { q =>
+        val n = q.df(spark, sf).count()
+        assert(n >= 0, s"${q.name} (${q.template}) failed to execute")
+      }
     }
   }
 
