@@ -79,7 +79,7 @@ class FuzzSpec extends SparkSpec {
       // no floating-point SUM/AVG: doubles only appear raw or under
       // MIN/MAX; AVG is restricted to integer columns by the catalog
       val dblCols = Seq("l_quantity", "l_extendedprice", "o_totalprice",
-        "c_acctbal", "s_acctbal", "p_retailprice")
+        "c_acctbal", "s_acctbal", "p_retailprice", "value")
       dblCols.foreach { c =>
         assert(!up.contains(s"SUM($c".toUpperCase) &&
                !up.contains(s"AVG($c".toUpperCase),
