@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md) plus
   * column helpers shared by the query inventory.
@@ -15,8 +15,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Engine-facing `events` contract: `ts` is Long nanos since epoch.
+    *
+    * The writer's physical type has drifted across testdata generations —
+    * parquet TIMESTAMP(NANOS) (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) through `timestamp[us]`
+    * (read as TIMESTAMP or TIMESTAMP_NTZ depending on isAdjustedToUTC).
+    * A 100 TB pipeline ingesting third-party parquet cannot assume one
+    * physical timestamp encoding, so the reader dispatches on the arrived
+    * schema and normalizes — downstream operators (sessionization windows,
+    * as-of joins, cohort grids) all do exact integer-nanos arithmetic and
+    * never see the drift. The NTZ branch interprets wall-clock in the
+    * session time zone, which every graft entry point pins to UTC — the
+    * same convention DuckDB's `epoch_ns` applies to naive timestamps, so
+    * the oracles stay bit-equal.
+    *
+    * (The reference survives its own schema drift only by accident of
+    * stringly-typed staging — SURVEY §1.2, StagingDW Util.java:11-19 vs
+    * transform_staging LotteryTransform.java:113; here it's by design.) */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df // already nanos (or no ts column)
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other — expected " +
+            "LongType (nanos), TIMESTAMP, or TIMESTAMP_NTZ; testdata changed shape")
+    }
 
   // --- oracle-parity numeric helpers -------------------------------------
   // Double sums are order-dependent; a distributed Spark sum and DuckDB's

@@ -101,7 +101,7 @@ object Joins extends QModule {
     // event_id wins (matches the oracle's arg_max on [ts, event_id]).
     Q("j4_asof_join", (s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events") // ts is LongType nanos (nanosAsLong)
+      val ev = t(s, dir, "events") // ts normalized to Long nanos (Tables.normalizeEventTs)
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", lit(1).as("is_p"), $"event_id".as("p_event_id"))
       val views = ev.filter($"event_type" === "view")
@@ -136,7 +136,7 @@ object Joins extends QModule {
     // compare picks the side. Never an inequality join.
     Q("j9_asof_nearest", (s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events") // ts is LongType nanos (nanosAsLong)
+      val ev = t(s, dir, "events") // ts normalized to Long nanos (Tables.normalizeEventTs)
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", lit(1).as("is_p"), $"event_id".as("p_event_id"))
       val views = ev.filter($"event_type" === "view")

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * runs in batch (`spark.read` → oracled below) and in Structured Streaming
   * (`spark.readStream` → StreamingSpec with watermarks over MemoryStream).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), read as Long nanos
-  * (nanosAsLong). Sessionization is done in *integer nanos* — exact,
-  * engine-independent arithmetic; the timestamp cast happens only for
-  * window bucketing where both engines truncate identically.
+  * `events.ts` reaches the engine as Long nanos regardless of the file's
+  * physical timestamp encoding — `Tables.t("events")` normalizes
+  * TIMESTAMP(NANOS)-as-long, TIMESTAMP, and TIMESTAMP_NTZ arrivals to one
+  * contract (see Tables.normalizeEventTs). Sessionization is done in
+  * *integer nanos* — exact, engine-independent arithmetic; the timestamp
+  * cast happens only for window bucketing where both engines truncate
+  * identically.
   *
   * Scale posture: windowed counts shuffle once on (window, type) with
   * map-side partial aggregation; sessionization shuffles once on user_id.
@@ -25,7 +28,7 @@ import org.apache.spark.sql.functions._
   * not needed at these volumes.
   */
 /** Typed event row (Dataset[T] surface; FIXTURES.md §B events schema with
-  * ts as Long nanos under nanosAsLong). */
+  * ts as Long nanos — the Tables.normalizeEventTs contract). */
 final case class Event(event_id: Long, ts: Long, user_id: Long,
                        event_type: String, value: Double, props: String)
 
