@@ -20,25 +20,27 @@ class DeterminismSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  // Per-query exceptions become named UNRUNNABLE rows (SweepHarness), so
+  // one dead query costs one failure line, not the whole sweep.
   test("every oracled query is run-to-run deterministic (ordered rows equal)") {
     val oracled = SparkEntry.oracleSql.keySet
-    val bad = oracled.toSeq.sorted.flatMap { name =>
+    val bad = SweepHarness.sweep(oracled.toSeq.sorted) { name =>
       val fn = SparkEntry.queries(name)
       val a = fn(spark, dir).collect().map(_.toSeq).toSeq
       val b = fn(spark, dir).collect().map(_.toSeq).toSeq
-      if (a == b) None else Some(name)
+      if (a == b) Nil else Seq(s"$name: nondeterministic")
     }
-    assert(bad.isEmpty, s"nondeterministic queries: $bad")
+    assert(bad.isEmpty, "determinism sweep failures:\n" + bad.mkString("\n"))
   }
 
   test("rows-only queries are deterministic too (seeded hashes, fixed probes)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val bad = rowsOnly.toSeq.sorted.flatMap { name =>
+    val bad = SweepHarness.sweep(rowsOnly.toSeq.sorted) { name =>
       val fn = SparkEntry.queries(name)
       val a = fn(spark, dir).collect().map(_.toSeq).toSeq
       val b = fn(spark, dir).collect().map(_.toSeq).toSeq
-      if (a == b) None else Some(name)
+      if (a == b) Nil else Seq(s"$name: nondeterministic")
     }
-    assert(bad.isEmpty, s"nondeterministic rows-only queries: $bad")
+    assert(bad.isEmpty, "determinism sweep failures:\n" + bad.mkString("\n"))
   }
 }

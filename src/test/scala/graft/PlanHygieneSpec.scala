@@ -329,11 +329,14 @@ class PlanHygieneSpec extends SparkSpec {
     "x15_percent_render")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
-    val trips = SparkEntry.all.flatMap { q =>
-      val p = q.fn(spark, dir).queryExecution.executedPlan.toString
-      val cart = if (p.contains("CartesianProduct")) Seq(s"${q.name}: CartesianProduct") else Nil
-      val nlj = if (p.contains("BroadcastNestedLoopJoin") && !nljAllowed(q.name))
-        Seq(s"${q.name}: BroadcastNestedLoopJoin") else Nil
+    // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row
+    // instead of aborting the whole-surface sweep (the r7 failure mode).
+    val byName = SparkEntry.all.map(q => q.name -> q).toMap
+    val trips = SweepHarness.sweep(SparkEntry.all.map(_.name)) { name =>
+      val p = byName(name).fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val nlj = if (p.contains("BroadcastNestedLoopJoin") && !nljAllowed(name))
+        Seq(s"$name: BroadcastNestedLoopJoin") else Nil
       cart ++ nlj
     }
     assert(trips.isEmpty, "plan hygiene trips:\n" + trips.mkString("\n"))

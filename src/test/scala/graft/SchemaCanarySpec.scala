@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-drift canary: the r7 round lost its whole streaming tier because
+  * the testdata writer silently changed `events.ts` from TIMESTAMP(NANOS)
+  * to timestamp[us]. This spec turns the next silent regen into a one-line
+  * diagnosis: it reads every testdata table through the engine's reader
+  * (`Tables.t`, i.e. AFTER normalization) and asserts the engine-facing
+  * type of every column, failing with a message that names the table and
+  * column that changed shape.
+  *
+  * The second half proves the normalizer itself on fixtures this spec
+  * writes: the same instants stored as long nanos, TIMESTAMP, and
+  * TIMESTAMP_NTZ must normalize to identical long-nanos values, and an
+  * unsupported arrival type must fail loudly (not produce silent garbage).
+  */
+class SchemaCanarySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  // Engine-facing contract per table. A Set means "any of these is
+  // tolerated" — date/timestamp columns may arrive adjusted-to-UTC
+  // (TIMESTAMP) or naive (TIMESTAMP_NTZ) depending on the writer; every
+  // consumer handles both. Everything else is exact.
+  private val ts2: Set[DataType] = Set(TimestampType, TimestampNTZType)
+  private def one(d: DataType): Set[DataType] = Set(d)
+
+  private val contract: Map[String, Seq[(String, Set[DataType])]] = Map(
+    "region" -> Seq("r_regionkey" -> one(IntegerType), "r_name" -> one(StringType)),
+    "nation" -> Seq("n_nationkey" -> one(IntegerType), "n_name" -> one(StringType),
+      "n_regionkey" -> one(IntegerType)),
+    "customer" -> Seq("c_custkey" -> one(LongType), "c_name" -> one(StringType),
+      "c_nationkey" -> one(IntegerType), "c_acctbal" -> one(DoubleType),
+      "c_mktsegment" -> one(StringType)),
+    "supplier" -> Seq("s_suppkey" -> one(LongType), "s_name" -> one(StringType),
+      "s_nationkey" -> one(IntegerType), "s_acctbal" -> one(DoubleType)),
+    "part" -> Seq("p_partkey" -> one(LongType), "p_name" -> one(StringType),
+      "p_brand" -> one(StringType), "p_type" -> one(StringType),
+      "p_size" -> one(IntegerType), "p_retailprice" -> one(DoubleType)),
+    "orders" -> Seq("o_orderkey" -> one(LongType), "o_custkey" -> one(LongType),
+      "o_orderstatus" -> one(StringType), "o_totalprice" -> one(DoubleType),
+      "o_orderdate" -> ts2, "o_orderpriority" -> one(StringType)),
+    "lineitem" -> Seq("l_orderkey" -> one(LongType), "l_partkey" -> one(LongType),
+      "l_suppkey" -> one(LongType), "l_linenumber" -> one(IntegerType),
+      "l_quantity" -> one(DoubleType), "l_extendedprice" -> one(DoubleType),
+      "l_discount" -> one(DoubleType), "l_tax" -> one(DoubleType),
+      "l_returnflag" -> one(StringType), "l_linestatus" -> one(StringType),
+      "l_shipdate" -> ts2),
+    // ts is the normalized engine contract: ALWAYS long nanos after Tables.t.
+    "events" -> Seq("event_id" -> one(LongType), "ts" -> one(LongType),
+      "user_id" -> one(LongType), "event_type" -> one(StringType),
+      "value" -> one(DoubleType), "props" -> one(StringType)),
+    "documents" -> Seq("doc_id" -> one(LongType), "text" -> one(StringType),
+      "lang" -> one(StringType), "source" -> one(StringType),
+      "n_chars" -> one(LongType)),
+    "embeddings" -> Seq("vec_id" -> one(LongType),
+      "embedding" -> Set(ArrayType(FloatType, true), ArrayType(FloatType, false)),
+      "label" -> one(IntegerType)))
+
+  test("every testdata table matches the engine-facing schema contract") {
+    val drifted = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val got = Tables.t(spark, dir, table).schema
+      val gotMap = got.fields.map(f => f.name -> f.dataType).toMap
+      val missing = cols.collect { case (c, _) if !gotMap.contains(c) =>
+        s"$table.$c: MISSING (testdata changed shape; arrived columns: ${got.fieldNames.mkString(",")})" }
+      val wrong = cols.collect { case (c, ok) if gotMap.contains(c) && !ok(gotMap(c)) =>
+        s"$table.$c: arrived ${gotMap(c).simpleString}, engine expects " +
+          s"${ok.map(_.simpleString).mkString(" or ")} (testdata changed shape)" }
+      missing ++ wrong
+    }
+    assert(drifted.isEmpty, "\nSchema drift detected:\n" + drifted.mkString("\n"))
+  }
+
+  // --- normalizer unit coverage over self-written fixtures ---------------
+
+  // Pre-epoch through year-2100; long nanos represents ±292 years around
+  // epoch (year 2262 max), which bounds the contract itself.
+  private val instantsMicros = Seq(0L, 1700000000000000L, 1700000000123456L,
+    -1000000L, 4102444800000000L)
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("canary_").toFile
+    d.deleteOnExit(); s"${d.getPath}/$name"
+  }
+
+  test("normalizeEventTs: long / TIMESTAMP / TIMESTAMP_NTZ arrivals agree") {
+    import spark.implicits._
+    val base = instantsMicros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "ts_us")
+
+    val longPath = tmp("ev_long")
+    base.select($"event_id", ($"ts_us" * 1000L).as("ts")).write.parquet(longPath)
+
+    val ltzPath = tmp("ev_ltz")
+    base.select($"event_id", timestamp_micros($"ts_us").as("ts")).write.parquet(ltzPath)
+
+    val ntzPath = tmp("ev_ntz")
+    base.select($"event_id",
+      timestamp_micros($"ts_us").cast(TimestampNTZType).as("ts")).write.parquet(ntzPath)
+
+    val out = Seq(longPath, ltzPath, ntzPath).map { p =>
+      val df = Tables.normalizeEventTs(spark.read.parquet(p))
+      assert(df.schema("ts").dataType === LongType, s"$p: not normalized to long")
+      df.orderBy("event_id").select("ts").as[Long].collect().toSeq
+    }
+    val wantNanos = instantsMicros.map(_ * 1000L)
+    assert(out(0) === wantNanos, "long passthrough changed values")
+    assert(out(1) === wantNanos, "TIMESTAMP arrival mis-normalized")
+    assert(out(2) === wantNanos, "TIMESTAMP_NTZ arrival mis-normalized")
+  }
+
+  test("normalizeEventTs: unsupported arrival type fails loudly, naming the drift") {
+    import spark.implicits._
+    val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException](Tables.normalizeEventTs(bad))
+    assert(e.getMessage.contains("ts"))
+    assert(e.getMessage.contains("testdata changed shape"))
+  }
+
+  test("normalizeEventTs: frame without ts passes through untouched") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    assert(Tables.normalizeEventTs(df).schema === df.schema)
+  }
+}
