@@ -42,9 +42,9 @@ import java.util.Random
   *    representable in binary and in DECIMAL(_,4), so both engines parse
   *    the same double);
   *  - string columns are all-ASCII in the testdata (probed), so binary
-  *    vs collated ordering agree; `events` participates through its
-  *    integer/categorical/double columns only — `ts` and `props` are
-  *    held out (see the catalog entry for why).
+  *    vs collated ordering agree; `events.ts` participates as exact
+  *    BIGINT nanos on both sides (normalized reader / epoch_ns derived
+  *    table — see the catalog entry); only `props` is held out.
   */
 object Fuzz {
 
@@ -55,6 +55,12 @@ object Fuzz {
   case object DblK extends Kind
   case object StrK extends Kind
   case object TsK  extends Kind
+  // Long-nanos timestamp (the normalized events.ts contract): the engine
+  // side is a plain BIGINT; the SQL side reads through the `ref(...)`
+  // derived table that applies epoch_ns, so both engines see identical
+  // exact integers. Held out of group-key pools (near-unique — grouping
+  // on it would emit corpus-sized unlimited results), in everywhere else.
+  case object TsNsK extends Kind
 
   /** lits: categorical values (StrK); [lo,hi]: literal sampling range for
     * numeric kinds (sf0.01 ranges — they only steer selectivity). */
@@ -118,15 +124,18 @@ object Fuzz {
       Col("n_chars", IntK, lo = 48, hi = 553),
       Col("lang", StrK, lits = Seq("de", "en", "es", "fr", "zh")),
       Col("source", StrK, lits = (0 to 19).map(i => s"src$i")))),
-    // events joins the catalog with two columns held out: `ts` (true
-    // nanosecond data — Spark reads it as Long under nanosAsLong while
-    // DuckDB 1.0 truncates the parquet TIMESTAMP(NANOS) to microseconds,
-    // so no exact cross-engine rendering exists) and `props` (free-form
-    // JSON strings, not a categorical the StrK atom generator can
-    // enumerate). Column pruning keeps the held-out columns off every
-    // generated scan.
+    // events: one column held out — `props` (free-form JSON strings, not
+    // a categorical the StrK atom generator can enumerate). `ts` joined
+    // the surface in r8: Tables.normalizeEventTs gives Spark exact long
+    // nanos for every physical encoding, and the SQL side reads events
+    // through `ref(...)`'s epoch_ns derived table, so both engines
+    // compare identical BIGINTs (exact for nanos files too — DuckDB reads
+    // TIMESTAMP_NS and epoch_ns is lossless there). lo/hi are epoch
+    // SECONDS (the literal sampler scales to nanos — a nanos range would
+    // overflow the Int sampling arithmetic).
     Tbl("events", Seq("event_id"), Seq(
       Col("event_id", IntK, lo = 0, hi = 9999),
+      Col("ts", TsNsK, lo = 1704067200, hi = 1706659200),
       Col("user_id", IntK, lo = 0, hi = 149),
       Col("event_type", StrK,
           lits = Seq("click", "error", "purchase", "signup", "view")),
@@ -160,6 +169,16 @@ object Fuzz {
     ("nation", "region", "n_regionkey", "r_regionkey"))
 
   private def tbl(n: String): Tbl = tables.find(_.name == n).get
+
+  /** SQL-side table reference. `events` reads through a derived table that
+    * renders the normalized-ts contract in DuckDB terms (epoch_ns →
+    * BIGINT nanos, exact for both timestamp[us] and TIMESTAMP_NS files),
+    * aliased back to the table name so qualified references still
+    * resolve; every other table is its plain name. */
+  private def ref(n: String): String =
+    if (n == "events")
+      "(SELECT * REPLACE (epoch_ns(ts) AS ts) FROM events) AS events"
+    else n
 
   // ---- paired fragments ----------------------------------------------------
   // Every random decision is materialized eagerly into BOTH renderings;
@@ -249,6 +268,13 @@ object Fuzz {
         val cc = if (op == ">=") col(c.name) >= lit(v).cast("timestamp")
                  else col(c.name) < lit(v).cast("timestamp")
         Pred(cc, s"${c.name} $op TIMESTAMP '$v'")
+      case TsNsK =>
+        // sample epoch seconds in the data range, compare in exact nanos
+        val sec = c.lo.toLong + r.nextInt((c.hi - c.lo).toInt + 1)
+        val ns = sec * 1000000000L
+        val op = pick(r, Seq(">=", "<"))
+        val cc = if (op == ">=") col(c.name) >= ns else col(c.name) < ns
+        Pred(cc, s"${c.name} $op $ns")
     }
   }
 
@@ -341,7 +367,7 @@ object Fuzz {
         (cols0 :+ "m", (cols0 :+ sqlE).mkString(", "),
          cols0.map(col) :+ sparkE)
       } else (cols0, cols0.mkString(", "), cols0.map(col))
-    val sql = s"SELECT $sqlSel FROM ${t.name} WHERE ${p.sql} " +
+    val sql = s"SELECT $sqlSel FROM ${ref(t.name)} WHERE ${p.sql} " +
       s"${orderSql(outCols)} LIMIT 500"
     FuzzQuery(name, (s, dir) =>
       read(s, dir, t.name).filter(p.c).select(sparkSel: _*)
@@ -361,11 +387,11 @@ object Fuzz {
     val sql =
       if (left)
         // right-side predicate belongs in the ON clause for a left join
-        s"SELECT ${out.mkString(", ")} FROM $ln LEFT JOIN $rn " +
+        s"SELECT ${out.mkString(", ")} FROM ${ref(ln)} LEFT JOIN ${ref(rn)} " +
           s"ON $lk = $rk AND (${rp.sql}) WHERE ${lp.sql} " +
           s"${orderSql(out)} LIMIT 500"
       else
-        s"SELECT ${out.mkString(", ")} FROM $ln JOIN $rn ON $lk = $rk " +
+        s"SELECT ${out.mkString(", ")} FROM ${ref(ln)} JOIN ${ref(rn)} ON $lk = $rk " +
           s"WHERE (${lp.sql}) AND (${rp.sql}) ${orderSql(out)} LIMIT 500"
     FuzzQuery(name, (s, dir) => {
       val l = read(s, dir, ln).filter(lp.c)
@@ -383,7 +409,7 @@ object Fuzz {
     if (!joined) {
       val t = pick(r, tables)
       val p = preds(r, t)
-      val keyPool = t.cols.filter(c => c.kind != DblK).map(_.name)
+      val keyPool = t.cols.filter(c => c.kind != DblK && c.kind != TsNsK).map(_.name)
       val keys = subset(r, keyPool, 2)
       val as = aggs(r, t, keys.toSet)
       val out = keys ++ as.map(_.name)
@@ -391,7 +417,7 @@ object Fuzz {
       val hk = 1 + r.nextInt(4)
       val hsql = if (having) s"HAVING COUNT(*) >= $hk " else ""
       val sql = s"SELECT ${(keys ++ as.map(_.sql)).mkString(", ")} " +
-        s"FROM ${t.name} WHERE ${p.sql} GROUP BY ${keys.mkString(", ")} " +
+        s"FROM ${ref(t.name)} WHERE ${p.sql} GROUP BY ${keys.mkString(", ")} " +
         hsql + orderSql(out)
       FuzzQuery(name, (s, dir) => {
         val base = read(s, dir, t.name).filter(p.c)
@@ -405,12 +431,12 @@ object Fuzz {
       val (lt, rt) = (tbl(ln), tbl(rn))
       val lp = preds(r, lt)
       // group on right-side (dim) keys, aggregate left-side (fact) columns
-      val keyPool = rt.cols.filter(c => c.kind != DblK).map(_.name)
+      val keyPool = rt.cols.filter(c => c.kind != DblK && c.kind != TsNsK).map(_.name)
       val keys = subset(r, keyPool, 2)
       val as = aggs(r, lt, Set(lk))
       val out = keys ++ as.map(_.name)
       val sql = s"SELECT ${(keys ++ as.map(_.sql)).mkString(", ")} " +
-        s"FROM $ln JOIN $rn ON $lk = $rk WHERE ${lp.sql} " +
+        s"FROM ${ref(ln)} JOIN ${ref(rn)} ON $lk = $rk WHERE ${lp.sql} " +
         s"GROUP BY ${keys.mkString(", ")} " + orderSql(out)
       FuzzQuery(name, (s, dir) => {
         read(s, dir, ln).filter(lp.c)
@@ -464,7 +490,7 @@ object Fuzz {
     val topk = rankLike && r.nextBoolean()
     val kk = 1 + r.nextInt(4)
     val inner = s"SELECT ${(out.dropRight(1) :+ (wsqlFull + " AS w"))
-      .mkString(", ")} FROM ${t.name} WHERE ${p.sql}"
+      .mkString(", ")} FROM ${ref(t.name)} WHERE ${p.sql}"
     val sql =
       if (topk) s"SELECT ${out.mkString(", ")} FROM ($inner) sub " +
         s"WHERE w <= $kk ${orderSql(out)}"
@@ -490,8 +516,8 @@ object Fuzz {
         case _ => ("EXCEPT", (a, b) => a.except(b))
       }
     val sel = cols0.mkString(", ")
-    val sql = s"SELECT * FROM (SELECT $sel FROM ${t.name} WHERE ${p1.sql} " +
-      s"$opSql SELECT $sel FROM ${t.name} WHERE ${p2.sql}) u " +
+    val sql = s"SELECT * FROM (SELECT $sel FROM ${ref(t.name)} WHERE ${p1.sql} " +
+      s"$opSql SELECT $sel FROM ${ref(t.name)} WHERE ${p2.sql}) u " +
       s"${orderSql(cols0)} LIMIT 500"
     FuzzQuery(name, (s, dir) => {
       val base = read(s, dir, t.name)
@@ -506,7 +532,7 @@ object Fuzz {
     val t = pick(r, tables)
     val p = preds(r, t)
     val cols0 = subset(r, t.cols.filter(_.kind != DblK).map(_.name), 3)
-    val sql = s"SELECT DISTINCT ${cols0.mkString(", ")} FROM ${t.name} " +
+    val sql = s"SELECT DISTINCT ${cols0.mkString(", ")} FROM ${ref(t.name)} " +
       s"WHERE ${p.sql} ${orderSql(cols0)} LIMIT 500"
     FuzzQuery(name, (s, dir) =>
       read(s, dir, t.name).filter(p.c).select(cols0.map(col): _*)
@@ -522,8 +548,8 @@ object Fuzz {
     val cols0 = subset(r, lt.cols.map(_.name), 3)
     val anti = r.nextBoolean()
     val ex = if (anti) "NOT EXISTS" else "EXISTS"
-    val sql = s"SELECT ${cols0.mkString(", ")} FROM $ln " +
-      s"WHERE (${lp.sql}) AND $ex (SELECT 1 FROM $rn " +
+    val sql = s"SELECT ${cols0.mkString(", ")} FROM ${ref(ln)} " +
+      s"WHERE (${lp.sql}) AND $ex (SELECT 1 FROM ${ref(rn)} " +
       s"WHERE $rk = $ln.$lk AND (${rp.sql})) ${orderSql(cols0)} LIMIT 500"
     FuzzQuery(name, (s, dir) => {
       val l = read(s, dir, ln).filter(lp.c)
@@ -548,7 +574,7 @@ object Fuzz {
     val lcols = subset(r, lt.cols.map(_.name), 3)
     val rcols = subset(r, rt.cols.map(_.name), 2)
     val out = lcols ++ rcols
-    val sql = s"SELECT ${out.mkString(", ")} FROM $ln FULL JOIN $rn " +
+    val sql = s"SELECT ${out.mkString(", ")} FROM ${ref(ln)} FULL JOIN ${ref(rn)} " +
       s"ON $lk = $rk AND (${lp.sql}) AND (${rp.sql}) " +
       s"${orderSql(out)} LIMIT 500"
     FuzzQuery(name, (s, dir) => {
@@ -568,8 +594,8 @@ object Fuzz {
     val (fn, mn, dn, fk, mkIn, mkOut, dk) = pick(r, chains)
     val (ft, dt) = (tbl(fn), tbl(dn))
     val fp = preds(r, ft)
-    val joinSql = s"FROM $fn JOIN $mn ON $fk = $mkIn " +
-      s"JOIN $dn ON $mkOut = $dk WHERE ${fp.sql}"
+    val joinSql = s"FROM ${ref(fn)} JOIN ${ref(mn)} ON $fk = $mkIn " +
+      s"JOIN ${ref(dn)} ON $mkOut = $dk WHERE ${fp.sql}"
     def joinDf(s: SparkSession, dir: String): DataFrame =
       read(s, dir, fn).filter(fp.c)
         .join(read(s, dir, mn), col(fk) === col(mkIn))
@@ -583,7 +609,7 @@ object Fuzz {
       FuzzQuery(name, (s, dir) => joinDf(s, dir).select(out.map(col): _*)
         .orderBy(orderCols(out): _*).limit(500), sql, "join3")
     } else {
-      val keyPool = dt.cols.filter(c => c.kind != DblK).map(_.name)
+      val keyPool = dt.cols.filter(c => c.kind != DblK && c.kind != TsNsK).map(_.name)
       val keys = subset(r, keyPool, 2)
       val as = aggs(r, ft, Set(fk))
       val out = keys ++ as.map(_.name)
@@ -626,7 +652,7 @@ object Fuzz {
       val cols0 = subset(r, t.cols.filter(_.kind != DblK).map(_.name), 2)
       val out = cols0 ++ Seq("tag", "sfn")
       val sql = s"SELECT ${(cols0 :+ tagSql :+ fnSql).mkString(", ")} " +
-        s"FROM ${t.name} WHERE ${p.sql} ${orderSql(out)} LIMIT 500"
+        s"FROM ${ref(t.name)} WHERE ${p.sql} ${orderSql(out)} LIMIT 500"
       FuzzQuery(name, (s, dir) =>
         read(s, dir, t.name).filter(p.c)
           .select((cols0.map(col) :+ tagC :+ fnC): _*)
@@ -634,7 +660,7 @@ object Fuzz {
     } else {
       val out = Seq("tag", "sfn", "cnt")
       val sql = s"SELECT $tagSql, $fnSql, COUNT(*) AS cnt " +
-        s"FROM ${t.name} WHERE ${p.sql} GROUP BY tag, sfn ${orderSql(out)}"
+        s"FROM ${ref(t.name)} WHERE ${p.sql} GROUP BY tag, sfn ${orderSql(out)}"
       FuzzQuery(name, (s, dir) =>
         read(s, dir, t.name).filter(p.c)
           .select(tagC, fnC)

@@ -26,6 +26,37 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Aggregations extends QModule {
 
+  // --- approximate sketches (library surface, spec-verified) --------------
+  // The raw HLL++/Greenwald-Khanna sketch VALUES are engine-specific, so
+  // they carry no DuckDB oracle and live outside the driver-visible query
+  // registry — their accuracy CONTRACTS are what the driver checks, via the
+  // oracled g11b/g17b/g21 bound queries below, and ExtensionSpec bounds the
+  // raw values against exact computations. At 100 TB these are the
+  // distributed sketch shapes: per-partition partials merged in one reduce,
+  // vs the exact forms' full shuffle/sort of the column.
+
+  /** Approximate distinct l_partkey count (HLL++, rsd 2%). */
+  def approxDistinct(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+  }
+
+  /** Approximate p50/p90/p99 of l_extendedprice (GK sketch, accuracy
+    * 10000 ⇒ rank error ≤ 1e-4·n). */
+  def approxPercentile(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        .as("approx_price_p50_p90_p99"))
+      .select(
+        element_at($"approx_price_p50_p90_p99", 1).as("p50"),
+        element_at($"approx_price_p50_p90_p99", 2).as("p90"),
+        element_at($"approx_price_p50_p90_p99", 3).as("p99"))
+  }
+
   def qs: Seq[Q] = Seq(
     // G1: group-by count — total draws per day analog.
     Q("g1_group_count", (s, dir) => {
@@ -179,15 +210,6 @@ object Aggregations extends QModule {
       FROM orders
     """)),
 
-    // Approximate distinct (HLL++) — sketch values are engine-specific, so
-    // no SQL oracle (driver rows-only check); the ScalaTest spec bounds the
-    // relative error against the exact count instead.
-    Q("g11_approx_distinct", (s, dir) => {
-      import s.implicits._
-      t(s, dir, "lineitem").agg(
-        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
-    }),
-
     // g11's oracled companion: the HLL VALUE is engine-specific, but the
     // accuracy CONTRACT is checkable — Spark emits the exact distinct
     // count plus a boolean |approx − exact| ≤ 3·rsd·exact, the oracle
@@ -206,24 +228,6 @@ object Aggregations extends QModule {
       SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
       FROM lineitem
     """)),
-
-    // G17: approximate percentiles via the mergeable quantile sketch
-    // (Greenwald-Khanna; accuracy 10000 ⇒ rank error ≤ 1e-4·n). Sketch
-    // internals are engine-specific → rows-only driver check (like g11's
-    // HLL); the |approx − exact| ≤ bound invariant is spec-verified
-    // against the exact percentile instead. At 100 TB this is THE
-    // distributed percentile: per-partition sketches merge in one
-    // reduce, vs exact percentile's full sort/exchange of the column.
-    Q("g17_approx_percentile", (s, dir) => {
-      import s.implicits._
-      t(s, dir, "lineitem").agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-          .as("approx_price_p50_p90_p99"))
-        .select(
-          element_at($"approx_price_p50_p90_p99", 1).as("p50"),
-          element_at($"approx_price_p50_p90_p99", 2).as("p90"),
-          element_at($"approx_price_p50_p90_p99", 3).as("p99"))
-    }),
 
     // Hot-key-proof aggregation: Skew.saltedSumCount's two-phase salted
     // form over the 3-value o_orderstatus — the degenerate key

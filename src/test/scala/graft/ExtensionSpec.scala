@@ -56,7 +56,7 @@ class ExtensionSpec extends SparkSpec {
     import spark.implicits._
     val li = t(spark, dir, "lineitem")
     val n = li.count()
-    val approx = graft.SparkEntry.queries("g17_approx_percentile")(spark, dir)
+    val approx = graft.operators.Aggregations.approxPercentile(spark, dir)
       .collect()(0)
     val sorted = li.select($"l_extendedprice").orderBy($"l_extendedprice")
       .as[Double].collect()
@@ -74,8 +74,7 @@ class ExtensionSpec extends SparkSpec {
   test("approx_count_distinct within configured 2% rsd (5 sigma)") {
     val exact = t(spark, dir, "lineitem").select(countDistinct(col("l_partkey")))
       .collect().head.getLong(0)
-    val approx = t(spark, dir, "lineitem")
-      .select(approx_count_distinct(col("l_partkey"), 0.02))
+    val approx = graft.operators.Aggregations.approxDistinct(spark, dir)
       .collect().head.getLong(0)
     val rel = math.abs(approx.toDouble - exact) / exact
     assert(rel < 0.1, s"approx=$approx exact=$exact rel=$rel")
