@@ -33,9 +33,12 @@ import java.util.Random
   *    only between fully identical rows, so LIMIT k is deterministic;
   *  - Spark sorts ASC nulls-first, so the SQL renders NULLS FIRST
   *    explicitly (DuckDB defaults to NULLS LAST);
-  *  - no floating-point SUMs — double columns appear only projected raw
-  *    or under MIN/MAX (exact); AVG is integer-only (exact integer sum,
-  *    one rounding on the divide, identical in both engines);
+  *  - no raw floating-point SUMs — double columns appear projected raw,
+  *    under MIN/MAX (exact), or summed through the fixed suite's exact
+  *    decimal-quantized dsum pattern (CAST(SUM(CAST(c AS DECIMAL(18,2)))
+  *    AS DOUBLE), order-independent both sides); AVG is integer-only
+  *    (exact integer sum, one rounding on the divide, identical in both
+  *    engines);
   *  - integer SUMs are CAST(... AS BIGINT) in the SQL (DuckDB widens to
   *    HUGEINT, the r4/r5 driver-hash bug class) — windowed ones too;
   *  - double literals are eighth-fractions of the column range (exactly
@@ -311,12 +314,13 @@ object Fuzz {
 
   private def aggs(r: Random, t: Tbl, exclude: Set[String]): Seq[Agg] = {
     val numInt = t.cols.filter(c => c.kind == IntK && !exclude(c.name))
+    val numDbl = t.cols.filter(c => c.kind == DblK && !exclude(c.name))
     val any    = t.cols.filterNot(c => exclude(c.name))
     val picked = scala.collection.mutable.LinkedHashMap[String, Agg]()
     picked("cnt") = Agg(count(lit(1)).as("cnt"), "COUNT(*) AS cnt", "cnt")
     val extra = r.nextInt(3)
     (0 until extra).foreach { _ =>
-      r.nextInt(4) match {
+      r.nextInt(5) match {
         case 0 if numInt.nonEmpty =>
           val c = pick(r, numInt)
           picked.getOrElseUpdate(s"sum_${c.name}", Agg(
@@ -334,6 +338,17 @@ object Fuzz {
           picked.getOrElseUpdate(s"avg_${c.name}", Agg(
             avg(col(c.name)).as(s"avg_${c.name}"),
             s"AVG(${c.name}) AS avg_${c.name}", s"avg_${c.name}"))
+        case 3 if numDbl.nonEmpty =>
+          // float SUM through the fixed suite's exact decimal-quantized
+          // pattern (Tables.dsum): order-independent on the Spark side,
+          // one identical final rounding on both — hash-exact where a
+          // raw double SUM would drift in the last bits
+          val c = pick(r, numDbl)
+          picked.getOrElseUpdate(s"dsum_${c.name}", Agg(
+            Tables.dsum(col(c.name), 2).as(s"dsum_${c.name}"),
+            s"CAST(SUM(CAST(${c.name} AS DECIMAL(18,2))) AS DOUBLE) " +
+              s"AS dsum_${c.name}",
+            s"dsum_${c.name}"))
         case _ if any.nonEmpty =>
           val c = pick(r, any)
           picked.getOrElseUpdate(s"nd_${c.name}", Agg(

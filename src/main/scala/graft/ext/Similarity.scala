@@ -759,6 +759,31 @@ object SimilarityQueries extends QModule {
       GROUP BY d.lang, m.format ORDER BY d.lang, m.format
     """)),
 
+    // M4: frame sampling through the driver gate — Multimodal.sampleFrames
+    // (posexplode of byte slices, every-k stride) rendered as hex so both
+    // engines compare strings. The media payload is the deterministic
+    // md5-digest stand-in, so the oracle reconstructs each 4-byte frame as
+    // 8 hex chars of DuckDB's md5() (upper-cased to Spark's hex()
+    // convention); frames past the 16-byte digest are empty in BOTH
+    // engines (substring-beyond-length parity). Scale: slicing + explode
+    // is map-only; blobs are sliced at the source, never duplicated whole
+    // or shuffled.
+    Q("m4_frame_sample", (s, dir) => {
+      import s.implicits._
+      val media = graft.ext.Multimodal.mediaTable(t(s, dir, "documents"))
+      graft.ext.Multimodal.sampleFrames(media, everyK = 2)
+        .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+          hex($"frame_bytes").as("frame_hex"))
+        .orderBy($"doc_id", $"frame_idx")
+    }, sql = Some("""
+      SELECT doc_id, k AS frame_idx,
+             upper(substr(md5(text), CAST(k * 8 + 1 AS INT), 8)) AS frame_hex
+      FROM documents
+      CROSS JOIN UNNEST(range(0, 8)) t(k)
+      WHERE k < doc_id % 8 + 1 AND k % 2 = 0
+      ORDER BY doc_id, frame_idx
+    """)),
+
     // Cross-modal join: text table ⋈ vector table on the shared id, per
     // language: doc count, total chars, Σ‖v‖² in micro-units (per-row fold
     // rounded to ints BEFORE summing → order-independent, drift-immune).

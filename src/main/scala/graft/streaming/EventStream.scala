@@ -349,6 +349,49 @@ object EventQueries extends QModule {
       GROUP BY event_type ORDER BY event_type
     """)),
 
+    // E11: native session windows — Spark's session_window(ts, gap)
+    // merged per user (the streaming-native gap-window operator; e2 is
+    // the hand-rolled lag/running-sum equivalent). Semantics: a session
+    // is [first_ts, last_ts + gap); an event AT the boundary starts a
+    // new session (>= in the oracle's gap test, matching the half-open
+    // interval). The oracle reconstructs sessions via the lag/gap
+    // grouping and emits min(ts) / max(ts)+gap. Scale: one shuffle on
+    // user_id + in-partition session merge (MergingSessionsExec) — in
+    // streaming mode the same expression runs with a watermark and
+    // state eviction at window end.
+    Q("e11_session_window", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      ev.groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }, sql = Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                         >= CAST(1800 AS BIGINT) * 1000000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id,
+             strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(CAST(ts AS TIMESTAMP)) + INTERVAL '30 minutes',
+                      '%Y-%m-%d %H:%M:%S') AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start
+    """)),
+
     // Gap-based sessionization (30 min), integer-nanos exact.
     Q("e2_sessionize", (s, dir) =>
       sessionStats(t(s, dir, "events")),

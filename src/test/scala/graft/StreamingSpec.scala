@@ -44,6 +44,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session windows: streaming (watermarked, append) == batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect()
+
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+
+    val stream = MemoryStream[Ev]
+    // split at the median ts so batch 2 is strictly later data — the
+    // realistic arrival order for session state accumulation
+    val sorted = evs.sortBy(_.ts)
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    stream.addData(b1.toSeq)
+    val sdf = stream.toDF()
+      .withColumn("tss", EventStream.tsCol)
+      .withWatermark("tss", "1 hour")
+    // append mode: a session row is emitted only once its window closes
+    // under the watermark — the production output mode for session aggs
+    // (complete mode would re-emit the whole history every micro-batch)
+    val query = sessions(sdf)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      stream.addData(b2.toSeq)
+      query.processAllAvailable()
+      // close out remaining state: advance the watermark past all data
+      val last = sorted.last
+      stream.addData(Ev(Long.MaxValue, last.ts + 10L * 3600 * 1000000000L,
+        -1L, "flush", 0.0, "{}"))
+      query.processAllAvailable()
+      val streamed = rows(spark.table("sess")
+        .filter(col("user_id") =!= -1L))
+      val batch = rows(sessions(batchDf.withColumn("tss", EventStream.tsCol)))
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("hopping windows: streaming result == batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
