@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md) plus
   * column helpers shared by the query inventory.
@@ -15,9 +15,92 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    conform(name, spark.read.parquet(s"$dir/$name.parquet"))
+
+  // --- arrival conformance ------------------------------------------------
+  // r7 lost its whole streaming tier to a silent writer-side type change
+  // (events.ts NANOS → timestamp[us]). The general lesson for an engine
+  // fed by external parquet at 100 TB: the ENGINE owns its column types.
+  // Every reader therefore conforms the arrived schema to the engine-
+  // facing contract below — lossless widenings (int → long, float →
+  // double) are applied silently, the ts encodings are normalized, and
+  // anything lossy or unknown fails loudly with the drifted column named
+  // (SchemaCanarySpec pins both behaviors). Today's testdata already
+  // matches the contract, so conform() is a no-op in every current plan.
+
+  /** Engine-facing column type target. */
+  private sealed trait Target
+  private final case class Fixed(dt: DataType) extends Target
+  private case object AnyTimestamp extends Target // TIMESTAMP or NTZ, as-is
+  private case object NanosLong extends Target // long nanos via normalizeEventTs
+
+  private val contract: Map[String, Map[String, Target]] = Map(
+    "region" -> Map("r_regionkey" -> Fixed(IntegerType), "r_name" -> Fixed(StringType)),
+    "nation" -> Map("n_nationkey" -> Fixed(IntegerType), "n_name" -> Fixed(StringType),
+      "n_regionkey" -> Fixed(IntegerType)),
+    "customer" -> Map("c_custkey" -> Fixed(LongType), "c_name" -> Fixed(StringType),
+      "c_nationkey" -> Fixed(IntegerType), "c_acctbal" -> Fixed(DoubleType),
+      "c_mktsegment" -> Fixed(StringType)),
+    "supplier" -> Map("s_suppkey" -> Fixed(LongType), "s_name" -> Fixed(StringType),
+      "s_nationkey" -> Fixed(IntegerType), "s_acctbal" -> Fixed(DoubleType)),
+    "part" -> Map("p_partkey" -> Fixed(LongType), "p_name" -> Fixed(StringType),
+      "p_brand" -> Fixed(StringType), "p_type" -> Fixed(StringType),
+      "p_size" -> Fixed(IntegerType), "p_retailprice" -> Fixed(DoubleType)),
+    "orders" -> Map("o_orderkey" -> Fixed(LongType), "o_custkey" -> Fixed(LongType),
+      "o_orderstatus" -> Fixed(StringType), "o_totalprice" -> Fixed(DoubleType),
+      "o_orderdate" -> AnyTimestamp, "o_orderpriority" -> Fixed(StringType)),
+    "lineitem" -> Map("l_orderkey" -> Fixed(LongType), "l_partkey" -> Fixed(LongType),
+      "l_suppkey" -> Fixed(LongType), "l_linenumber" -> Fixed(IntegerType),
+      "l_quantity" -> Fixed(DoubleType), "l_extendedprice" -> Fixed(DoubleType),
+      "l_discount" -> Fixed(DoubleType), "l_tax" -> Fixed(DoubleType),
+      "l_returnflag" -> Fixed(StringType), "l_linestatus" -> Fixed(StringType),
+      "l_shipdate" -> AnyTimestamp),
+    "events" -> Map("event_id" -> Fixed(LongType), "ts" -> NanosLong,
+      "user_id" -> Fixed(LongType), "event_type" -> Fixed(StringType),
+      "value" -> Fixed(DoubleType), "props" -> Fixed(StringType)),
+    "documents" -> Map("doc_id" -> Fixed(LongType), "text" -> Fixed(StringType),
+      "lang" -> Fixed(StringType), "source" -> Fixed(StringType),
+      "n_chars" -> Fixed(LongType)),
+    "embeddings" -> Map("vec_id" -> Fixed(LongType),
+      "embedding" -> Fixed(ArrayType(FloatType)), "label" -> Fixed(IntegerType)))
+
+  /** Arrived type can be widened to the target without loss. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType | ShortType | IntegerType, LongType) => true
+    case (ByteType | ShortType, IntegerType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Conform an arrived frame to `name`'s engine-facing contract: pass
+    * matching columns through untouched, apply lossless widenings,
+    * normalize timestamp encodings, and fail loudly (naming the column)
+    * on lossy or unknown drift. Unknown EXTRA columns pass through — new
+    * writer-side columns must not break existing readers. */
+  def conform(name: String, df: DataFrame): DataFrame = {
+    val targets = contract.getOrElse(name, Map.empty)
+    if (targets.isEmpty) return df
+    val casts = df.schema.fields.flatMap { f =>
+      targets.get(f.name).flatMap { t =>
+        (t, f.dataType) match {
+          case (Fixed(dt), a) if a == dt => None
+          case (Fixed(ArrayType(FloatType, _)), ArrayType(FloatType, _)) => None
+          case (Fixed(dt), a) if widens(a, dt) =>
+            Some(f.name -> col(f.name).cast(dt))
+          case (AnyTimestamp, TimestampType | TimestampNTZType) => None
+          case (NanosLong, _) => None // handled by normalizeEventTs below
+          case (tgt, a) => throw new IllegalStateException(
+            s"$name.${f.name} arrived as ${a.simpleString} — engine expects " +
+              s"${tgt match { case Fixed(dt) => dt.simpleString
+                case AnyTimestamp => "timestamp"
+                case NanosLong => "long nanos (or a timestamp encoding)" }}" +
+              "; testdata changed shape")
+        }
+      }
+    }
+    val widened = casts.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
+    if (name == "events") normalizeEventTs(widened) else widened
   }
 
   /** Engine-facing `events` contract: `ts` is Long nanos since epoch.

@@ -123,4 +123,41 @@ class SchemaCanarySpec extends SparkSpec {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     assert(Tables.normalizeEventTs(df).schema === df.schema)
   }
+
+  // --- conform: lossless-widening and loud-failure behavior ---------------
+
+  test("conform: int32-narrowed keys widen losslessly to the long contract") {
+    import spark.implicits._
+    // a writer narrowing doc_id/n_chars to int32 must not break readers
+    val narrowed = Seq((1, "a", "en", "s", 10), (2, "b", "fr", "s", 20))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id").cast(IntegerType), col("text"), col("lang"),
+        col("source"), col("n_chars").cast(IntegerType))
+    val out = Tables.conform("documents", narrowed)
+    assert(out.schema("doc_id").dataType === LongType)
+    assert(out.schema("n_chars").dataType === LongType)
+    assert(out.select("doc_id").as[Long].collect().sorted === Seq(1L, 2L))
+  }
+
+  test("conform: lossy drift fails loudly, naming table and column") {
+    import spark.implicits._
+    val lossy = Seq((1L, "x")).toDF("doc_id", "lang")
+      .withColumn("lang", lit(3.5)) // double where the contract says string
+    val e = intercept[IllegalStateException](Tables.conform("documents", lossy))
+    assert(e.getMessage.contains("documents.lang"))
+    assert(e.getMessage.contains("testdata changed shape"))
+  }
+
+  test("conform: extra writer-side columns pass through; matching frames are untouched") {
+    import spark.implicits._
+    val extra = Seq((1L, "a", "en", "s", 10L, true))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "novel_flag")
+    val out = Tables.conform("documents", extra)
+    assert(out.columns.contains("novel_flag"))
+    // a frame already on contract must come back plan-identical (no casts)
+    val clean = Tables.conform("documents",
+      extra.drop("novel_flag"))
+    assert(clean.queryExecution.analyzed.toString ===
+      extra.drop("novel_flag").queryExecution.analyzed.toString)
+  }
 }
