@@ -45,9 +45,10 @@ import java.util.Random
   *    representable in binary and in DECIMAL(_,4), so both engines parse
   *    the same double);
   *  - string columns are all-ASCII in the testdata (probed), so binary
-  *    vs collated ordering agree; `events.ts` participates as exact
-  *    BIGINT nanos on both sides (normalized reader / epoch_ns derived
-  *    table — see the catalog entry); only `props` is held out.
+  *    vs collated ordering agree; `events.ts` participates as BIGINT
+  *    nanos pinned to the microsecond grid on both sides (normalized
+  *    reader + div-1000 truncation / epoch_us derived table — see the
+  *    catalog entry and ref()); only `props` is held out.
   */
 object Fuzz {
 
@@ -129,13 +130,13 @@ object Fuzz {
       Col("source", StrK, lits = (0 to 19).map(i => s"src$i")))),
     // events: one column held out — `props` (free-form JSON strings, not
     // a categorical the StrK atom generator can enumerate). `ts` joined
-    // the surface in r8: Tables.normalizeEventTs gives Spark exact long
-    // nanos for every physical encoding, and the SQL side reads events
-    // through `ref(...)`'s epoch_ns derived table, so both engines
-    // compare identical BIGINTs (exact for nanos files too — DuckDB reads
-    // TIMESTAMP_NS and epoch_ns is lossless there). lo/hi are epoch
-    // SECONDS (the literal sampler scales to nanos — a nanos range would
-    // overflow the Int sampling arithmetic).
+    // the surface in r8: Tables.normalizeEventTs gives Spark long nanos
+    // for every physical encoding, and BOTH engines then pin ts to the
+    // microsecond grid (read()'s div-1000 truncation / ref()'s epoch_us
+    // rendering), so the compared BIGINTs are identical for every file
+    // encoding and DuckDB version. lo/hi are epoch SECONDS (the literal
+    // sampler scales to nanos — a nanos range would overflow the Int
+    // sampling arithmetic).
     Tbl("events", Seq("event_id"), Seq(
       Col("event_id", IntK, lo = 0, hi = 9999),
       Col("ts", TsNsK, lo = 1704067200, hi = 1706659200),
@@ -174,13 +175,19 @@ object Fuzz {
   private def tbl(n: String): Tbl = tables.find(_.name == n).get
 
   /** SQL-side table reference. `events` reads through a derived table that
-    * renders the normalized-ts contract in DuckDB terms (epoch_ns →
-    * BIGINT nanos, exact for both timestamp[us] and TIMESTAMP_NS files),
-    * aliased back to the table name so qualified references still
-    * resolve; every other table is its plain name. */
+    * renders ts as BIGINT nanos ON THE MICROSECOND GRID (epoch_us × 1000),
+    * aliased back to the table name so qualified references still resolve;
+    * every other table is its plain name. The micro grid — mirrored on the
+    * Spark side in read() — is what makes ts cross-engine exact for EVERY
+    * file encoding and DuckDB version: timestamp[us] files are already on
+    * the grid (truncation is identity), and on legacy TIMESTAMP(NANOS)
+    * files Spark would otherwise project exact nanos while DuckDB 1.0
+    * truncates its read to micros (measured: epoch_ns returns
+    * ...456000 for a ...456789 nanos value). Explicit truncation on both
+    * sides replaces that accidental agreement with a pinned contract. */
   private def ref(n: String): String =
     if (n == "events")
-      "(SELECT * REPLACE (epoch_ns(ts) AS ts) FROM events) AS events"
+      "(SELECT * REPLACE (epoch_us(ts) * 1000 AS ts) FROM events) AS events"
     else n
 
   // ---- paired fragments ----------------------------------------------------
@@ -362,8 +369,13 @@ object Fuzz {
 
   // ---- templates -----------------------------------------------------------
 
-  private def read(s: SparkSession, dir: String, t: String): DataFrame =
-    Tables.t(s, dir, t)
+  private def read(s: SparkSession, dir: String, t: String): DataFrame = {
+    val df = Tables.t(s, dir, t)
+    // events.ts pinned to the microsecond grid for the differential —
+    // identity on timestamp[us] data, and exact parity with ref()'s
+    // epoch_us rendering on legacy nanos files (see ref's scaladoc)
+    if (t == "events") df.withColumn("ts", expr("ts div 1000 * 1000")) else df
+  }
 
   /** T0: filtered projection scan (optionally + one computed int column). */
   private def genScan(r: Random, name: String): FuzzQuery = {

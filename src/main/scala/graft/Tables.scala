@@ -65,6 +65,22 @@ object Tables {
     "embeddings" -> Map("vec_id" -> Fixed(LongType),
       "embedding" -> Fixed(ArrayType(FloatType)), "label" -> Fixed(IntegerType)))
 
+  /** Canary-facing view of the contract: the tolerated engine-facing types
+    * per column AFTER normalization. SchemaCanarySpec keeps its own literal
+    * copy (double-entry bookkeeping) and asserts agreement with this view,
+    * so an edit to either side that forgets the other fails a named test
+    * instead of silently drifting. */
+  private[graft] def engineFacing: Map[String, Map[String, Set[DataType]]] =
+    contract.map { case (t, cols) =>
+      t -> cols.map { case (c, tgt) =>
+        c -> (tgt match {
+          case Fixed(dt) => Set(dt)
+          case AnyTimestamp => Set[DataType](TimestampType, TimestampNTZType)
+          case NanosLong => Set[DataType](LongType)
+        })
+      }
+    }
+
   /** Arrived type can be widened to the target without loss. */
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (ByteType | ShortType | IntegerType, LongType) => true
@@ -81,6 +97,20 @@ object Tables {
   def conform(name: String, df: DataFrame): DataFrame = {
     val targets = contract.getOrElse(name, Map.empty)
     if (targets.isEmpty) return df
+    def want(t: Target): String = t match {
+      case Fixed(dt) => dt.simpleString
+      case AnyTimestamp => "timestamp"
+      case NanosLong => "long nanos (or a timestamp encoding)"
+    }
+    val arrived = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // every drift problem reported at once — a regen that drops one column
+    // and narrows another must not need two rounds of diagnosis
+    val missing = targets.keys.toSeq.sorted.collect {
+      case c if !arrived.contains(c) =>
+        s"$name.$c: MISSING (engine expects ${want(targets(c))}; arrived " +
+          s"columns: ${df.schema.fieldNames.mkString(",")})"
+    }
+    var lossy = List.empty[String]
     val casts = df.schema.fields.flatMap { f =>
       targets.get(f.name).flatMap { t =>
         (t, f.dataType) match {
@@ -90,15 +120,16 @@ object Tables {
             Some(f.name -> col(f.name).cast(dt))
           case (AnyTimestamp, TimestampType | TimestampNTZType) => None
           case (NanosLong, _) => None // handled by normalizeEventTs below
-          case (tgt, a) => throw new IllegalStateException(
-            s"$name.${f.name} arrived as ${a.simpleString} — engine expects " +
-              s"${tgt match { case Fixed(dt) => dt.simpleString
-                case AnyTimestamp => "timestamp"
-                case NanosLong => "long nanos (or a timestamp encoding)" }}" +
-              "; testdata changed shape")
+          case (tgt, a) =>
+            lossy ::= s"$name.${f.name} arrived as ${a.simpleString} — " +
+              s"engine expects ${want(tgt)}"
+            None
         }
       }
     }
+    val problems = missing ++ lossy.reverse
+    if (problems.nonEmpty) throw new IllegalStateException(
+      s"testdata changed shape:\n" + problems.mkString("\n"))
     val widened = casts.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
     if (name == "events") normalizeEventTs(widened) else widened
   }

@@ -355,10 +355,14 @@ object EventQueries extends QModule {
     // is [first_ts, last_ts + gap); an event AT the boundary starts a
     // new session (>= in the oracle's gap test, matching the half-open
     // interval). The oracle reconstructs sessions via the lag/gap
-    // grouping and emits min(ts) / max(ts)+gap. Scale: one shuffle on
-    // user_id + in-partition session merge (MergingSessionsExec) — in
-    // streaming mode the same expression runs with a watermark and
-    // state eviction at window end.
+    // grouping and emits min(ts) / max(ts)+gap; its gap test is in
+    // epoch_us deliberately — session_window runs on the micro-truncated
+    // tss, and micros parity holds for every file encoding and DuckDB
+    // version (epoch_ns would read exact nanos under a future DuckDB
+    // on legacy NANOS files while tss stays truncated). Scale: one
+    // shuffle on user_id + in-partition session merge
+    // (MergingSessionsExec) — in streaming mode the same expression
+    // runs with a watermark and state eviction at window end.
     Q("e11_session_window", (s, dir) => {
       val ev = t(s, dir, "events").withColumn("tss", tsCol)
       ev.groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
@@ -372,8 +376,8 @@ object EventQueries extends QModule {
       WITH g AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                    WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
-                         >= CAST(1800 AS BIGINT) * 1000000000 THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= CAST(1800 AS BIGINT) * 1000000 THEN 1
                     ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

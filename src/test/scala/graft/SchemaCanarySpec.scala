@@ -126,6 +126,27 @@ class SchemaCanarySpec extends SparkSpec {
 
   // --- conform: lossless-widening and loud-failure behavior ---------------
 
+  test("spec contract and Tables.conform contract agree (double-entry check)") {
+    // compare on simpleString so array nullability flags don't split hairs
+    def render(m: Map[String, Map[String, Set[DataType]]]) =
+      m.map { case (t, cols) =>
+        t -> cols.map { case (c, ts) => c -> ts.map(_.simpleString) } }
+    val specSide = render(contract.map { case (t, cols) => t -> cols.toMap })
+    val mainSide = render(Tables.engineFacing)
+    assert(specSide === mainSide,
+      "SchemaCanarySpec's contract copy and Tables.contract diverged — " +
+        "update BOTH (that's the double-entry point)")
+  }
+
+  test("conform: missing contract column fails loudly, naming it") {
+    import spark.implicits._
+    val dropped = Seq((1L, "a", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source") // n_chars gone
+    val e = intercept[IllegalStateException](Tables.conform("documents", dropped))
+    assert(e.getMessage.contains("documents.n_chars: MISSING"))
+    assert(e.getMessage.contains("testdata changed shape"))
+  }
+
   test("conform: int32-narrowed keys widen losslessly to the long contract") {
     import spark.implicits._
     // a writer narrowing doc_id/n_chars to int32 must not break readers

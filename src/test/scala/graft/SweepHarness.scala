@@ -10,12 +10,15 @@ package graft
 object SweepHarness {
 
   /** Run `check` for each name; returns all failure messages. A thrown
-    * exception is converted to a named failure instead of propagating. */
+    * NON-fatal exception is converted to a named failure instead of
+    * propagating; fatal JVM errors (OOM, stack overflow) and interrupts
+    * still abort — continuing a sweep on a broken JVM would bury the real
+    * error under a cascade of misleading UNRUNNABLE rows. */
   def sweep(names: Seq[String])(check: String => Seq[String]): Seq[String] =
     names.flatMap { name =>
       try check(name)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(2).mkString(" ").take(300)
           Seq(s"$name: UNRUNNABLE — $msg")
