@@ -581,6 +581,36 @@ object TextAnalysis extends QModule {
       ORDER BY doc_id
     """)),
 
+    // Deterministic seeded corpus shuffle — the training-order primitive:
+    // a keyed md5 over (doc_id, seed) gives every doc a pseudorandom but
+    // reproducible sort key; docs land in modulo shards and each shard
+    // orders by the hash, so the concatenated shards are a stable
+    // permutation of the corpus and a new epoch = a new seed string, no
+    // data movement decision left to chance. Scale: NO global sort —
+    // per-shard windows only (shards are thousands at 100 TB, each a
+    // partition-sized sort); the md5 is map-side. The oracle replays the
+    // identical digest (ASCII input → byte-identical lowercase hex in
+    // both engines).
+    Q("t_corpus_shuffle", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat($"doc_id".cast("string"), lit(":seed42")).cast("binary"))
+      val w = Window.partitionBy($"shard_id").orderBy($"h", $"doc_id")
+      t(s, dir, "documents")
+        .select($"doc_id", pmod($"doc_id", lit(16)).as("shard_id"), h.as("h"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select($"doc_id", $"shard_id", $"h".as("shuffle_key"), $"pos")
+        .orderBy($"shard_id", $"pos")
+    }, sql = Some("""
+      SELECT doc_id, doc_id % 16 AS shard_id,
+             md5(CAST(doc_id AS VARCHAR) || ':seed42') AS shuffle_key,
+             CAST(row_number() OVER (PARTITION BY doc_id % 16
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':seed42'), doc_id)
+               AS BIGINT) AS pos
+      FROM documents
+      ORDER BY shard_id, pos
+    """)),
+
     // C4/RefinedWeb-style line-level dedup, with fixed 10-token segments
     // standing in for lines (the corpus is single-line). A segment is a
     // dup if any earlier (doc_id) occurrence of the same segment exists —
