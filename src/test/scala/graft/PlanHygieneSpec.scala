@@ -255,6 +255,17 @@ class PlanHygieneSpec extends SparkSpec {
     assertTwoLevelPacking("p2_incremental_curate")
   }
 
+  test("t_corpus_shuffle: shuffle-order window is keyed by shard_id, never a global sort") {
+    val p = planOf("t_corpus_shuffle")
+    // the row_number window must partition by shard_id (per-shard sorts)…
+    assert("""\[shard_id#\d+L?\], \[h#""".r.findFirstIn(p).isDefined,
+      "shuffle window not keyed by shard_id:\n" + p)
+    // …and no window may run with an EMPTY partition spec (the
+    // single-task corpus-sized sort this operator exists to avoid)
+    assert("""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isEmpty,
+      "global (unpartitioned) window crept into the corpus shuffle:\n" + p)
+  }
+
   test("g20: salted aggregation really is two-phase (salt agg below key agg)") {
     val p = planOf("g20_salted_agg").split("== Initial Plan ==").head
     // two logical aggregations (by (k,salt), then by k), each with its
