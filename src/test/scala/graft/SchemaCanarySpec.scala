@@ -72,6 +72,25 @@ class SchemaCanarySpec extends SparkSpec {
     assert(drifted.isEmpty, "\nSchema drift detected:\n" + drifted.mkString("\n"))
   }
 
+  test("string columns remain all-ASCII (binary vs collated ordering parity)") {
+    // Every cross-engine ORDER BY / GROUP BY on a string column relies on
+    // Spark's binary ordering agreeing with DuckDB's collation — true for
+    // ASCII, not guaranteed beyond it (and \s+ tokenization drifts on
+    // unicode spaces). Probe the whole testdata so a writer-side switch
+    // to non-ASCII content fails HERE with the column named, not as a
+    // scattered hash mismatch.
+    val offenders = contract.keys.toSeq.sorted.flatMap { table =>
+      val df = Tables.t(spark, dir, table)
+      df.schema.fields.filter(_.dataType == StringType).flatMap { f =>
+        val n = df.filter(length(col(f.name)) =!= octet_length(col(f.name)))
+          .limit(1).count()
+        if (n > 0) Some(s"$table.${f.name}: non-ASCII content arrived " +
+          "(binary vs collated ordering may diverge)") else None
+      }
+    }
+    assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
+  }
+
   // --- normalizer unit coverage over self-written fixtures ---------------
 
   // Pre-epoch through year-2100; long nanos represents ±292 years around
