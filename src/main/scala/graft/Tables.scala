@@ -110,6 +110,14 @@ object Tables {
         s"$name.$c: MISSING (engine expects ${want(targets(c))}; arrived " +
           s"columns: ${df.schema.fieldNames.mkString(",")})"
     }
+    // a writer emitting the same column twice would pass a last-wins map
+    // check and surface later as an ambiguous-reference error far from the
+    // drift site — catch it here, named
+    val duplicated = df.schema.fieldNames.groupBy(identity).toSeq.collect {
+      case (c, occ) if occ.length > 1 =>
+        s"$name.$c: DUPLICATED — arrived ${occ.length} times (downstream " +
+          "references would be ambiguous)"
+    }.sorted
     var lossy = List.empty[String]
     val casts = df.schema.fields.flatMap { f =>
       targets.get(f.name).flatMap { t =>
@@ -127,7 +135,7 @@ object Tables {
         }
       }
     }
-    val problems = missing ++ lossy.reverse
+    val problems = missing ++ duplicated ++ lossy.reverse
     if (problems.nonEmpty) throw new IllegalStateException(
       s"testdata changed shape:\n" + problems.mkString("\n"))
     val widened = casts.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
@@ -155,7 +163,22 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df // already nanos (or no ts column)
-      case Some(TimestampType) | Some(TimestampNTZType) =>
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        // the NTZ→TZ cast interprets wall-clock in the SESSION time zone;
+        // every graft entry point pins UTC, but a future entry point that
+        // forgot the pin would silently shift every ts by the local offset
+        // — the exact drift class this layer exists to prevent. Fail loudly
+        // instead of normalizing to garbage.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        val isUtc = try {
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        } catch { case _: Exception => false }
+        if (!isUtc) throw new IllegalStateException(
+          s"events.ts arrived as TIMESTAMP_NTZ but spark.sql.session.timeZone" +
+            s"=$tz — naive wall-clock can only be normalized under UTC; pin " +
+            "the session time zone to UTC in the entry point")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case Some(other) =>
         throw new IllegalStateException(
@@ -187,7 +210,17 @@ object Tables {
   // points where engines' rounding modes diverge; at the intrinsic scale
   // values sit near integer grid points and both engines agree.
 
-  /** Order-independent sum of a double column, emitted as double. */
+  /** Order-independent sum of a double column, emitted as double.
+    *
+    * CONSTRAINT (canary-probed): input doubles must not land EXACTLY on the
+    * half grid at the quantization scale (x*10^s fractional part == 0.5
+    * bit-exact). There `floor(x*p + 0.5)` rounds half toward +inf while the
+    * oracle's CAST(... AS DECIMAL) rounds half away from zero — negative
+    * half-grid values would diverge by one ulp of the grid. 2-decimal
+    * testdata sits within ~1e-10 of the integer grid, so the half grid is
+    * unreachable; SchemaCanarySpec probes every double column so a regen
+    * with >2 fractional digits fails there, named, not as a scattered
+    * fuzz hash mismatch. */
   def dsum(c: Column, scale: Int = 2): Column = {
     val p = math.pow(10, scale)
     val q = floor(c * p + 0.5).cast("long")

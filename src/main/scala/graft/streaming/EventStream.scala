@@ -352,9 +352,11 @@ object EventQueries extends QModule {
     // E11: native session windows — Spark's session_window(ts, gap)
     // merged per user (the streaming-native gap-window operator; e2 is
     // the hand-rolled lag/running-sum equivalent). Semantics: a session
-    // is [first_ts, last_ts + gap); an event AT the boundary starts a
-    // new session (>= in the oracle's gap test, matching the half-open
-    // interval). The oracle reconstructs sessions via the lag/gap
+    // spans [first_ts, last_ts + gap); an event whose time equals the
+    // previous session's end TOUCHES it and MERGES (Spark unions
+    // touching intervals — pinned by the StreamingSpec exact-gap
+    // fixture), so the oracle's new-session test is STRICTLY > gap.
+    // The oracle reconstructs sessions via the lag/gap
     // grouping and emits min(ts) / max(ts)+gap; its gap test is in
     // epoch_us deliberately — session_window runs on the micro-truncated
     // tss, and micros parity holds for every file encoding and DuckDB
@@ -377,7 +379,7 @@ object EventQueries extends QModule {
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL THEN 1
                     WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                         >= CAST(1800 AS BIGINT) * 1000000 THEN 1
+                         > CAST(1800 AS BIGINT) * 1000000 THEN 1
                     ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -91,6 +91,27 @@ class SchemaCanarySpec extends SparkSpec {
     assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
   }
 
+  test("double columns stay off the half grid at quantization scale 2 (dsum parity)") {
+    // Tables.dsum quantizes with floor(x*100 + 0.5) (half toward +inf);
+    // the DuckDB oracle CASTs to DECIMAL (half away from zero). The two
+    // agree everywhere EXCEPT when x*100 lands bit-exactly on k + 0.5 for
+    // negative x. 2-decimal testdata sits ~1e-10 off the integer grid so
+    // the half grid is unreachable — probe every double column so a regen
+    // emitting >2 fractional digits fails HERE, named, instead of as a
+    // scattered fuzz/dsum hash mismatch.
+    val offenders = contract.keys.toSeq.sorted.flatMap { table =>
+      val df = Tables.t(spark, dir, table)
+      df.schema.fields.filter(_.dataType == DoubleType).flatMap { f =>
+        val scaled = col(f.name) * lit(100.0)
+        val n = df.filter(scaled - floor(scaled) === lit(0.5)).limit(1).count()
+        if (n > 0) Some(s"$table.${f.name}: value landed exactly on the " +
+          "x*100 half grid — dsum (half-up) and the oracle (half-away) " +
+          "would diverge on negatives") else None
+      }
+    }
+    assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
+  }
+
   // --- normalizer unit coverage over self-written fixtures ---------------
 
   // Pre-epoch through year-2100; long nanos represents ±292 years around
@@ -137,6 +158,24 @@ class SchemaCanarySpec extends SparkSpec {
     assert(e.getMessage.contains("testdata changed shape"))
   }
 
+  test("normalizeEventTs: NTZ arrival under a non-UTC session zone fails loudly") {
+    import spark.implicits._
+    // the NTZ→TZ cast reads wall-clock in the SESSION zone; a non-UTC
+    // entry point must fail with the pin named, not shift every instant
+    val ntz = Seq((1L, 1700000000000000L)).toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalStateException](Tables.normalizeEventTs(ntz))
+      assert(e.getMessage.contains("TIMESTAMP_NTZ"))
+      assert(e.getMessage.contains("America/New_York"))
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    // and back under UTC the same frame normalizes fine
+    assert(Tables.normalizeEventTs(ntz).schema("ts").dataType === LongType)
+  }
+
   test("normalizeEventTs: frame without ts passes through untouched") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "text")
@@ -177,6 +216,19 @@ class SchemaCanarySpec extends SparkSpec {
     assert(out.schema("doc_id").dataType === LongType)
     assert(out.schema("n_chars").dataType === LongType)
     assert(out.select("doc_id").as[Long].collect().sorted === Seq(1L, 2L))
+  }
+
+  test("conform: duplicated arrived column fails loudly, naming it") {
+    import spark.implicits._
+    // last-wins map semantics would hide this until an ambiguous-reference
+    // error far from the drift site
+    val base = Seq((1L, "a", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val duped = base.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"), col("text").as("lang"))
+    val e = intercept[IllegalStateException](Tables.conform("documents", duped))
+    assert(e.getMessage.contains("documents.lang: DUPLICATED"))
+    assert(e.getMessage.contains("testdata changed shape"))
   }
 
   test("conform: lossy drift fails loudly, naming table and column") {

@@ -88,6 +88,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session boundary: an event at EXACTLY the 30-minute gap merges; 1 us past splits") {
+    import spark.implicits._
+    // Random testdata cannot contain a microsecond-exact 1800 s gap, so
+    // the e11 differential can't distinguish > from >= in the oracle's
+    // new-session test. Measured (and pinned here): Spark's
+    // session_window UNIONS TOUCHING intervals — an event whose time
+    // equals the previous session's end (gap == exactly 30:00.000000)
+    // MERGES into it; only a strictly larger gap starts a new session.
+    // e11's oracle therefore tests `> gap`, and this fixture fails if a
+    // future Spark version flips the boundary out from under it.
+    val t0 = 1700000000000000L // micros
+    val fix = Seq(
+      (1L, t0, 7L),
+      (2L, t0 + 1800L * 1000000L, 7L), // exactly at A's end → touches → MERGES
+      (3L, t0, 8L),
+      (4L, t0 + 1800L * 1000000L + 1L, 8L) // 1 us past the gap → NEW session
+    ).toDF("event_id", "us", "user_id")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("tss"))
+    val sessions = fix
+      .groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n")
+      .orderBy($"user_id", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // user 7: one merged 2-event session; user 8: two singleton sessions
+    assert(sessions === Seq((7L, 2L), (8L, 1L), (8L, 1L)),
+      "session_window gap-boundary semantics drifted from the pinned " +
+        "touch-merges convention (e11's oracle tests strictly > gap)")
+  }
+
   test("hopping windows: streaming result == batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
