@@ -96,17 +96,51 @@ object Windows extends QModule {
       WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey
     """)),
 
-    // ntile quartiles over a total (tie-broken) ordering, then aggregated.
-    // SCALE NOTE: an exact global ntile is inherently a single-partition
-    // sort (every row's bucket depends on its global position), so this is
-    // a correctness query for the operator's semantics. The 100 TB
-    // substitute is w6b below: percentile boundaries from a mergeable
-    // aggregate, then a map-side bucket comparison — no global window.
+    // ntile quartiles over a total (tie-broken) ordering, then aggregated
+    // — EXACT and DISTRIBUTED. ntile(k) needs every row's global position,
+    // but a global position does not need a global sort: range-repartition
+    // on the (unique) ordering key, number rows WITHIN each range
+    // partition, then add per-partition offsets from a prefix sum of the
+    // tiny partition-count table (one row per partition — the same
+    // two-level prefix-sum shape as the corpus shard packer). Global rank
+    // = partition offset + local row_number; the bucket is then closed-
+    // form arithmetic on (rank, n): first n%k buckets take n/k+1 rows.
+    // Replaces the former single-partition ntile window (and the w6b
+    // percentile-boundary substitute it needed): every stage here is
+    // shuffle-parallel — one range exchange, per-partition sorts, and a
+    // broadcast of the offsets. The offsets prefix sum is computed by a
+    // one-row aggregate + transform (O(parts²) slice-sums — parts is the
+    // shuffle parallelism, so trivial; a second prefix level handles
+    // extreme partition counts), NOT a window, so no single-partition
+    // Window node exists anywhere in the plan (PlanHygieneSpec pins
+    // this). percentile_disc boundary-broadcast coverage lives on in
+    // g17b/t_length_clamp.
     Q("w6_ntile_quartiles", (s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
-      t(s, dir, "customer")
-        .select(ntile(4).over(w).as("quartile"), $"c_acctbal")
+      val ranged = t(s, dir, "customer")
+        .select($"c_acctbal", $"c_custkey")
+        .repartitionByRange($"c_acctbal".asc, $"c_custkey".asc)
+        .withColumn("pid", spark_partition_id())
+      val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+        .agg(sort_array(collect_list(struct($"pid", $"cnt"))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> struct(
+               x.pid AS pid,
+               aggregate(slice(a, 1, i), 0L, (acc, y) -> acc + y.cnt) AS off,
+               aggregate(a, 0L, (acc, y) -> acc + y.cnt) AS n))""")).as("o"))
+        .select($"o.pid".as("pid"), $"o.off".as("off"), $"o.n".as("n"))
+      val wLocal = Window.partitionBy($"pid")
+        .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+      ranged
+        .withColumn("rn", row_number().over(wLocal))
+        .join(broadcast(offsets), "pid")
+        .withColumn("grank", $"off" + $"rn")
+        .withColumn("quartile", expr(
+          """CAST(CASE WHEN grank <= (n % 4) * (n div 4 + 1)
+                       THEN (grank - 1) div (n div 4 + 1) + 1
+                       ELSE (n % 4) + (grank - 1 - (n % 4) * (n div 4 + 1))
+                            div (n div 4) + 1
+                  END AS INT)"""))
         .groupBy($"quartile")
         .agg(count(lit(1)).as("n"),
              sum($"c_acctbal".cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
@@ -116,50 +150,6 @@ object Windows extends QModule {
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM (SELECT ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
                    c_acctbal FROM customer) t
-      GROUP BY quartile ORDER BY quartile
-    """)),
-
-    // Quartiles, the distributed way: boundary values from percentile_disc
-    // (SQL-standard: first value whose cume_dist >= p — an ACTUAL data
-    // value, no interpolation, so the boundary is bit-exact across
-    // engines), broadcast back, bucket by comparison map-side. Differs
-    // from exact ntile only in tie handling (ties never straddle a
-    // boundary here); at 100 TB the boundary agg is the only non-map
-    // stage, and swapping percentile_disc for approx_percentile makes it
-    // fully mergeable with bounded memory (loses oracle exactness, keeps
-    // the shape). The oracle replays the same cume_dist >= p convention
-    // explicitly (value at sorted position ceil(p·n)) rather than trusting
-    // DuckDB's quantile_disc convention to agree.
-    Q("w6b_quartiles_bucketed", (s, dir) => {
-      import s.implicits._
-      val c = t(s, dir, "customer").select($"c_acctbal")
-      val bounds = c.agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)").as("b1"),
-        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal)").as("b2"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)").as("b3"))
-      c.crossJoin(broadcast(bounds))
-        .select(when($"c_acctbal" <= $"b1", 1)
-          .when($"c_acctbal" <= $"b2", 2)
-          .when($"c_acctbal" <= $"b3", 3).otherwise(4).as("quartile"), $"c_acctbal")
-        .groupBy($"quartile")
-        .agg(count(lit(1)).as("n"),
-             sum($"c_acctbal".cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
-        .orderBy($"quartile")
-    }, sql = Some("""
-      WITH ord AS (
-        SELECT c_acctbal, row_number() OVER (ORDER BY c_acctbal) AS rn,
-               COUNT(*) OVER () AS n
-        FROM customer),
-      bounds AS (
-        SELECT max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN c_acctbal END) AS b1,
-               max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN c_acctbal END) AS b2,
-               max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN c_acctbal END) AS b3
-        FROM ord)
-      SELECT quartile, COUNT(*) AS n,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-      FROM (SELECT CASE WHEN c_acctbal <= b1 THEN 1 WHEN c_acctbal <= b2 THEN 2
-                        WHEN c_acctbal <= b3 THEN 3 ELSE 4 END AS quartile, c_acctbal
-            FROM customer CROSS JOIN bounds) t
       GROUP BY quartile ORDER BY quartile
     """)),
 
@@ -233,7 +223,7 @@ object Windows extends QModule {
     // below the window (contrast w4/w5/r6, where WindowGroupLimit keeps
     // k rows per task) and each of the ~5 segments sorts in one task.
     // Fine for function coverage; at 100 TB compute rank positions from
-    // mergeable per-segment counts instead (the w6b bucketed pattern).
+    // mergeable per-segment counts instead (the w6 two-pass rank pattern).
     Q("w8_rank_family", (s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment")

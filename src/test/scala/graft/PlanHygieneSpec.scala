@@ -109,6 +109,18 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("w6: exact ntile runs with NO global (unpartitioned) window") {
+    // the former shape was ntile(4) over an empty partition spec — a
+    // single-task, corpus-sized sort. The two-pass form must keep every
+    // Window node partitioned (the local row_number is keyed by pid) and
+    // the offsets side window-free (one-row aggregate + transform).
+    val p = planOf("w6_ntile_quartiles")
+    assert(p.contains("Window"), "local row_number window vanished:\n" + p)
+    assert("""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isEmpty,
+      "single-partition window crept back into exact ntile:\n" + p)
+    assert(!p.contains("ntile("), "monolithic ntile crept back:\n" + p)
+  }
+
   test("sim_ann_ivf: centroid selection has no single-partition window") {
     // the stride predicate replaced the global row_number pass
     val embs = graft.Tables.t(spark, dir, "embeddings")
@@ -325,7 +337,7 @@ class PlanHygieneSpec extends SparkSpec {
   // here before it ever ships.
   private val nljAllowed = Set(
     "j6_cross_join", "g7_mart_aggregate", "g17b_percentile_bound",
-    "w6b_quartiles_bucketed", "w9_gap_fill", "q22_rich_inactive",
+    "w9_gap_fill", "q22_rich_inactive",
     "t_tfidf", "sim_topk_cosine", "sim_range_search", "sim_ann_ivf",
     // nlist-row centroid table + 1-row query broadcasts under the
     // trained-IVF assignment and probe
