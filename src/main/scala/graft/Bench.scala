@@ -60,7 +60,7 @@ object Bench {
     // pass (the driver co-schedules other work) would otherwise read as a
     // permanent per-query regression; min-of-samples is the noise-robust
     // estimator of the query's true cost
-    val results = suite.map { q =>
+    def bestOf2(q: Q): (Seq[Double], Double, Option[String]) = {
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val err = force(q)
@@ -75,29 +75,49 @@ object Bench {
       val best = (if (good.nonEmpty) good else samples).minBy(_._1)
       val err = samples.flatMap(_._2).headOption
         .map(e => if (good.nonEmpty) s"intermittent: $e" else e)
-      (q.name, best._1, err)
+      (samples.map(_._1), best._1, err)
     }
+    val results = suite.map(q => (q.name, bestOf2(q)))
     // JSON must stay JSON on comma-decimal default locales: the f
     // interpolator is locale-sensitive, so format through Locale.ROOT
     def num(v: Double): String = Fmt.num(v, 4)
-    val ok = results.collect { case (k, v, None) => k -> v }
+    def arr(vs: Seq[Double]): String = vs.map(num).mkString("[", ",", "]")
+    val ok = results.collect { case (k, (_, v, None)) => k -> v }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
+    val errs = results.collect { case (k, (_, _, Some(e))) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // per-query evidence: both raw passes go into the record, so a
+    // reader can see whether a high best-of-2 was one spike or two
+    val passes = results.map { case (k, (ps, _, _)) => "\"" + k + "\":" + arr(ps) }
+      .mkString("{", ",", "}")
+    // self-adjudicating guard: four consecutive rounds of driver-bench
+    // flags (r5-r8) re-ran clean solo — host contention, not regressions.
+    // Instead of settling that with an out-of-band re-measure next round,
+    // any query landing >1.5x its pin is re-measured IN-RUN (one extra
+    // best-of-2, after the rest of the suite so a transient spike has
+    // passed) and the regression entry carries the recheck evidence: a
+    // contention flag is refuted inside the driver's own artifact, a real
+    // regression is confirmed by min over 4 passes.
     val regs = baseline() match {
       case Some((bSf, bQs)) if bSf == sfDir =>
         ok.collect {
           case (k, v) if bQs.get(k).exists(b => v > 1.5 * b) =>
-            s""""$k":{"now":${num(v)},"baseline":${num(bQs(k))}}"""
+            val pin = bQs(k)
+            val (rps, rbest, rerr) = bestOf2(suite.find(_.name == k).get)
+            val recheck = if (rerr.isEmpty) math.min(v, rbest) else v
+            val verdict = if (recheck > 1.5 * pin) "confirmed" else "contention"
+            s""""$k":{"now":${num(v)},"baseline":${num(pin)},""" +
+              s""""recheck_passes":${arr(rps)},"recheck":${num(recheck)},""" +
+              s""""adjudication":"$verdict"}"""
         }.mkString("{", ",", "}")
       case _ => "{}"
     }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
     // a broken headliner fails the bench run outright (after the JSON line
     // above has named it) instead of shipping a silently-shrunken total
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._2._3.isDefined)) sys.exit(1)
   }
 }
