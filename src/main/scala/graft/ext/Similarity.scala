@@ -107,6 +107,27 @@ object Similarity {
 
   // --- IVF-style ANN (coarse quantizer + probed lists) -------------------
 
+  /** Train-time index sizing: `nlist ≈ √n`, clamped to [16, 4096] — the
+    * classic IVF balance point (≈√n lists of ≈√n vectors keeps both the
+    * centroid scan and the probed-list scan O(√n) per query). The floor
+    * keeps tiny corpora from degenerating to a handful of lists; the cap
+    * bounds the broadcast centroid table (4096 × dim e6-longs ≈ 2 MB at
+    * dim 64) so assignment stays a cheap map-side broadcast at any corpus
+    * size — at 100 TB you'd raise the cap with executor memory, not the
+    * formula. Derived once per training from one COUNT; the oracled
+    * queries replay the same formula in SQL, so the derived index stays
+    * hash-checkable. */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.min(4096, math.floor(math.sqrt(n.toDouble)).toInt))
+
+  /** Probe width scales WITH the list count (fixed 3/8 of the lists,
+    * floored at the legacy 6): a fixed absolute nprobe would silently
+    * shrink the probed corpus fraction as √n grows and recall would decay
+    * with scale; a fixed fraction keeps recall roughly flat while per-
+    * query cost stays O(fraction · n). Callers trade recall for speed by
+    * passing nprobe explicitly. */
+  def autoNprobe(nlist: Int): Int = math.max(6, nlist * 3 / 8)
+
   /** Deterministic coarse centroids: every (n/nlist)-th vector by vec_id —
     * a seedless, reproducible stand-in for k-means (at 100 TB you train
     * centroids once offline; assignment below is the scale path).
@@ -191,8 +212,9 @@ object Similarity {
     * unrolls all `iters` rounds; converged rounds rewrite the same table).
     * The convergence probe collects the ≤ nlist-row centroid table —
     * driver-side by nature (nlist is small by design), never the vectors. */
-  def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 16,
+  def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 0,
                           iters: Int = ivfKmeansIters): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
     val base = embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
     def recenter(cent: DataFrame): DataFrame =
       assignByDot(base, cent)
@@ -206,7 +228,7 @@ object Similarity {
     def snapshot(cent: DataFrame): Seq[(Long, Seq[Long])] =
       cent.collect().map(r =>
         r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
-    var cent = ivfCentroids(embeddings, nlist)
+    var cent = ivfCentroids(embeddings, nl)
       .select(col("centroid_id"), e6Vec("centroid").as("ce6"))
       .localCheckpoint()
     var prev = snapshot(cent)
@@ -236,9 +258,12 @@ object Similarity {
     * and pass that handle (the production posture — Recall.scala,
     * ExtensionSpec). */
   def ivfTrainedTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-                     nlist: Int = 16, nprobe: Int = 6,
+                     nlist: Int = 0, nprobe: Int = 0,
                      neighborProbes: Int = 0,
                      centroids: Option[DataFrame] = None): DataFrame = {
+    // 0 = derive from the corpus (autoNlist/autoNprobe); explicit values win
+    val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     // the trained table feeds BOTH the assignment broadcast and the
     // probe cross-join; ivfTrainedCentroids returns it already
     // localCheckpoint'd (its training loop materializes per round), so no
@@ -246,7 +271,7 @@ object Similarity {
     // `centroids` (train once, the production posture; Recall.scala,
     // ExtensionSpec) is used as-is instead of being re-materialized per
     // query as it was in r5.
-    val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nlist))
+    val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nl))
     val base = embeddings.select(col("vec_id"), col("embedding"),
       e6Vec("embedding").as("ve6"))
     val assigned = assignByDot(base, cent)
@@ -256,7 +281,7 @@ object Similarity {
       .withColumn("dotv", expr(intDot("ce6", "qe6")))
     val topProbed = scored
       .orderBy(col("dotv").desc, col("centroid_id").asc)
-      .limit(nprobe)
+      .limit(np)
       .select(col("centroid_id"))
     // Multi-probe (opt-in, off in the oracled query): widen the probe set
     // with the `neighborProbes` centroids closest (by the same exact
@@ -328,15 +353,17 @@ object Similarity {
   /** IVF ANN: rank centroids against the query, probe the top `nprobe`
     * inverted lists, exact re-rank inside them. */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-              nlist: Int = 16, nprobe: Int = 6): DataFrame = {
-    val centroids = ivfCentroids(embeddings, nlist)
+              nlist: Int = 0, nprobe: Int = 0): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
+    val centroids = ivfCentroids(embeddings, nl)
     val assigned = ivfAssign(embeddings, centroids)
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"))
     val probed = centroids.crossJoin(broadcast(q))
       .withColumn("sim_e9", cosineE9(cosine("centroid", "q")))
       .orderBy(col("sim_e9").desc, col("centroid_id").asc)
-      .limit(nprobe)
+      .limit(np)
       .select(col("centroid_id"))
     assigned.join(broadcast(probed), Seq("centroid_id"))
       .crossJoin(broadcast(q))
@@ -566,18 +593,26 @@ object SimilarityQueries extends QModule {
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
     """)),
 
-    // ANN via IVF coarse quantizer (nlist=16 lists, nprobe=6 probed).
-    // Stride centroids + e9-quantized assignment are deterministic, so the
-    // oracle rebuilds the same index and probes the same lists.
+    // ANN via IVF coarse quantizer. Index size is DERIVED, not hardcoded:
+    // nlist = clamp(√n, 16, 4096) lists, nprobe = max(6, 3·nlist/8) probed
+    // (autoNlist/autoNprobe) — the oracle replays the same formulas, so
+    // the derived index stays hash-checkable at every SF. Stride centroids
+    // + e9-quantized assignment are deterministic, so the oracle rebuilds
+    // the same index and probes the same lists.
     Q("sim_ann_ivf", (s, dir) =>
       ivfTopK(t(s, dir, "embeddings"), 0L, 10), sql = Some(s"""
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      prm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings) t),
       cent AS (
         SELECT vec_id AS centroid_id, embedding AS centroid
-        FROM embeddings,
-             (SELECT greatest(CAST(floor(COUNT(*) / 16) AS BIGINT), 1) AS stride
-              FROM embeddings) s
-        WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        FROM embeddings, prm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
       assign AS (
         SELECT vec_id, embedding, centroid_id FROM (
           SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -588,10 +623,12 @@ object SimilarityQueries extends QModule {
         WHERE rk = 1),
       probe AS (
         SELECT centroid_id FROM (
-          SELECT c.centroid_id,
-                 CAST(floor(${duckCos("c.centroid", "q.qe")} * 1e9 + 0.5) AS BIGINT) AS sim_e9
-          FROM cent c CROSS JOIN q
-          ORDER BY sim_e9 DESC, c.centroid_id ASC LIMIT 6) t)
+          SELECT c.centroid_id, p.np,
+                 row_number() OVER (ORDER BY
+                   CAST(floor(${duckCos("c.centroid", "q.qe")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM cent c CROSS JOIN q CROSS JOIN prm p) t
+        WHERE rk <= np)
       SELECT vec_id, cosine_e9 FROM (
         SELECT a.vec_id,
                CAST(floor(${duckCos("a.embedding", "q.qe")} * 1e9 + 0.5) AS BIGINT) AS cosine_e9
@@ -618,12 +655,17 @@ object SimilarityQueries extends QModule {
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
         FROM embeddings),
+      prm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings) t),
       c0 AS (
         SELECT vec_id AS centroid_id, ve6 AS ce6
-        FROM base,
-             (SELECT greatest(CAST(floor(COUNT(*) / 16) AS BIGINT), 1) AS stride
-              FROM embeddings) s
-        WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        FROM base, prm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
       ${duckLloydRounds(ivfKmeansIters)}
       aF AS (
         SELECT vec_id, centroid_id FROM (
@@ -635,10 +677,13 @@ object SimilarityQueries extends QModule {
         WHERE rk = 1),
       qv AS (SELECT ve6 AS qe6 FROM base WHERE vec_id = 0),
       probed AS (
-        SELECT centroid_id FROM c$ivfKmeansIters CROSS JOIN qv
-        ORDER BY list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
-                 centroid_id ASC
-        LIMIT 6)
+        SELECT centroid_id FROM (
+          SELECT centroid_id, p.np,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
+                   centroid_id ASC) AS rk
+          FROM c$ivfKmeansIters CROSS JOIN qv CROSS JOIN prm p) t
+        WHERE rk <= np)
       SELECT vec_id, cosine_e9 FROM (
         SELECT b.vec_id,
                CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
