@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode / feature
   * extraction runs as a batched per-partition stage.
   *
-  * The actual codec step is a STUB — this container has no image/audio
-  * libraries — implemented as a clearly-marked deterministic fake
-  * (`fakeDecodeFeatures`). Everything around it is real and tested: the
-  * schema contract, the binary+metadata column shapes, the batched
-  * mapPartitions execution (the JVM analog of arrow-batched UDFs), and the
-  * partitioning behavior.
+  * The WAV path is REAL: `decodeWav` parses RIFF/WAVE (PCM 16-bit) headers
+  * and samples in pure JVM code — no codec library needed — and
+  * `decodeFeatures` computes amplitude statistics from the decoded signal.
+  * Non-WAV payloads (this container has no image codecs) fall back to the
+  * clearly-marked deterministic fake (`fakeDecodeFeatures`'s byte-pair
+  * hash), so the dispatch is honest: real where a pure-JVM decoder exists,
+  * labeled stand-in elsewhere. Everything around the codec is real and
+  * tested either way: the schema contract, the binary+metadata column
+  * shapes, the batched mapPartitions execution (the JVM analog of
+  * arrow-batched UDFs), and the partitioning behavior.
   *
   * Scale posture: media blobs dominate row size — the decode stage must
   * (a) run after column pruning so only (key, media) ship, (b) never
@@ -44,31 +48,128 @@ object Multimodal {
         (lit(16) + pmod(col("n_chars") * 7, lit(64))).cast("int").as("height"),
         (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** STUB decode: a real implementation would decode image/audio bytes via
-    * a codec library here. Deterministic fake: one float per payload byte
-    * pair, batch-applied per partition (the hot loop never crosses the
-    * JVM/driver boundary and never shuffles). */
-  def fakeDecodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
+  // --- real pure-JVM WAV codec ---------------------------------------------
+
+  /** Decoded PCM audio: sample rate in Hz, interleaved 16-bit samples. */
+  final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                       samples: Array[Short])
+
+  /** Parse a RIFF/WAVE container (canonical chunk layout per the public
+    * WAVE format spec): walk the chunk list, read `fmt ` (PCM format tag,
+    * channel count, sample rate, bits per sample), then decode the `data`
+    * chunk's little-endian 16-bit samples. Returns None for anything that
+    * is not uncompressed 16-bit PCM — callers fall back to the labeled
+    * stand-in, never to garbage. Tolerates trailing chunks (LIST, fact)
+    * and odd-size chunk padding; truncated data chunks decode the bytes
+    * actually present (a torn object-store read should degrade, not
+    * throw). */
+  def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    var out: Option[Wav] = None
+    while (pos + 8 <= bytes.length && out.isEmpty) {
+      val id = tag(pos)
+      val sz = math.min(le32(pos + 4), Int.MaxValue.toLong).toInt
+      val body = pos + 8
+      if (id == "fmt " && body + 16 <= bytes.length)
+        fmt = Some((le16(body), le16(body + 2), le32(body + 4).toInt, le16(body + 14)))
+      else if (id == "data") fmt.foreach { case (af, ch, rate, bits) =>
+        if (af == 1 && bits == 16 && ch >= 1 && rate > 0) {
+          val n = math.max(0, math.min(sz, bytes.length - body)) / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            // low byte unsigned, high byte signed — that IS little-endian s16
+            samples(i) = (u8(body + 2 * i) | (bytes(body + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          out = Some(Wav(rate, ch, bits, samples))
+        }
+      }
+      pos = body + sz + (sz & 1) // chunks pad to even length
+    }
+    out
+  }
+
+  /** Features of a decoded signal, `dim` floats: [n_samples, sample_rate,
+    * RMS amplitude, zero-crossing count] then (dim-4) per-band mean
+    * absolute amplitudes over equal sample bands — the classic cheap
+    * audio descriptor set. Sequential per-row loop: deterministic by
+    * construction (no distributed fold touches these doubles). */
+  def wavFeatures(w: Wav, dim: Int): Array[Float] = {
+    val s = w.samples
+    val n = s.length
+    var sumSq = 0.0
+    var zc = 0
+    var i = 0
+    while (i < n) {
+      val v = s(i).toDouble
+      sumSq += v * v
+      if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+      i += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    val head = Array(n.toFloat, w.sampleRate.toFloat, rms.toFloat, zc.toFloat)
+    if (dim <= 4) head.take(dim)
+    else head ++ Array.tabulate(dim - 4) { b =>
+      val lo = (b.toLong * n / (dim - 4)).toInt
+      val hi = ((b + 1).toLong * n / (dim - 4)).toInt
+      if (hi <= lo) 0.0f
+      else {
+        var acc = 0L
+        var j = lo
+        while (j < hi) { acc += math.abs(s(j).toInt); j += 1 }
+        (acc.toDouble / (hi - lo)).toFloat
+      }
+    }
+  }
+
+  /** The deterministic NON-decode stand-in for formats with no pure-JVM
+    * decoder in this container: one float per payload byte pair. */
+  private def fakeFeats(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val n = if (bytes == null) 0 else bytes.length
+    Array.tabulate(dim) { i =>
+      if (n == 0) 0.0f
+      else ((bytes(i % n) & 0xff) * 31 + (bytes((i * 2 + 1) % n) & 0xff)).toFloat / 8192.0f
+    }
+  }
+
+  private def featureRows(media: DataFrame, dim: Int,
+                          feats: Array[Byte] => Array[Float]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val out: Dataset[Row] = media.select(col("doc_id"), col("media"))
       .mapPartitions { rows =>
-        // batch shape: iterator-in / iterator-out, one buffer reused
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val n = if (bytes == null) 0 else bytes.length
-          val feats = Array.tabulate(dim) { i =>
-            if (n == 0) 0.0f
-            else ((bytes(i % n) & 0xff) * 31 + (bytes((i * 2 + 1) % n) & 0xff)).toFloat / 8192.0f
-          }
-          Row(id, feats)
-        }
+        // batch shape: iterator-in / iterator-out, blobs never shuffled
+        rows.map { r => Row(r.getLong(0), feats(r.getAs[Array[Byte]](1))) }
       }(enc)
     out.toDF()
   }
+
+  /** Decode → features, batched per partition. WAV payloads (sniffed by
+    * the RIFF/WAVE container itself, not trusted metadata) decode for real
+    * via `decodeWav`; anything else gets the labeled byte-pair stand-in.
+    * Same output contract either way: (doc_id, features[dim]). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame =
+    featureRows(media, dim, bytes => decodeWav(bytes) match {
+      case Some(w) => wavFeatures(w, dim)
+      case None => fakeFeats(bytes, dim)
+    })
+
+  /** STUB decode, kept as the explicit non-codec path (and the parity
+    * baseline `decodeFeatures` must match on non-WAV payloads). */
+  def fakeDecodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame =
+    featureRows(media, dim, bytes => fakeFeats(bytes, dim))
 
   /** Frame sampling for "video" payloads: emit every k-th byte-slice as a
     * frame (posexplode keeps the (doc, frame_idx) grain; blobs are sliced,
@@ -81,6 +182,46 @@ object Multimodal {
           s"transform(sequence(0, n_frames - 1), i -> substring(media, i * 4 + 1, 4))"))
           .as(Seq("frame_idx", "frame_bytes")))
       .filter(col("frame_idx") % everyK === 0)
+
+  /** Frame sampling with REAL decoded dimensions: frames are `frameMs`
+    * windows of the DECODED sample stream — boundaries come from the
+    * signal's own sample rate and length, not from trusted metadata (the
+    * m4 synthetic path's n_frames). Emits per-frame sample counts and
+    * amplitude stats; non-WAV payloads yield no frames (honest: nothing
+    * was decoded). Same batched no-shuffle shape as decodeFeatures. */
+  def sampleWavFrames(spark: SparkSession, media: DataFrame,
+                      frameMs: Int = 10, everyK: Int = 1): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("peak_abs", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val out: Dataset[Row] = media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodeWav(r.getAs[Array[Byte]](1)).iterator.flatMap { w =>
+            val perFrame = math.max(1, w.sampleRate * frameMs / 1000)
+            val nFrames = (w.samples.length + perFrame - 1) / perFrame
+            (0 until nFrames).iterator
+              .filter(_ % everyK == 0)
+              .map { f =>
+                val lo = f * perFrame
+                val hi = math.min(w.samples.length, lo + perFrame)
+                var peak = 0
+                var j = lo
+                while (j < hi) {
+                  val a = math.abs(w.samples(j).toInt); if (a > peak) peak = a
+                  j += 1
+                }
+                Row(id, f, hi - lo, peak)
+              }
+          }
+        }
+      }(enc)
+    out.toDF()
+  }
 
   /** "Resize" stub: recompute metadata, payload untouched (a real resize
     * would transform bytes in the same mapPartitions shape as decode). */

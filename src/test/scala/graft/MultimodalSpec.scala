@@ -47,6 +47,87 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // --- real WAV codec: self-written fixtures, no libraries ----------------
+
+  /** Canonical 44-byte-header PCM WAV encoder (fixture side): mono/stereo
+    * 16-bit little-endian. Written from the public WAVE format layout, so
+    * the decoder is exercised against independently-authored bytes. */
+  private def wavBytes(samples: Array[Short], rate: Int, channels: Int = 1,
+                       trailer: Array[Byte] = Array.empty): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen + trailer.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + trailer.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.put(trailer)
+    buf.array()
+  }
+
+  private def rampSamples(n: Int): Array[Short] =
+    Array.tabulate(n)(i => ((i % 200) * 97 - 9700).toShort) // sign-alternating ramp
+
+  test("decodeWav: self-written PCM fixtures round-trip rate, length, and samples") {
+    val s = rampSamples(800)
+    val w = Multimodal.decodeWav(wavBytes(s, 8000)).get
+    assert(w.sampleRate === 8000 && w.channels === 1 && w.bitsPerSample === 16)
+    assert(w.samples.toSeq === s.toSeq)
+    // trailing LIST chunk must not confuse the chunk walk
+    val trailer = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val w2 = Multimodal.decodeWav(wavBytes(s, 44100, trailer = trailer)).get
+    assert(w2.sampleRate === 44100 && w2.samples.length === 800)
+    // non-RIFF and truncated payloads refuse, not crash
+    assert(Multimodal.decodeWav("nope".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    val torn = wavBytes(s, 8000).take(44 + 100) // data chunk cut mid-stream
+    assert(Multimodal.decodeWav(torn).get.samples.length === 50)
+  }
+
+  test("decodeFeatures: WAV payloads get real signal stats; others keep stub parity") {
+    import spark.implicits._
+    val s1 = rampSamples(1600)
+    val fix = Seq(
+      (1L, wavBytes(s1, 16000)), // real WAV
+      (2L, Array.tabulate(16)(_.toByte)) // opaque non-WAV payload
+    ).toDF("doc_id", "media")
+    val out = Multimodal.decodeFeatures(spark, fix)
+      .orderBy("doc_id").collect().map(r => r.getSeq[Float](1))
+    // real path: [n_samples, rate, rms, zero-crossings, bands...]
+    assert(out(0)(0) === 1600.0f, "decoded sample count")
+    assert(out(0)(1) === 16000.0f, "decoded sample rate")
+    assert(out(0)(2) > 0.0f && out(0)(3) > 0.0f, "signal stats empty")
+    assert(out(0).length === 8)
+    // non-WAV row must match the labeled stand-in bit-for-bit
+    val stub = Multimodal.fakeDecodeFeatures(spark, fix.filter($"doc_id" === 2L))
+      .collect().head.getSeq[Float](1)
+    assert(out(1) === stub, "non-WAV payload diverged from the stub baseline")
+  }
+
+  test("m4-style frame sampling over REAL decoded dimensions (self-written fixture)") {
+    import spark.implicits._
+    // 16 kHz × 10 ms frames = 160 samples/frame; 1000 samples → 7 frames,
+    // last one partial (40 samples) — all derived from the DECODED header,
+    // not metadata
+    val fix = Seq(
+      (7L, wavBytes(rampSamples(1000), 16000)),
+      (8L, Array[Byte](1, 2, 3)) // undecodable: must emit no frames
+    ).toDF("doc_id", "media")
+    val frames = Multimodal.sampleWavFrames(spark, fix, frameMs = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(frames.forall(_._1 == 7L), "undecodable payload produced frames")
+    assert(frames.length === 7)
+    assert(frames.map(_._3).toSeq === Seq(160, 160, 160, 160, 160, 160, 40))
+    assert(frames.forall(_._4 > 0), "per-frame peak missing")
+    // every-k striding on the decoded frame grid
+    val strided = Multimodal.sampleWavFrames(spark, fix, frameMs = 10, everyK = 2)
+      .collect().map(_.getInt(1))
+    assert(strided.toSeq.sorted === Seq(0, 2, 4, 6))
+  }
+
   test("resize stub rewrites metadata only") {
     val resized = Multimodal.resizeMeta(media, 32, 32)
     val r = resized.select(col("meta.width"), col("meta.height"),
