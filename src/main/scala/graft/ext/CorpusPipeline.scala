@@ -64,7 +64,15 @@ object CorpusPipeline {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  def curate(docs: DataFrame, shardBudget: Int = 2000): DataFrame = {
+  /** PRODUCTION entry point: the curation chain with NO tail sort. The
+    * global `.orderBy(doc_id)` on [[curate]] exists only so the oracle
+    * can hash rows in a deterministic presentation order — a production
+    * caller writes shards, and a global sort of the whole curated corpus
+    * before writing would be the single most expensive (and useless)
+    * stage at 100 TB. CorpusPipelineSpec pins that this frame's optimized
+    * plan contains no global Sort at all, and that [[curate]] is exactly
+    * this plan plus one tail Sort. */
+  def curateForWrite(docs: DataFrame, shardBudget: Int = 2000): DataFrame = {
     // 1. quality gate; 2. near-dup collapse; 3. token-budget shard
     // packing (two-level prefix sum — see TextAnalysis.packShards; same
     // fixpoint as a per-lang running sum, no single-language corpus sort)
@@ -72,8 +80,20 @@ object CorpusPipeline {
     TextAnalysis.packShards(
       uniq.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
-      .orderBy(col("doc_id"))
   }
+
+  /** Oracle-facing [[curateForWrite]]: tail orderBy is PRESENTATION for
+    * the hash compare, not the production shape (see curateForWrite). */
+  def curate(docs: DataFrame, shardBudget: Int = 2000): DataFrame =
+    curateForWrite(docs, shardBudget).orderBy(col("doc_id"))
+
+  /** Write a curated corpus for training consumption: hive-partitioned by
+    * (lang, shard_id), so a trainer reading one shard (or one language)
+    * touches only its files — partition pruning happens at the directory
+    * listing, before any parquet footer is opened. */
+  def writeCurated(curated: DataFrame, path: String): Unit =
+    curated.write.mode("overwrite")
+      .partitionBy("lang", "shard_id").parquet(path)
 
   /** Day-2 operations: admit an incremental batch against the standing
     * corpus without ever rescanning it wholesale.
@@ -94,7 +114,13 @@ object CorpusPipeline {
     * `splitId` stands in for the batch boundary a real pipeline gets from
     * its ingest log (docs at/after it are "today's"). */
   def curateIncremental(docs: DataFrame, splitId: Long = 400L,
-                        shardBudget: Int = 2000): DataFrame = {
+                        shardBudget: Int = 2000): DataFrame =
+    curateIncrementalForWrite(docs, splitId, shardBudget).orderBy(col("doc_id"))
+
+  /** Production (sort-free) form of [[curateIncremental]] — see
+    * [[curateForWrite]] for why the tail sort is presentation-only. */
+  def curateIncrementalForWrite(docs: DataFrame, splitId: Long = 400L,
+                                shardBudget: Int = 2000): DataFrame = {
     import TextAnalysis.{enPat, hits, tokens}
     // n_tok computed once and carried to shard packing (unlike [[curate]]
     // there is no fan-out here — kept has a single consumer — so no
@@ -122,7 +148,6 @@ object CorpusPipeline {
     TextAnalysis.packShards(
       admitted.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
-      .orderBy(col("doc_id"))
   }
 
   /** The COMPLETE pretraining-data curation pipeline — every cleaning
@@ -190,12 +215,17 @@ object CorpusPipeline {
   }
 
   def fullCurate(docs: DataFrame, evalSplit: Long = 100L,
-                 shardBudget: Int = 2000): DataFrame = {
+                 shardBudget: Int = 2000): DataFrame =
+    fullCurateForWrite(docs, evalSplit, shardBudget).orderBy(col("doc_id"))
+
+  /** Production (sort-free) form of [[fullCurate]] — see
+    * [[curateForWrite]] for why the tail sort is presentation-only. */
+  def fullCurateForWrite(docs: DataFrame, evalSplit: Long = 100L,
+                         shardBudget: Int = 2000): DataFrame = {
     val st = curationStages(docs, evalSplit)
     TextAnalysis.packShards(
       st.uniq.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
-      .orderBy(col("doc_id"))
   }
 
   /** Stage-by-stage survivor counts of [[fullCurate]] — the curation

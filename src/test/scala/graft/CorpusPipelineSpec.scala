@@ -2,6 +2,8 @@ package graft
 
 import graft.ext.{CorpusPipeline, Dedup, TextAnalysis}
 import graft.Tables.t
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation invariants (p1_curate_corpus is also oracle-checked
@@ -41,5 +43,68 @@ class CorpusPipelineSpec extends SparkSpec {
       .agg(sum(col("n_tok")).as("tot"), max(col("n_tok")).as("biggest"))
       .filter(col("tot") > lit(2000) + col("biggest"))
     assert(bad.count() === 0)
+  }
+
+  // --- production (sort-free) write path ----------------------------------
+
+  /** The two plan pins of the r8 verdict item: the ForWrite variant has NO
+    * global Sort anywhere, and the oracled variant is that same plan plus
+    * exactly one tail Sort. `sameResult` (not string equality) absorbs
+    * cosmetic expression-id differences. */
+  private def assertSortFreeTwin(forWrite: DataFrame): Unit = {
+    val unsorted = forWrite.queryExecution.optimizedPlan
+    val globalSorts = unsorted.collect { case s: Sort if s.global => s }
+    assert(globalSorts.isEmpty,
+      "production write variant contains a global Sort:\n" + unsorted)
+    val sorted = forWrite.orderBy(col("doc_id")).queryExecution.optimizedPlan
+    sorted match {
+      case s: Sort =>
+        assert(s.global, "tail sort lost its global flag")
+        assert(s.child.sameResult(unsorted),
+          "oracled and ForWrite plans differ upstream of the tail Sort")
+      case other => fail("oracled variant's root is not the tail Sort:\n" + other)
+    }
+  }
+
+  test("curateForWrite / fullCurateForWrite / curateIncrementalForWrite: " +
+       "sort-free, and the oracled twin differs only by the tail Sort") {
+    val docs = t(spark, dir, "documents")
+    assertSortFreeTwin(CorpusPipeline.curateForWrite(docs))
+    assertSortFreeTwin(CorpusPipeline.fullCurateForWrite(docs))
+    assertSortFreeTwin(CorpusPipeline.curateIncrementalForWrite(docs))
+  }
+
+  test("writeCurated: hive-partitioned by (lang, shard_id), prunable, lossless") {
+    val docs = t(spark, dir, "documents")
+    val curated = CorpusPipeline.curateForWrite(docs).localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("curated_").toFile
+    out.deleteOnExit()
+    CorpusPipeline.writeCurated(curated, out.getPath)
+    // directory layout: lang=*/shard_id=* (pruning happens at listing time)
+    val langDirs = out.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")), langDirs.toSeq)
+    val shardDirs = out.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName)
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("shard_id=")))
+    // round trip is lossless (partition columns come back from the path)
+    val back = spark.read.parquet(out.getPath)
+      .select("doc_id", "lang", "n_tok", "shard_id")
+    assert(rows(back) === rows(curated.select("doc_id", "lang", "n_tok", "shard_id")))
+    // a one-language read plans only that language's files: the lang
+    // predicate must land in PartitionFilters (listing-time pruning) and
+    // the scan's numFiles metric must equal that language's file count
+    // (df.inputFiles is relation-level and would show ALL files)
+    val oneLang = langDirs.head.stripPrefix("lang=")
+    val pruned = spark.read.parquet(out.getPath).filter(col("lang") === oneLang)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("lang")),
+      "lang predicate not in PartitionFilters:\n" + scan.metadata)
+    val langFiles = java.nio.file.Files.walk(out.toPath.resolve(s"lang=$oneLang"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(scan.metrics("numFiles").value === langFiles,
+      "scan read more files than the selected language partition holds")
   }
 }
