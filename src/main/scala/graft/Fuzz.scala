@@ -697,6 +697,85 @@ object Fuzz {
     }
   }
 
+  /** T11: session windows over the event stream — Spark's session_window
+    * operator (e11's streaming-native shape, batch-planned here) against
+    * a lag/gap session reconstruction in the oracle. The gap test is
+    * STRICTLY > gap: an event at exactly the previous session's end
+    * touches and MERGES (Spark unions touching intervals — the
+    * StreamingSpec-pinned boundary). All session arithmetic is exact
+    * BIGINT nanos on the microsecond grid; bounds emit as BIGINT micros
+    * (micros parity holds for every file encoding — see ref()). */
+  private def genSession(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val gapMin = pick(r, Seq(5, 15, 30, 60, 120))
+    val gapNs = gapMin * 60L * 1000000000L
+    val gapUs = gapMin * 60L * 1000000L
+    val as = aggs(r, t, Set("user_id", "ts"))
+    val out = Seq("user_id", "session_start_us", "session_end_us") ++ as.map(_.name)
+    val sql =
+      s"WITH g AS (SELECT *, CASE WHEN (lag(ts) OVER w) IS NULL THEN 1 " +
+        s"WHEN ts - (lag(ts) OVER w) > $gapNs THEN 1 ELSE 0 END AS new_s " +
+        s"FROM ${ref("events")} WHERE ${p.sql} " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS BIGINT) AS sid FROM g) " +
+        "SELECT user_id, CAST(MIN(ts) // 1000 AS BIGINT) AS session_start_us, " +
+        s"CAST(MAX(ts) // 1000 + $gapUs AS BIGINT) AS session_end_us, " +
+        s"${as.map(_.sql).mkString(", ")} FROM s GROUP BY user_id, sid " +
+        orderSql(out)
+    FuzzQuery(name, (s, dir) => {
+      val ev = read(s, dir, "events").filter(p.c)
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(session_window(col("tss"), s"$gapMin minutes").as("w"),
+          col("user_id"))
+        .agg(as.head.c, as.tail.map(_.c): _*)
+        .select((Seq(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us")) ++
+          as.map(a => col(a.name))): _*)
+        .orderBy(orderCols(out): _*)
+    }, sql, "session")
+  }
+
+  /** T12: hopping-window aggregation (tumbling when the multiplier lands
+    * on 1) — Spark's window(ts, W, S) per-event expansion against an
+    * explicit k-offset grid replay in the oracle: an event at t belongs
+    * to the W/S epoch-aligned slide multiples at or below t within W.
+    * Window starts are exact BIGINT arithmetic on both sides; emitted
+    * as BIGINT micros. */
+  private def genHopping(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val slideMin = pick(r, Seq(5, 10, 15, 30))
+    val m = 1 + r.nextInt(4)
+    val winMin = slideMin * m
+    val slideNs = slideMin * 60L * 1000000000L
+    val keyed = r.nextBoolean()
+    val keyCols = if (keyed) Seq("event_type") else Nil
+    val as = aggs(r, t, Set("ts", "event_type"))
+    val out = Seq("ws_us") ++ keyCols ++ as.map(_.name)
+    val keySql = if (keyed) ", event_type" else ""
+    val sql =
+      s"SELECT CAST(ws_ns // 1000 AS BIGINT) AS ws_us$keySql, " +
+        s"${as.map(_.sql).mkString(", ")} " +
+        s"FROM (SELECT *, ((ts // $slideNs) - u.k) * $slideNs AS ws_ns " +
+        s"FROM ${ref("events")}, UNNEST(range(0, $m)) u(k) " +
+        s"WHERE ${p.sql}) t GROUP BY ws_us$keySql " + orderSql(out)
+    FuzzQuery(name, (s, dir) => {
+      val ev = read(s, dir, "events").filter(p.c)
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+      val keys = window(col("tss"), s"$winMin minutes", s"$slideMin minutes")
+        .as("w") +: keyCols.map(col)
+      ev.groupBy(keys: _*)
+        .agg(as.head.c, as.tail.map(_.c): _*)
+        .select((unix_micros(col("w.start")).as("ws_us") +:
+          (keyCols.map(col) ++ as.map(a => col(a.name)))): _*)
+        .orderBy(orderCols(out): _*)
+    }, sql, "hopping")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -705,7 +784,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(11) match {
+      r.nextInt(13) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -716,7 +795,9 @@ object Fuzz {
         case 7 => genSemiAnti(r, name)
         case 8 => genFullJoin(r, name)
         case 9 => genJoin3(r, name)
-        case _ => genCaseStr(r, name)
+        case 10 => genCaseStr(r, name)
+        case 11 => genSession(r, name)
+        case _ => genHopping(r, name)
       }
     }
   }
