@@ -125,4 +125,34 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(direct === salted)
   }
+
+  test("ScaleBench corpus scaler: zero cross-copy shingle overlap, stopwords preserved") {
+    // the scaling curves' validity rests on two properties of the
+    // copy-tagged corpus: copies are FRESH document populations (no
+    // cross-copy near-dup pairs manufactured by replication), and the
+    // p1 quality gate sees the same stopword-ratio distribution at
+    // every factor — pin both so a tag-injection edit can't silently
+    // bend the curves
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    val scaled = ScaleBench.scaledDocs(spark, base, 2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    assert(scaled.count() === 120)
+    val sh = graft.ext.Dedup.shingles(scaled)
+      .withColumn("copy", (col("doc_id") / 1000000L).cast("long"))
+    val crossCopy = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("copy")).as("nc"))
+      .filter(col("nc") > 1)
+    assert(crossCopy.count() === 0,
+      "copy tags leaked: shingles shared across copies would manufacture " +
+        "x-factor^2 duplicate pairs and bend the scaling curves")
+    // stopword hit counts are invariant under tagging (gate realism)
+    val hitsBase = base.select(sum(graft.ext.TextAnalysis.hits(col("text"),
+      graft.ext.TextAnalysis.enPat))).first().getLong(0)
+    val hitsScaled = scaled.select(sum(graft.ext.TextAnalysis.hits(col("text"),
+      graft.ext.TextAnalysis.enPat))).first().getLong(0)
+    assert(hitsScaled === 2 * hitsBase,
+      "tag injection changed stopword statistics — the quality gate would " +
+        "behave differently across factors")
+  }
 }
