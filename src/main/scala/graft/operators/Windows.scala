@@ -107,8 +107,14 @@ object Windows extends QModule {
     // form arithmetic on (rank, n): first n%k buckets take n/k+1 rows.
     // Replaces the former single-partition ntile window (and the w6b
     // percentile-boundary substitute it needed): every stage here is
-    // shuffle-parallel — one range exchange, per-partition sorts, and a
-    // broadcast of the offsets. The offsets prefix sum is computed by a
+    // shuffle-parallel — a range exchange, keyed per-partition sorts,
+    // and a broadcast of the offsets. (Catalyst cannot prove the
+    // derived pid column is aligned with the physical range partitions,
+    // so the pid-keyed window plans one additional hash exchange; the
+    // escape hatch at extreme scale is mapPartitionsWithIndex /
+    // zipWithIndex, which fuses pid + local position into the range
+    // pass — kept declarative here since every exchange is keyed and
+    // parallel either way.) The offsets prefix sum is computed by a
     // one-row aggregate + transform (O(parts²) slice-sums — parts is the
     // shuffle parallelism, so trivial; a second prefix level handles
     // extreme partition counts), NOT a window, so no single-partition
