@@ -94,8 +94,13 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factors = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
-                  else Seq(1, 4, 16)
+    // "hot-only" skips the factor curves and runs just the planted-skew
+    // cap quantification (re-measure the caps without re-running curves)
+    val hotOnly = args.contains("hot-only")
+    val factors = {
+      val fs = args.drop(1).filterNot(_ == "hot-only").toSeq.map(_.toInt)
+      if (fs.nonEmpty) fs else Seq(1, 4, 16)
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -129,7 +134,7 @@ object ScaleBench {
         s""""shuffle_write_records":${best._3}}""")
     }
 
-    for (f <- factors) {
+    for (f <- factors if !hotOnly) {
       // one materialized scaled corpus per factor: every operator reads
       // the same in-memory input, so curves compare operator cost, not
       // corpus-generation cost
@@ -163,6 +168,16 @@ object ScaleBench {
     emit("ngram_hot_uncapped", fMax, nHot,
       () => Dedup.jaccardPairs(hotTexts, maxDf = nHot.toInt),
       () => Dedup.jaccardPairs(hotTexts, maxDf = nHot.toInt).count())
+    // same skew scenario through the LSH path: identical hot shingles
+    // give the hot docs highly-similar minhash signatures, so their
+    // banded buckets collide — maxBucket is the cap that bounds THAT
+    // expansion (the LSH twin of maxDf)
+    emit("minhash_hot_capped", fMax, nHot,
+      () => Dedup.minhashLshPairs(hotTexts),
+      () => Dedup.minhashLshPairs(hotTexts).count())
+    emit("minhash_hot_uncapped", fMax, nHot,
+      () => Dedup.minhashLshPairs(hotTexts, maxBucket = nHot.toInt),
+      () => Dedup.minhashLshPairs(hotTexts, maxBucket = nHot.toInt).count())
 
     spark.stop()
   }
