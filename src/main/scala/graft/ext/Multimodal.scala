@@ -132,6 +132,90 @@ object Multimodal {
     }
   }
 
+  // --- real pure-JVM BMP codec ---------------------------------------------
+
+  /** Decoded bitmap: packed 0xRRGGBB pixels, row-major TOP-DOWN (the
+    * decoder un-flips BMP's default bottom-up row order). */
+  final case class Bmp(width: Int, height: Int, bitsPerPixel: Int,
+                       pixels: Array[Int])
+
+  /** Parse a BMP (Windows bitmap) container from the public format
+    * layout: 14-byte file header (`BM`, data offset), BITMAPINFOHEADER
+    * (width, signed height — negative means top-down — planes, bits per
+    * pixel, compression), then pixel rows padded to 4-byte boundaries,
+    * 24-bit BGR. Returns None for anything but uncompressed 24-bit
+    * (callers fall back to the labeled stand-in); truncated pixel data
+    * decodes to black pixels rather than throwing (degrade, not die).
+    * Dimensions are capped at 16M pixels so a hostile header cannot
+    * allocate unbounded memory on an executor. */
+  def decodeBmp(bytes: Array[Byte]): Option[Bmp] = {
+    if (bytes == null || bytes.length < 54) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = le32(10)
+    val dibSize = le32(14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER etc. not supported
+    val width = le32(18)
+    val rawH = le32(22)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0 ||
+        width.toLong * height > (1L << 24) || dataOffset < 54) return None
+    val rowSize = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    val pixels = new Array[Int](width * height)
+    var row = 0
+    while (row < height) {
+      val srcRow = if (topDown) row else height - 1 - row
+      val base = dataOffset + srcRow.toLong * rowSize
+      var x = 0
+      while (x < width) {
+        val i = base + x * 3
+        if (i + 2 < bytes.length) {
+          val b = u8(i.toInt); val g = u8(i.toInt + 1); val r = u8(i.toInt + 2)
+          pixels(row * width + x) = (r << 16) | (g << 8) | b
+        } // else: truncated payload → pixel stays 0 (black)
+        x += 1
+      }
+      row += 1
+    }
+    Some(Bmp(width, height, bpp, pixels))
+  }
+
+  /** Features of a decoded bitmap, `dim` floats: [width, height, mean
+    * luma (integer BT.601 weights — deterministic), mean R] then (dim-4)
+    * per-band mean lumas over equal horizontal strips (the cheap image
+    * descriptor set mirroring wavFeatures' shape). */
+  def bmpFeatures(b: Bmp, dim: Int): Array[Float] = {
+    val n = b.pixels.length
+    def luma(p: Int): Long =
+      (((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L) / 1000L
+    var sumL = 0L
+    var sumR = 0L
+    var i = 0
+    while (i < n) { sumL += luma(b.pixels(i)); sumR += (b.pixels(i) >> 16) & 0xff; i += 1 }
+    val head = Array(b.width.toFloat, b.height.toFloat,
+      if (n == 0) 0.0f else (sumL.toDouble / n).toFloat,
+      if (n == 0) 0.0f else (sumR.toDouble / n).toFloat)
+    if (dim <= 4) head.take(dim)
+    else head ++ Array.tabulate(dim - 4) { band =>
+      val lo = (band.toLong * b.height / (dim - 4)).toInt
+      val hi = ((band + 1).toLong * b.height / (dim - 4)).toInt
+      if (hi <= lo) 0.0f
+      else {
+        var acc = 0L
+        var j = lo * b.width
+        val end = hi * b.width
+        while (j < end) { acc += luma(b.pixels(j)); j += 1 }
+        (acc.toDouble / (end - lo * b.width)).toFloat
+      }
+    }
+  }
+
   /** The deterministic NON-decode stand-in for formats with no pure-JVM
     * decoder in this container: one float per payload byte pair. */
   private def fakeFeats(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -156,15 +240,16 @@ object Multimodal {
     out.toDF()
   }
 
-  /** Decode → features, batched per partition. WAV payloads (sniffed by
-    * the RIFF/WAVE container itself, not trusted metadata) decode for real
-    * via `decodeWav`; anything else gets the labeled byte-pair stand-in.
-    * Same output contract either way: (doc_id, features[dim]). */
+  /** Decode → features, batched per partition. WAV and BMP payloads
+    * (sniffed by their container magic, not trusted metadata) decode for
+    * real via `decodeWav`/`decodeBmp`; anything else gets the labeled
+    * byte-pair stand-in. Same output contract either way:
+    * (doc_id, features[dim]). */
   def decodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame =
-    featureRows(media, dim, bytes => decodeWav(bytes) match {
-      case Some(w) => wavFeatures(w, dim)
-      case None => fakeFeats(bytes, dim)
-    })
+    featureRows(media, dim, bytes =>
+      decodeWav(bytes).map(wavFeatures(_, dim))
+        .orElse(decodeBmp(bytes).map(bmpFeatures(_, dim)))
+        .getOrElse(fakeFeats(bytes, dim)))
 
   /** STUB decode, kept as the explicit non-codec path (and the parity
     * baseline `decodeFeatures` must match on non-WAV payloads). */

@@ -107,6 +107,70 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) === stub, "non-WAV payload diverged from the stub baseline")
   }
 
+  // --- real BMP codec: self-written fixtures, no libraries ----------------
+
+  /** Canonical 24-bit BMP encoder (fixture side): BITMAPINFOHEADER,
+    * bottom-up rows (positive height) padded to 4 bytes — written from
+    * the public format layout, independent of the decoder. `px(x, y)`
+    * returns packed 0xRRGGBB, y = 0 at the TOP (encoder flips). */
+  private def bmpBytes(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) & ~3
+    val dataLen = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- h - 1 to 0 by -1) { // bottom-up storage
+      for (x <- 0 until w) {
+        val p = px(x, row)
+        buf.put((p & 0xff).toByte) // B
+          .put(((p >> 8) & 0xff).toByte) // G
+          .put(((p >> 16) & 0xff).toByte) // R
+      }
+      (w * 3 until rowSize).foreach(_ => buf.put(0.toByte)) // row padding
+    }
+    buf.array()
+  }
+
+  test("decodeBmp: self-written 24-bit fixtures round-trip dims, colors, row order") {
+    // 3x2, distinct corner colors — proves the bottom-up un-flip and the
+    // BGR byte order in one assertion. Width 3 exercises row padding
+    // (9 bytes data + 3 pad per row).
+    val colors = Map((0, 0) -> 0xff0000, (2, 0) -> 0x00ff00,
+                     (0, 1) -> 0x0000ff, (2, 1) -> 0x808080)
+    val b = Multimodal.decodeBmp(
+      bmpBytes(3, 2, (x, y) => colors.getOrElse((x, y), 0))).get
+    assert(b.width === 3 && b.height === 2 && b.bitsPerPixel === 24)
+    assert(b.pixels(0) === 0xff0000, "top-left red (row order flipped?)")
+    assert(b.pixels(2) === 0x00ff00, "top-right green")
+    assert(b.pixels(3) === 0x0000ff, "bottom-left blue")
+    assert(b.pixels(5) === 0x808080, "bottom-right gray")
+    // refusals: wrong magic, truncated header, hostile dimensions
+    assert(Multimodal.decodeBmp("not a bitmap".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp(bmpBytes(3, 2, (_, _) => 0).take(30)).isEmpty)
+    val hostile = bmpBytes(3, 2, (_, _) => 0)
+    val bb = java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 1 << 16); bb.putInt(22, 1 << 16) // claims 2^32 pixels
+    assert(Multimodal.decodeBmp(hostile).isEmpty, "hostile header must refuse")
+  }
+
+  test("decodeFeatures: BMP payloads get real image stats; dispatch order holds") {
+    import spark.implicits._
+    // 8x8 gray ramp: mean luma is the ramp mean, computable by hand
+    val ramp = bmpBytes(8, 8, (x, y) => { val v = (x + y * 8) * 4; (v << 16) | (v << 8) | v })
+    val fix = Seq((1L, ramp)).toDF("doc_id", "media")
+    val f = Multimodal.decodeFeatures(spark, fix).collect().head.getSeq[Float](1)
+    assert(f(0) === 8.0f && f(1) === 8.0f, "decoded dimensions")
+    // luma of gray v is v; pixel values 0,4,..,252 → mean 126
+    assert(f(2) === 126.0f, "mean luma from decoded pixels")
+    assert(f(3) === 126.0f, "mean R channel")
+    assert(f.length === 8)
+    // band means ascend with the ramp (top strip darker than bottom)
+    assert(f(4) < f(7), "per-band lumas lost the ramp gradient")
+  }
+
   test("m4-style frame sampling over REAL decoded dimensions (self-written fixture)") {
     import spark.implicits._
     // 16 kHz × 10 ms frames = 160 samples/frame; 1000 samples → 7 frames,
