@@ -261,6 +261,37 @@ object Joins extends QModule {
       WHERE levenshtein(lower(c_name), dirty_name) <= 5
     """)),
 
+    // J10: bloom-pruned shuffle join (extension; see BloomPrune scaladoc
+    // for the 100 TB rationale). The dim (selective customer slice) is
+    // aggregated into a few-KB bloom filter; the fact (orders) is pruned
+    // map-side BEFORE its exchange; the exact join then absorbs the false
+    // positives, so the result — and hence the oracle — is identical to
+    // the plain join. shuffle_hash hint models the at-scale shape where
+    // the dim is too big to broadcast (else Catalyst would broadcast here
+    // and the demo would be vacuous). BloomJoinSpec pins result identity
+    // with the unpruned join, the no-false-negative invariant, the
+    // pruning ratio, and filter-below-exchange plan placement.
+    Q("j10_bloom_prune_join", (s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 5000)
+      val bloom = BloomPrune.bloomOf(dim, "c_custkey")
+      val pruned = BloomPrune.prune(t(s, dir, "orders"), $"o_custkey", bloom)
+      pruned.join(dim.hint("shuffle_hash"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             dsum($"o_totalprice").as("sum_price"),
+             countDistinct($"c_custkey").as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }, sql = Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             COUNT(DISTINCT c_custkey) AS n_customers
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)),
+
     // Cross join (small×small only — at scale a guarded operation).
     Q("j6_cross_join", (s, dir) => {
       import s.implicits._
