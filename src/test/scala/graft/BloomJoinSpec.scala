@@ -79,6 +79,24 @@ class BloomJoinSpec extends SparkSpec {
     assert(p.contains("*("), "probe fell out of whole-stage codegen:\n" + p)
   }
 
+  test("prune cuts the join's shuffled volume by ~the dim selectivity") {
+    val bloom = BloomPrune.bloomOf(dim, "c_custkey")
+    def joined(f: org.apache.spark.sql.DataFrame) =
+      f.join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+    val unpruned = ShuffleCount.taskShuffleReads(spark) {
+      joined(fact).queryExecution.toRdd.count()
+    }.sum
+    val pruned = ShuffleCount.taskShuffleReads(spark) {
+      joined(BloomPrune.prune(fact, col("o_custkey"), bloom))
+        .queryExecution.toRdd.count()
+    }.sum
+    // ~9% dim selectivity + 1% fpp: the fact side shrinks ~10×; half is a
+    // loose ceiling robust to the dim side's fixed contribution
+    assert(pruned < unpruned / 2,
+      s"prune did not shrink the shuffle: pruned=$pruned unpruned=$unpruned")
+  }
+
   test("j10 oracle parity on sf0.001 (values, not just shape)") {
     val got = orderedRows(
       SparkEntry.queries("j10_bloom_prune_join")(spark, "/root/testdata/sf0.001"))
