@@ -711,7 +711,18 @@ object Fuzz {
     val gapMin = pick(r, Seq(5, 15, 30, 60, 120))
     val gapNs = gapMin * 60L * 1000000000L
     val gapUs = gapMin * 60L * 1000000L
-    val as = aggs(r, t, Set("user_id", "ts"))
+    // nd_ (count-distinct) aggs must take the set-union form under
+    // session_window: Spark 4.1.2's count_distinct is WRONG when a value
+    // recurs in a session separated by more than the gap (seed 9003 found
+    // it; see EventStream.distinctInSession scaladoc + StreamingSpec
+    // canary). The oracle keeps plain COUNT(DISTINCT) — the differential
+    // verifies the safe form against ground truth on every seed.
+    val as = aggs(r, t, Set("user_id", "ts")).map { a =>
+      if (a.name.startsWith("nd_"))
+        a.copy(c = graft.streaming.EventStream
+          .distinctInSession(col(a.name.stripPrefix("nd_"))).as(a.name))
+      else a
+    }
     val out = Seq("user_id", "session_start_us", "session_end_us") ++ as.map(_.name)
     val sql =
       s"WITH g AS (SELECT *, CASE WHEN (lag(ts) OVER w) IS NULL THEN 1 " +

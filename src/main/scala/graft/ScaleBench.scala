@@ -97,8 +97,10 @@ object ScaleBench {
     // "hot-only" skips the factor curves and runs just the planted-skew
     // cap quantification (re-measure the caps without re-running curves)
     val hotOnly = args.contains("hot-only")
+    val bloomMode = args.contains("bloom")
     val factors = {
-      val fs = args.drop(1).filterNot(_ == "hot-only").toSeq.map(_.toInt)
+      val fs = args.drop(1).filterNot(a => a == "hot-only" || a == "bloom")
+        .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
     val spark = SparkSession.builder()
@@ -134,7 +136,7 @@ object ScaleBench {
         s""""shuffle_write_records":${best._3}}""")
     }
 
-    for (f <- factors if !hotOnly) {
+    for (f <- factors if !hotOnly && !bloomMode) {
       // one materialized scaled corpus per factor: every operator reads
       // the same in-memory input, so curves compare operator cost, not
       // corpus-generation cost
@@ -154,6 +156,42 @@ object ScaleBench {
       emit("p1_curate_corpus", f, n,
         () => CorpusPipeline.curateForWrite(docs),
         () => CorpusPipeline.curateForWrite(docs).count())
+    }
+
+    // "bloom" mode: the j10 shape at this sfDir — the same shuffle_hash
+    // join with and without the BloomPrune pre-shuffle probe (wall +
+    // shuffle write volume; the filter build is measured separately).
+    // PERF.md quotes these next to BloomJoinSpec's ratio assertion.
+    if (bloomMode) {
+      val dim = Tables.t(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
+      val fact = Tables.t(spark, dir, "orders")
+      val t0 = System.nanoTime()
+      val bloom = operators.BloomPrune.bloomOf(dim, "c_custkey")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      def joined(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        f.join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"))
+      def measure(name: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+        val passes = (1 to 2).map { _ =>
+          var sec = 0.0
+          val (b, r) = withShuffleBytes(spark) {
+            val t1 = System.nanoTime()
+            mk().queryExecution.toRdd.count()
+            sec = (System.nanoTime() - t1) / 1e9
+          }
+          (sec, b, r)
+        }
+        val best = passes.minBy(_._1)
+        println(s"""{"op":"$name","sec":${num(best._1)},""" +
+          s""""bloom_build_sec":${num(buildSec)},"shuffle_write_bytes":${best._2},""" +
+          s""""shuffle_write_records":${best._3}}""")
+      }
+      measure("j10_join_unpruned", () => joined(fact))
+      measure("j10_join_bloom_pruned",
+        () => joined(operators.BloomPrune.prune(fact, col("o_custkey"), bloom)))
+      spark.stop()
+      return
     }
 
     // maxDf cap quantification at the largest factor: planted 1% hot

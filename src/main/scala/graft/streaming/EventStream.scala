@@ -92,6 +92,24 @@ object EventStream {
     * withWatermark + dropDuplicatesWithinWatermark). */
   def dedupeEvents(df: DataFrame): DataFrame = df.dropDuplicates("event_id")
 
+  /** Exact per-session distinct count — the SAFE form under session
+    * merging. Spark 4.1.2's `count_distinct` over a `session_window`
+    * groupBy returns WRONG results when a distinct value recurs within
+    * one session separated by more than the gap (bridged by other
+    * events): the distinct rewrite's first MergingSessions merges
+    * sessions PER DISTINCT VALUE, so that value's fragments never merge,
+    * and the final merge SUMS the fragment counts — `a@10:00, b@10:40,
+    * a@11:10` at a 60-min gap answers 3 distinct types instead of 2
+    * (found by the T11 differential, seed 9003; minimal repro pinned as
+    * an upstream canary in StreamingSpec). This set-union form is immune:
+    * the merge state is the value set itself, so merging sessions unions
+    * sets instead of summing partial counts. Scale: state is the
+    * per-session distinct-value set (event types, variants — bounded
+    * cardinality); for unbounded columns use a distinct sketch (the g12
+    * KMV tier) rather than an exact set. */
+  def distinctInSession(c: Column): Column =
+    size(collect_set(c)).cast("long")
+
   /** Gap-based sessionization in integer nanos: a new session starts when
     * the gap since the user's previous event exceeds `gapNanos`. Batch
     * form (lag + running sum); the streaming twin is session_window /
@@ -396,6 +414,42 @@ object EventQueries extends QModule {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start
+    """)),
+
+    // E12: per-session exact distinct counts via distinctInSession — the
+    // safe set-union form; naive count_distinct over session_window is
+    // WRONG on Spark 4.1.2 (see distinctInSession scaladoc; upstream
+    // canary + fixture repro pinned in StreamingSpec). The oracle is the
+    // ground-truth COUNT(DISTINCT) over lag/gap-reconstructed sessions,
+    // so this row fails loudly if the safe form ever drifts.
+    Q("e12_session_distinct", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      ev.groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             distinctInSession(col("event_type")).as("nd_types"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("nd_types"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }, sql = Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > CAST(1800 AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS nd_types
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us
     """)),
 
     // Gap-based sessionization (30 min), integer-nanos exact.

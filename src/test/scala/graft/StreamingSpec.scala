@@ -118,6 +118,72 @@ class StreamingSpec extends SparkSpec {
         "touch-merges convention (e11's oracle tests strictly > gap)")
   }
 
+  test("UPSTREAM CANARY: count_distinct over session_window over-counts a bridged recurring value") {
+    import spark.implicits._
+    // a@+0, b@+40min, a@+70min with a 60-min gap: consecutive gaps are
+    // 40/30 min → ONE session; true distinct types = {a, b} = 2. Spark
+    // 4.1.2's distinct rewrite merges sessions PER DISTINCT VALUE — the
+    // two a's are 70 min apart so their fragments never merge, and the
+    // final MergingSessions SUMS the fragment counts → 3 (wrong). Found
+    // by the T11 session fuzz template, seed 9003 (fz9003_144). If a
+    // Spark upgrade makes the first assertion fail, the bug is healed
+    // upstream: re-evaluate distinctInSession and the T11 workaround.
+    // The broken plan is the MULTI-distinct Expand rewrite (two distinct
+    // aggs over different columns) — a single distinct agg takes the
+    // distinct-keys-into-partial-agg path, which merges sessions on the
+    // full key set and stays correct. Both shapes pinned here.
+    val t0 = 1700000000000000L // micros
+    // nullable value columns, like a parquet arrival (nullability changes
+    // the distinct-rewrite plan — see the assertion messages)
+    val fix = Seq(
+      (1L, t0, Option("a"), Option(1.0)),
+      (2L, t0 + 2400L * 1000000L, Option("b"), Option(2.0)),
+      (3L, t0 + 4200L * 1000000L, Option("a"), Option(3.0))
+    ).toDF("event_id", "us", "et", "v")
+      .select($"event_id", timestamp_micros($"us").as("tss"), $"et", $"v")
+      .repartition(2) // distributed input, like a real scan (a collapsed
+                      // LocalRelation plans the rewrite differently)
+    // NB: select ALL agg columns — pruning the second distinct agg would
+    // collapse the plan to the correct single-distinct path and the
+    // canary would silently probe the wrong shape
+    def agg(nd: org.apache.spark.sql.Column): Seq[(Long, Long)] = fix
+      .groupBy(session_window(col("tss"), "60 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), nd.as("nd"), countDistinct($"v").as("ndv"))
+      .select($"n", $"nd", $"ndv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(agg(countDistinct($"et")) === Seq((3L, 3L)),
+      "Spark's session_window + multi-distinct rewrite now answers differently — " +
+        "upstream bug healed or semantics drifted; re-evaluate distinctInSession")
+    // the safe set-union form is correct in the SAME multi-distinct plan
+    assert(agg(EventStream.distinctInSession($"et")) === Seq((3L, 2L)))
+    // and the single-distinct plan is correct even naively (no Expand)
+    val single = fix.groupBy(session_window(col("tss"), "60 minutes").as("w"))
+      .agg(countDistinct($"et").as("nd")).select($"nd")
+      .collect().map(_.getLong(0)).toSeq
+    assert(single === Seq(2L))
+  }
+
+  test("distinctInSession matches ground truth on the real event stream") {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+      .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+    // ground truth: lag/gap sessionize (nanos-exact) + exact distinct per sid
+    val truth = EventStream.sessionize(t(spark, dir, "events"))
+      .groupBy($"user_id", $"session_id")
+      .agg(countDistinct($"event_type").as("nd_types"),
+           count(lit(1)).as("n_events"))
+      .groupBy($"user_id")
+      .agg(sum($"nd_types").as("total_nd"), count(lit(1)).as("n_sessions"))
+      .orderBy($"user_id")
+    val viaWindow = ev
+      .groupBy(session_window($"tss", "30 minutes").as("w"), $"user_id")
+      .agg(EventStream.distinctInSession($"event_type").as("nd_types"))
+      .groupBy($"user_id")
+      .agg(sum($"nd_types").as("total_nd"), count(lit(1)).as("n_sessions"))
+      .orderBy($"user_id")
+    assert(orderedRows(viaWindow) === orderedRows(truth))
+  }
+
   test("hopping windows: streaming result == batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
