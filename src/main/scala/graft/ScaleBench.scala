@@ -37,6 +37,13 @@ import graft.ext.{CorpusPipeline, Dedup}
   * PERF.md §scaling). Pins and oracles untouched — measurement only.
   *
   * Usage: runMain graft.ScaleBench [sfDir] [factors...]   (default 1 4 16)
+  *        runMain graft.ScaleBench [sfDir] bloom      (j10 pruned-vs-not)
+  *        runMain graft.ScaleBench [sfDir] hot-only N (skew caps at ×N)
+  *
+  * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
+  * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
+  * capped arm completes at clean-corpus cost while `maxDf=n` kills the
+  * job (PERF.md §scaling quotes the pair).
   */
 object ScaleBench {
 
