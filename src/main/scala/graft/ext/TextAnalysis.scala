@@ -665,6 +665,68 @@ object TextAnalysis extends QModule {
       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
     """)),
 
+    // LM-likelihood quality screen (the CCNet-style "score every document
+    // under a corpus language model" step): add-one-smoothed bigram model
+    // trained on the corpus itself, each document scored by its mean
+    // per-bigram surprisal. Surprisal is kept EXACT-INTEGER — whole bits,
+    // floor(log2((c(w1)+V)/(c(w1w2)+1))), computed as
+    // length(bin(a div b))-1 (floor-log2 of a rational ≥ 1 equals
+    // floor-log2 of its integer quotient, and floor-log2 of an integer is
+    // its bit length minus one) — because libm ln() rounds differently
+    // across engines (the t_tfidf rule); log-space CCNet perplexity would
+    // rank almost identically but could never be hash-oracled. At 100 TB:
+    // the model is two hash aggs bounded by observed-bigram/vocab
+    // cardinality (orders smaller than the corpus), scoring is one
+    // equi-join keyed on the bigram (broadcastable while the model fits,
+    // shuffle join beyond), and the per-doc reduce is a mergeable agg —
+    // no window, no self-join, model cost amortized over every doc.
+    Q("t_lm_perplexity", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bi = docs
+        .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, size(toks)-1), i -> named_struct(
+            |  'w1', element_at(toks, i),
+            |  'pair', concat(element_at(toks, i), ' ', element_at(toks, i+1))))"""
+            .stripMargin)).as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.pair".as("pair"))
+      val cb = bi.groupBy($"pair").agg(count(lit(1)).as("cb"))
+      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val v = docs
+        .select(explode(split(trim(lower($"text")), "\\s+")).as("tok"))
+        .agg(countDistinct($"tok").as("v"))
+      bi.join(cb, "pair").join(c1, "w1").crossJoin(broadcast(v))
+        .withColumn("bits",
+          length(expr("bin((c1 + v) div (cb + 1))")) - lit(1))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("bits_sum"))
+        .withColumn("ppl_bits_e6",
+          floor($"bits_sum" * lit(1e6) / $"n_bigrams").cast("long"))
+        .select($"doc_id", $"n_bigrams", $"ppl_bits_e6")
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS pair
+        FROM docs, UNNEST(range(1, len(toks))) t(i)
+        WHERE len(toks) >= 2),
+      cb AS (SELECT pair, COUNT(*) AS cb FROM bi GROUP BY 1),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)),
+      terms AS (
+        SELECT doc_id, length(bin((c1.c1 + v.v) // (cb.cb + 1))) - 1 AS bits
+        FROM bi JOIN cb USING (pair) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(floor(SUM(bits) * 1e6 / COUNT(*)) AS BIGINT) AS ppl_bits_e6
+      FROM terms GROUP BY doc_id ORDER BY doc_id
+    """)),
+
     // Vocabulary coverage / OOV rate per language against a frequency-built
     // top-k vocab (k=10 of the corpus's 31 tokens, so the rate is
     // non-trivial): pass 1 builds the vocab (hash agg + TakeOrdered —

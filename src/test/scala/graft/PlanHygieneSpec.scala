@@ -349,7 +349,9 @@ class PlanHygieneSpec extends SparkSpec {
     // over the checkpointed ≤100-row mart
     "serve_statistic",
     // 1-row global total broadcast under the percent render
-    "x15_percent_render")
+    "x15_percent_render",
+    // 1-row vocab-size broadcast under the smoothed-bigram scoring join
+    "t_lm_perplexity")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row

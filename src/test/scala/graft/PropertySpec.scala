@@ -220,4 +220,29 @@ class PropertySpec extends SparkSpec {
     assert(day2.count() === 0L,
       "re-offered duplicates of already-admitted docs must all be rejected")
   }
+
+  test("t_lm_perplexity bit formula: length(bin(a div b))-1 == floor(log2(a/b)) for a >= b >= 1") {
+    // the exact-integer surprisal rests on two identities: floor-log2 of
+    // a rational >= 1 equals floor-log2 of its integer quotient, and
+    // floor-log2 of a positive integer is its bit length minus one —
+    // pin the composed SQL formula against an exact rational reference
+    // (2^k <= a/b < 2^(k+1) by shifted-integer comparison; a double log
+    // reference would itself flake at power-of-two boundaries)
+    import spark.implicits._
+    forAllSamples(Gen.listOfN(200, for {
+      b <- Gen.chooseNum(1L, 1000000L)
+      m <- Gen.chooseNum(1L, 5000L)
+      r <- Gen.chooseNum(0L, b - 1)
+    } yield (b * m + r, b)), n = 3) { pairs =>
+      val got = pairs.toDF("a", "b")
+        .select((length(expr("bin(a div b)")) - lit(1)).as("bits"))
+        .as[Int].collect()
+      val want = pairs.map { case (a, b) =>
+        Iterator.from(0).find(k => (BigInt(b) << (k + 1)) > BigInt(a)).get
+      }
+      got.zip(want).zip(pairs).foreach { case ((g, w), (a, b)) =>
+        assert(g === w, s"bits mismatch at a=$a b=$b")
+      }
+    }
+  }
 }
