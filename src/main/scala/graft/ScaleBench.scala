@@ -39,6 +39,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   * Usage: runMain graft.ScaleBench [sfDir] [factors...]   (default 1 4 16)
   *        runMain graft.ScaleBench [sfDir] bloom      (j10 pruned-vs-not)
   *        runMain graft.ScaleBench [sfDir] hot-only N (skew caps at ×N)
+  *        runMain graft.ScaleBench [sfDir] ann [factors...]
+  *                        (similarity tier: brute vs trained IVF curves)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -90,6 +92,33 @@ object ScaleBench {
         col("lang"), col("source"), col("n_chars"))
   }
 
+  /** ×factor embedding corpus for the ANN curve: copy k rotates every
+    * vector left by k positions (vec_id offset +k·n_base, copy 0
+    * untouched). Rotation preserves norms and the WITHIN-copy similarity
+    * structure exactly, while cross-copy directions are uncorrelated (the
+    * dims of these vectors carry no positional alignment), so each copy
+    * is a fresh vector population — a literal ×f clone would make every
+    * query's true top-k its own near-identical copies and hand the index
+    * an artificially easy recall task (clones land in the query's own
+    * probed list by construction). The k·n_base offset keeps ids DENSE
+    * 0..f·n-1 — the table contract `ivfCentroids`'s stride init documents
+    * (a sparse k·10M offset starves the init down to copy-0-only
+    * centroids and the curve degenerates to scanning everything).
+    * Deterministic, seedless, SQL-only; distinct rotations require
+    * factor ≤ dim (64). */
+  def scaledEmbeddings(spark: SparkSession, emb: DataFrame, factor: Int): DataFrame = {
+    require(factor <= 64, s"distinct rotations need factor <= dim 64, got $factor")
+    val nBase = emb.count()
+    emb.crossJoin(spark.range(factor.toLong).select(col("id").as("k")))
+      .select(
+        (col("vec_id") + col("k") * nBase).as("vec_id"),
+        expr("""CASE WHEN k = 0 THEN embedding ELSE
+               |  concat(slice(embedding, CAST(k AS INT) + 1, size(embedding) - CAST(k AS INT)),
+               |         slice(embedding, 1, CAST(k AS INT))) END""".stripMargin)
+          .as("embedding"),
+        col("label"))
+  }
+
   /** 1% of docs get a shared UNTAGGED 40-token hot phrase appended —
     * the skew scenario the maxDf cap bounds by construction. */
   private def plantHotPhrase(docs: DataFrame): DataFrame = {
@@ -105,8 +134,10 @@ object ScaleBench {
     // cap quantification (re-measure the caps without re-running curves)
     val hotOnly = args.contains("hot-only")
     val bloomMode = args.contains("bloom")
+    val annMode = args.contains("ann")
     val factors = {
-      val fs = args.drop(1).filterNot(a => a == "hot-only" || a == "bloom")
+      val fs = args.drop(1)
+        .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -141,6 +172,67 @@ object ScaleBench {
         s""""sec":${num(best._1)},"passes":[${passes.map(p => num(p._1)).mkString(",")}],""" +
         s""""cardinality":$card,"shuffle_write_bytes":${best._2},""" +
         s""""shuffle_write_records":${best._3}}""")
+    }
+
+    // "ann" mode: the similarity tier's counterpart of the document
+    // curves — brute-force top-k vs the trained-IVF index at ×1/×4/×16/
+    // ×64 the sf0.1 embeddings. Per factor: train cost (nlist = √n by
+    // autoNlist), then per arm the per-query wall (best of 2 passes over
+    // 5 fixed query vectors), recall@10 vs the brute-force truth of the
+    // SAME scaled corpus, and the scanned-set fraction (ivfProbedCount /
+    // n) — the pair (recall, scanned fraction) is the claim an ANN index
+    // makes, and the curve shows how it holds as the corpus grows.
+    if (annMode) {
+      import graft.ext.Similarity
+      val k = 10
+      val queryIds = (0L until 5L).toSeq
+      val embBase = Tables.t(spark, dir, "embeddings")
+      for (f <- factors) {
+        val emb = scaledEmbeddings(spark, embBase, f).localCheckpoint()
+        val n = emb.count()
+        val nl = Similarity.autoNlist(n)
+        val npAuto = Similarity.autoNprobe(nl)
+        val t0 = System.nanoTime()
+        val cent = Similarity.ivfTrainedCentroids(emb, nl)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        // the index itself — built once per corpus like a real serving
+        // deployment (per-query assignment recompute would dwarf the
+        // probe scan and bury the curve under O(n) per query)
+        val t1 = System.nanoTime()
+        val assigned = Similarity.ivfTrainedAssign(emb, cent).localCheckpoint()
+        val assignSec = (System.nanoTime() - t1) / 1e9
+        def ids(df: DataFrame): Set[Long] =
+          df.select("vec_id").collect().map(_.getLong(0)).toSet
+        def arm(mk: Long => DataFrame): (Double, Map[Long, Set[Long]]) = {
+          val passes = (1 to 2).map { _ =>
+            val t1 = System.nanoTime()
+            val res = queryIds.map(q => q -> ids(mk(q))).toMap
+            ((System.nanoTime() - t1) / 1e9 / queryIds.size, res)
+          }
+          passes.minBy(_._1)
+        }
+        val (bruteSec, truth) = arm(q => Similarity.topK(emb, q, k))
+        def report(name: String, np: Int): String = {
+          val (sec, res) = arm(q =>
+            Similarity.ivfTrainedTopK(emb, q, k, nprobe = np,
+              centroids = Some(cent), assigned = Some(assigned)))
+          val recall = queryIds.map(q =>
+            res(q).intersect(truth(q)).size.toDouble / truth(q).size).sum / queryIds.size
+          val scanned = queryIds.map(q =>
+            Similarity.ivfProbedCount(emb, q, np, cent,
+              assigned = Some(assigned))).sum.toDouble / queryIds.size / n
+          s""""$name":{"nprobe":$np,"sec_per_q":${num(sec)},""" +
+            s""""recall":${num(recall)},"scanned_frac":${num(scanned)}}"""
+        }
+        val ivfAuto = report("ivf_auto", npAuto)
+        val ivfP8 = report("ivf_p8", 8)
+        println(s"""{"op":"ann","factor":$f,"n_vectors":$n,"nlist":$nl,""" +
+          s""""train_sec":${num(trainSec)},"assign_sec":${num(assignSec)},""" +
+          s""""brute_sec_per_q":${num(bruteSec)},""" +
+          ivfAuto + "," + ivfP8 + "}")
+      }
+      spark.stop()
+      return
     }
 
     for (f <- factors if !hotOnly && !bloomMode) {

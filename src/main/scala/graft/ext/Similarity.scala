@@ -260,7 +260,8 @@ object Similarity {
   def ivfTrainedTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                      nlist: Int = 0, nprobe: Int = 0,
                      neighborProbes: Int = 0,
-                     centroids: Option[DataFrame] = None): DataFrame = {
+                     centroids: Option[DataFrame] = None,
+                     assigned: Option[DataFrame] = None): DataFrame = {
     // 0 = derive from the corpus (autoNlist/autoNprobe); explicit values win
     val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
     val np = if (nprobe > 0) nprobe else autoNprobe(nl)
@@ -272,9 +273,14 @@ object Similarity {
     // ExtensionSpec) is used as-is instead of being re-materialized per
     // query as it was in r5.
     val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nl))
-    val base = embeddings.select(col("vec_id"), col("embedding"),
-      e6Vec("embedding").as("ve6"))
-    val assigned = assignByDot(base, cent)
+    // `assigned` is the second train-once handle (the INDEX itself): at
+    // serving time the per-vector list assignment is a materialized table,
+    // not a per-query recompute over the whole corpus — callers serving
+    // many queries pass ivfTrainedAssign(...) once (ScaleBench ann mode
+    // measures the difference: per-query assignment dwarfs the probe scan
+    // as the corpus grows). Like `centroids`, it must be materialized.
+    val assignedDf = assigned.getOrElse(
+      ivfTrainedAssign(embeddings, cent))
     val qv = embeddings.filter(col("vec_id") === queryVecId)
       .select(e6Vec("embedding").as("qe6"), col("embedding").as("q"))
     val scored = cent.crossJoin(broadcast(qv))
@@ -304,13 +310,24 @@ object Similarity {
           .select(col("centroid_id"))
         topProbed.union(extra)
       }
-    assigned.join(broadcast(probed), Seq("centroid_id"))
+    assignedDf.join(broadcast(probed), Seq("centroid_id"))
       .crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), cosineE9(cosine("embedding", "q")).as("cosine_e9"))
       .orderBy(col("cosine_e9").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** The trained-IVF index table: every vector with its assigned list id
+    * (embedding + its e6 copy carried for the probe-scan re-rank). Build
+    * ONCE per corpus after training and pass to ivfTrainedTopK /
+    * ivfProbedCount — at 100 TB this is the partitioned index on storage
+    * (partitionBy centroid_id, so a probe reads only its lists), never a
+    * per-query recompute. Assignment itself is the map-only broadcast
+    * argmax of `assignByDot`. */
+  def ivfTrainedAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignByDot(embeddings.select(col("vec_id"), col("embedding"),
+      e6Vec("embedding").as("ve6")), centroids)
 
   /** Assign each vector to its nearest centroid — genuinely map-only AND
     * codegen'd: the centroid table (with its norm precomputed once per
@@ -399,6 +416,27 @@ object Similarity {
       .select(col("vec_id"), cosineE9(cosine("embedding", "q")).as("cosine_e9"))
       .orderBy(col("cosine_e9").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Scanned-set size of a trained-IVF probe (measurement harness only —
+    * graft.ScaleBench `ann` mode): how many corpus vectors fall inside the
+    * `nprobe` probed lists for this query. This is the number the index
+    * trades against brute force's n — the recall/scan frontier PERF.md
+    * §ann quotes is (recall, scanned/n) pairs per corpus factor. Probe
+    * selection is the exact integer-dot ranking of ivfTrainedTopK. */
+  def ivfProbedCount(embeddings: DataFrame, queryVecId: Long, nprobe: Int,
+                     centroids: DataFrame,
+                     assigned: Option[DataFrame] = None): Long = {
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(e6Vec("embedding").as("qe6"))
+    val probed = centroids.crossJoin(broadcast(qv))
+      .withColumn("dotv", expr(intDot("ce6", "qe6")))
+      .orderBy(col("dotv").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned.getOrElse(ivfTrainedAssign(embeddings, centroids))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .count()
   }
 
   /** EXACT all-pairs cosine ≥ thresh over dense vectors, grid-distributed.

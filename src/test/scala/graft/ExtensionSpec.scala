@@ -173,6 +173,22 @@ class ExtensionSpec extends SparkSpec {
       f"training degraded recall: $trained%.2f vs stride $stride%.2f")
   }
 
+  test("trained ivf: precomputed-index path returns the identical top-k") {
+    // ivfTrainedAssign is the serve-time index handle (assign once, query
+    // many — the ScaleBench ann-mode posture); it must be a pure
+    // factoring-out of the per-query assignment, never a semantic fork
+    val cent = Similarity.ivfTrainedCentroids(embs)
+    val idx = Similarity.ivfTrainedAssign(embs, cent).localCheckpoint()
+    (0L until 5L).foreach { q =>
+      val perQuery = Similarity.ivfTrainedTopK(embs, q, 10,
+        centroids = Some(cent)).collect().toSeq
+      val preAssigned = Similarity.ivfTrainedTopK(embs, q, 10,
+        centroids = Some(cent), assigned = Some(idx)).collect().toSeq
+      assert(perQuery === preAssigned,
+        s"query $q: precomputed-index result diverged from the per-query path")
+    }
+  }
+
   test("multi-probe trained ivf: per-query recall never degrades vs the base probe set") {
     // Widening the probe set can only grow the candidate pool, and the
     // re-rank inside it is the EXACT cosine — so per-query recall is

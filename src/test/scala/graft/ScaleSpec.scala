@@ -155,4 +155,44 @@ class ScaleSpec extends SparkSpec {
       "tag injection changed stopword statistics — the quality gate would " +
         "behave differently across factors")
   }
+
+  test("ScaleBench embedding scaler: copy 0 untouched, rotations norm-preserving and distinct") {
+    // the ANN curves' validity rests on copies being fresh vector
+    // populations with the SAME per-copy geometry: copy 0 must be the
+    // base corpus bit-for-bit (query vectors keep their ids and values),
+    // every copy must preserve norms/dim (rotation, not noise), and
+    // rotated copies must not equal their base vector (no literal clones
+    // handing the index free recall)
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val scaled = ScaleBench.scaledEmbeddings(spark, base, 3).localCheckpoint()
+    assert(scaled.count() === 150)
+    // ids stay DENSE 0..f·n-1 — the stride centroid init's table contract
+    assert(scaled.agg(min(col("vec_id")), max(col("vec_id")),
+        countDistinct(col("vec_id"))).first().toSeq === Seq(0L, 149L, 150L),
+      "scaled ids not dense 0..f*n-1 — ivfCentroids' stride init would starve")
+    // copy 0 = base, bit-for-bit
+    val copy0 = scaled.filter(col("vec_id") < 50L)
+    assert(copy0.exceptAll(base).count() === 0 &&
+      base.exceptAll(copy0).count() === 0,
+      "copy 0 drifted from the base corpus — query ids/values must survive scaling")
+    // rotation preserves the element multiset (hence norm and dim) ...
+    val badNorm = scaled
+      .withColumn("copy", (col("vec_id") / 50L).cast("long"))
+      .withColumn("base_id", pmod(col("vec_id"), lit(50L)))
+      .withColumn("sorted", array_sort(col("embedding")))
+      .groupBy(col("base_id"))
+      .agg(countDistinct(col("sorted")).as("nd"), count(lit(1)).as("nc"))
+      .filter(col("nd") =!= 1)
+    assert(badNorm.count() === 0,
+      "a copy changed its vector's element multiset — scaler must rotate, not perturb")
+    // ... while every k>0 copy differs from the base vector (fresh direction)
+    val clones = scaled.filter(col("vec_id") >= 50L)
+      .withColumn("base_id", pmod(col("vec_id"), lit(50L)))
+      .join(base.select(col("vec_id").as("base_id"),
+        col("embedding").as("base_emb")), Seq("base_id"))
+      .filter(col("embedding") === col("base_emb"))
+    assert(clones.count() === 0,
+      "a rotated copy equals its base vector — clones would hand the index free recall")
+  }
 }
