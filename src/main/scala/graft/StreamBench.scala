@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Event, EventStream}
+
+/** Streaming-tier scale evidence: the `e*` queries' 100 TB/day posture is
+  * "one shuffle per transform, state bounded by the watermark, eviction
+  * keeps the store at the in-horizon working set" — this main turns that
+  * from scaladoc into MEASURED curves, the streaming counterpart of
+  * ScaleBench's dedup/ANN modes.
+  *
+  * Input: sf `events` scaled ×factor by copy-offsetting event_id/user_id
+  * (ts untouched, so the event-time span and watermark horizon are
+  * IDENTICAL at every factor — volume grows, time doesn't). Replayed in
+  * event-time order as `chunks` MemoryStream micro-batches (the realistic
+  * arrival order the specs use), watermark 1 hour, APPEND mode — the
+  * production mode where closed windows/sessions are emitted once and
+  * their state is evicted.
+  *
+  * Two arms per factor:
+  *  - windowed_counts: tumbling 1 h × event_type — state keys are
+  *    (window, type): the in-horizon working set is CONSTANT in factor;
+  *  - sessions: session_window 30 min × user_id — state keys are open
+  *    sessions: the working set grows with the ×factor user population
+  *    but stays bounded by the horizon, never by total input.
+  *
+  * Per (arm, factor) one JSON line: input rows, wall seconds, rows/sec,
+  * max state rows across micro-batches (the store's high-water mark),
+  * state rows removed (eviction actually firing), emitted rows. The
+  * PERF.md §streaming table quotes these; the scale claim is
+  * max_state_rows ≪ n_input with removals ≈ closed windows/sessions,
+  * and per-row cost flat-or-amortizing as volume grows.
+  *
+  * Usage: runMain graft.StreamBench [sfDir] [factors...] (default 1 4 16)
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = {
+      val fs = args.drop(1).toSeq.map(_.toInt)
+      if (fs.nonEmpty) fs else Seq(1, 4, 16)
+    }
+    val chunks = 16
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // one driver-side base collect (100k rows at sf0.1); factor copies are
+    // in-driver offsets so every factor replays the same event-time tape
+    val base = Tables.t(spark, dir, "events").as[Event].collect().sortBy(_.ts)
+
+    def scaled(f: Int): Array[Event] = {
+      val out = Array.ofDim[Event](base.length * f)
+      var i = 0
+      base.foreach { e =>
+        var k = 0
+        while (k < f) {
+          out(i) = e.copy(event_id = e.event_id + k.toLong * 1000000000L,
+            user_id = e.user_id + k.toLong * 1000000L)
+          i += 1; k += 1
+        }
+      }
+      out // ts-sorted because base is and copies share each ts
+    }
+
+    def sessions(df: DataFrame): DataFrame =
+      df.groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+
+    def run(arm: String, f: Int, dropFlush: org.apache.spark.sql.Column,
+            mk: DataFrame => DataFrame): Unit = {
+      val evs = scaled(f)
+      val stream = MemoryStream[Event]
+      val sdf = stream.toDF()
+        .withColumn("tss", EventStream.tsCol)
+        .withWatermark("tss", "1 hour")
+      val name = s"sb_${arm}_$f"
+      val query = mk(sdf)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, evs.length / chunks)
+        val t0 = System.nanoTime()
+        evs.grouped(per).foreach { chunk =>
+          stream.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+        // advance the watermark past all data so the tail state closes —
+        // the tape's end-of-day flush, excluded from the output below
+        stream.addData(Event(Long.MaxValue,
+          evs.last.ts + 10L * 3600 * 1000000000L, -1L, "flush", 0.0, "{}"))
+        query.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val progress = query.recentProgress.toSeq
+        val inputRows = progress.map(_.numInputRows).sum - 1 // minus flush
+        val maxState = progress.flatMap(_.stateOperators.headOption)
+          .map(_.numRowsTotal).max
+        val removed = progress.flatMap(_.stateOperators.headOption)
+          .map(_.numRowsRemoved).sum
+        val out = spark.table(name).filter(dropFlush).count()
+        println(s"""{"op":"stream_$arm","factor":$f,"n_input":$inputRows,""" +
+          s""""wall_sec":${Fmt.num(wall, 3)},""" +
+          s""""rows_per_sec":${Fmt.num(inputRows / wall, 0)},""" +
+          s""""micro_batches":${progress.size},"max_state_rows":$maxState,""" +
+          s""""state_rows_removed":$removed,"out_rows":$out}""")
+      } finally {
+        query.stop()
+        spark.sql(s"DROP VIEW IF EXISTS $name")
+      }
+    }
+
+    for (f <- factors) {
+      run("windowed_counts", f, col("event_type") =!= "flush",
+        df => EventStream.windowedCounts(df))
+      run("sessions", f, col("user_id") =!= -1L, sessions)
+    }
+    spark.stop()
+  }
+}

@@ -66,10 +66,18 @@ object EventStream {
       }
   }
 
+  /** An existing `tss` column is used AS-IS: re-deriving it from `ts`
+    * would silently replace a watermarked streaming column and strip its
+    * watermark — append-mode aggregation then fails analysis (and worse,
+    * state would never evict). Batch callers without `tss` get it derived
+    * here as before. */
+  private def withTss(df: DataFrame): DataFrame =
+    if (df.columns.contains("tss")) df else df.withColumn("tss", tsCol)
+
   /** Tumbling-window counts per event_type (the canonical streaming agg).
     * `df` may be a batch read or a readStream with watermark applied. */
   def windowedCounts(df: DataFrame, windowLen: String = "1 hour"): DataFrame =
-    df.withColumn("tss", tsCol)
+    withTss(df)
       .groupBy(window(col("tss"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -82,7 +90,7 @@ object EventStream {
     * bounded by the ratio, and partials still combine map-side). */
   def hoppingCounts(df: DataFrame, windowLen: String = "2 hours",
                     slide: String = "30 minutes"): DataFrame =
-    df.withColumn("tss", tsCol)
+    withTss(df)
       .groupBy(window(col("tss"), windowLen, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
