@@ -787,6 +787,45 @@ object Fuzz {
     }, sql, "hopping")
   }
 
+  /** T13: ROLLUP/CUBE grouping-sets aggregation — Spark's rollup()/cube()
+    * (the g8/g9 shape, randomized) against DuckDB's GROUP BY ROLLUP/CUBE.
+    * GROUPING(keys...) is emitted on both sides: it disambiguates a
+    * rolled-up NULL key from a genuine NULL key value, so row identity
+    * stays exact, and both engines follow the SQL-standard bit order
+    * (first listed key = most significant). Aggregates come from the
+    * shared exactness-safe pool (cast SUMs, integer AVG, dsum).
+    *
+    * Both sides carry `HAVING cnt > 0`: on EMPTY filtered input the SQL
+    * standard (and DuckDB) still emit the grand-total grouping set as one
+    * all-NULL row with COUNT(*)=0, while Spark's rollup()/cube() emit
+    * nothing (seed-42 found it; EdgeCasesSpec pins the Spark behavior as
+    * an upstream canary). The guard is a no-op on every non-degenerate
+    * group — COUNT(*) >= 1 by construction — so the differential still
+    * verifies all real content. */
+  private def genRollup(r: Random, name: String): FuzzQuery = {
+    val t = pick(r, tables)
+    val p = preds(r, t)
+    val keyPool = t.cols.filter(c => c.kind != DblK && c.kind != TsNsK).map(_.name)
+    val keys = subset(r, keyPool, 2)
+    val as = aggs(r, t, keys.toSet)
+    val cube = r.nextBoolean()
+    val opSql = if (cube) "CUBE" else "ROLLUP"
+    val out = keys ++ Seq("gid") ++ as.map(_.name)
+    val sql = s"SELECT ${keys.mkString(", ")}, " +
+      s"GROUPING(${keys.mkString(", ")}) AS gid, " +
+      s"${as.map(_.sql).mkString(", ")} FROM ${ref(t.name)} " +
+      s"WHERE ${p.sql} GROUP BY $opSql (${keys.mkString(", ")}) " +
+      s"HAVING COUNT(*) > 0 " + orderSql(out)
+    FuzzQuery(name, (s, dir) => {
+      val base = read(s, dir, t.name).filter(p.c)
+      val g = if (cube) base.cube(keys.map(col): _*)
+              else base.rollup(keys.map(col): _*)
+      g.agg(grouping_id().cast("long").as("gid"), as.map(_.c): _*)
+        .filter(col("cnt") > 0)
+        .select(out.map(col): _*).orderBy(orderCols(out): _*)
+    }, sql, "rollup")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -795,7 +834,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(13) match {
+      r.nextInt(14) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -808,7 +847,8 @@ object Fuzz {
         case 9 => genJoin3(r, name)
         case 10 => genCaseStr(r, name)
         case 11 => genSession(r, name)
-        case _ => genHopping(r, name)
+        case 12 => genHopping(r, name)
+        case _ => genRollup(r, name)
       }
     }
   }

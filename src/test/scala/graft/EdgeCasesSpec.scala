@@ -91,4 +91,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(!got.contains(200L), "contaminated doc survived")
     assert(got.contains(201L), "clean doc was dropped")
   }
+
+  test("UPSTREAM CANARY: rollup/cube over EMPTY input emits NO grand-total row") {
+    // The SQL standard (and DuckDB) emit the empty grouping set as one
+    // all-NULL row with COUNT(*)=0 even when the input is empty — the
+    // same way a global aggregate does. Spark 4.1.2's rollup()/cube()
+    // emit NOTHING (found by the T13 rollup differential, seed 42).
+    // The fuzz template papers over the divergence with a symmetric
+    // `HAVING cnt > 0`; this canary pins the Spark side so a future
+    // Spark that heals to the standard fails HERE loudly, at which point
+    // the guard (Fuzz.genRollup) can be retired.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(String, Long)].toDF("k", "v")
+    assert(empty.rollup($"k").agg(count(lit(1)).as("cnt")).count() === 0L,
+      "Spark rollup over empty input now emits rows (standard behavior?) — " +
+        "retire genRollup's HAVING guard and re-pin the corpus")
+    assert(empty.cube($"k").agg(count(lit(1)).as("cnt")).count() === 0L)
+    // while the plain global aggregate DOES emit its zero row — the
+    // asymmetry that makes the divergence surprising
+    assert(empty.agg(count(lit(1))).count() === 1L)
+  }
 }
