@@ -41,6 +41,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *        runMain graft.ScaleBench [sfDir] hot-only N (skew caps at ×N)
   *        runMain graft.ScaleBench [sfDir] ann [factors...]
   *                        (similarity tier: brute vs trained IVF curves)
+  *        runMain graft.ScaleBench [sfDir] text [factors...]
+  *                        (text tier: tfidf / segment dedup / LM scorer)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -135,9 +137,11 @@ object ScaleBench {
     val hotOnly = args.contains("hot-only")
     val bloomMode = args.contains("bloom")
     val annMode = args.contains("ann")
+    val textMode = args.contains("text")
     val factors = {
       val fs = args.drop(1)
-        .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann")
+        .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
+          a == "text")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -172,6 +176,32 @@ object ScaleBench {
         s""""sec":${num(best._1)},"passes":[${passes.map(p => num(p._1)).mkString(",")}],""" +
         s""""cardinality":$card,"shuffle_write_bytes":${best._2},""" +
         s""""shuffle_write_records":${best._3}}""")
+    }
+
+    // "text" mode: the text-analysis tier's curves over the same
+    // copy-tagged scaled corpora as the dedup tier — TF-IDF (two hash
+    // aggs + per-doc window), segment dedup (agg-only, skew-proof), and
+    // the bigram LM scorer (model aggs + one equi-join on the bigram
+    // key). Model-based ops amortize: the bigram/vocab tables grow with
+    // CONTENT diversity, not corpus size, so per-doc cost falls as the
+    // corpus grows.
+    if (textMode) {
+      import graft.ext.TextAnalysis
+      for (f <- factors) {
+        val docs = scaledDocs(spark, base, f).localCheckpoint()
+        val n = docs.count()
+        emit("t_tfidf", f, n,
+          () => TextAnalysis.tfidfTopK(docs),
+          () => TextAnalysis.tfidfTopK(docs).count())
+        emit("t_segment_dedup", f, n,
+          () => TextAnalysis.segmentDedupStats(docs),
+          () => TextAnalysis.segmentDedupStats(docs).count())
+        emit("t_lm_perplexity", f, n,
+          () => TextAnalysis.lmPerplexity(docs),
+          () => TextAnalysis.lmPerplexity(docs).count())
+      }
+      spark.stop()
+      return
     }
 
     // "ann" mode: the similarity tier's counterpart of the document

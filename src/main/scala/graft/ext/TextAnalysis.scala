@@ -156,6 +156,57 @@ object TextAnalysis extends QModule {
       .orderBy(col("doc_id"))
   }
 
+  /** t_tfidf's engine, composable (the Q below delegates; ScaleBench's
+    * text mode reuses it over scaled corpora): two hash aggs (term
+    * counts, doc frequencies), broadcast doc count, per-doc top-3 window
+    * keyed by doc_id — no global sort, no self-join. */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(total))
+      .withColumn("tfidf_e6",
+        floor(col("tf") * (col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf_e6").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tfidf_e6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** t_lm_perplexity's engine, composable (the Q below delegates;
+    * ScaleBench's text mode reuses it): add-one-smoothed bigram model,
+    * per-doc mean surprisal in exact whole bits — see the Q's scaladoc
+    * for the ln-free bit formula. */
+  def lmPerplexity(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks)-1), i -> named_struct(
+          |  'w1', element_at(toks, i),
+          |  'pair', concat(element_at(toks, i), ' ', element_at(toks, i+1))))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.pair").as("pair"))
+    val cb = bi.groupBy(col("pair")).agg(count(lit(1)).as("cb"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bi.join(cb, "pair").join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("bits",
+        length(expr("bin((c1 + v) div (cb + 1))")) - lit(1))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits_sum"))
+      .withColumn("ppl_bits_e6",
+        floor(col("bits_sum") * lit(1e6) / col("n_bigrams")).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("ppl_bits_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   def qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
     // "token counting" op). Int outputs → exact cross-engine.
@@ -261,24 +312,7 @@ object TextAnalysis extends QModule {
     // identical in any IEEE-754 engine, unlike ln()-based idf whose libm
     // rounding differs. At 100 TB: two hash aggregations (term counts,
     // doc frequencies) + a broadcast of the tiny df-side join.
-    Q("t_tfidf", (s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-      val toks = docs.select($"doc_id",
-        explode(split(trim(lower($"text")), "\\s+")).as("token"))
-      val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-      val total = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "token").crossJoin(broadcast(total))
-        .withColumn("tfidf_e6",
-          floor($"tf" * ($"n_docs".cast("double") / $"df") * 1e6 + 0.5)
-            .cast("long"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"tfidf_e6".desc, $"token".asc)
-      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
-        .select($"doc_id", $"rk", $"token", $"tfidf_e6")
-        .orderBy($"doc_id", $"rk")
-    }, sql = Some("""
+    Q("t_tfidf", (s, dir) => tfidfTopK(t(s, dir, "documents")), sql = Some("""
       WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         FROM documents),
@@ -680,33 +714,8 @@ object TextAnalysis extends QModule {
     // equi-join keyed on the bigram (broadcastable while the model fits,
     // shuffle join beyond), and the per-doc reduce is a mergeable agg —
     // no window, no self-join, model cost amortized over every doc.
-    Q("t_lm_perplexity", (s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-      val bi = docs
-        .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
-        .filter(size($"toks") >= 2)
-        .select($"doc_id", explode(expr(
-          """transform(sequence(1, size(toks)-1), i -> named_struct(
-            |  'w1', element_at(toks, i),
-            |  'pair', concat(element_at(toks, i), ' ', element_at(toks, i+1))))"""
-            .stripMargin)).as("b"))
-        .select($"doc_id", $"b.w1".as("w1"), $"b.pair".as("pair"))
-      val cb = bi.groupBy($"pair").agg(count(lit(1)).as("cb"))
-      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      val v = docs
-        .select(explode(split(trim(lower($"text")), "\\s+")).as("tok"))
-        .agg(countDistinct($"tok").as("v"))
-      bi.join(cb, "pair").join(c1, "w1").crossJoin(broadcast(v))
-        .withColumn("bits",
-          length(expr("bin((c1 + v) div (cb + 1))")) - lit(1))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("bits_sum"))
-        .withColumn("ppl_bits_e6",
-          floor($"bits_sum" * lit(1e6) / $"n_bigrams").cast("long"))
-        .select($"doc_id", $"n_bigrams", $"ppl_bits_e6")
-        .orderBy($"doc_id")
-    }, sql = Some("""
+    Q("t_lm_perplexity", (s, dir) => lmPerplexity(t(s, dir, "documents")),
+      sql = Some("""
       WITH docs AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         FROM documents),
