@@ -826,6 +826,75 @@ object Fuzz {
     }, sql, "rollup")
   }
 
+  /** T14: as-of join over the event stream — the j4/j9 family randomized.
+    * Each LEFT-type event matches the latest RIGHT-type event at-or-
+    * before it (backward; equal ts counts as before) or the earliest
+    * STRICTLY-after it (forward), per user, optionally within a tolerance
+    * window. The Spark side is the single-shuffle union+window
+    * composition (never an inequality join — the j4 scale argument); the
+    * oracle replays with an explicit inequality LEFT JOIN + arg_max/
+    * arg_min keyed by the exact (ts, event_id) combo (HUGEINT
+    * intermediate only — output stays BIGINT; the j4 pattern). GROUP BY
+    * v.event_id leans on the TESTDATA dense-unique event_id contract,
+    * same as the fixed j4 oracle. */
+  private def genAsof(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val li = r.nextInt(types.size)
+    val lt = types(li)
+    val rt = types((li + 1 + r.nextInt(types.size - 1)) % types.size)
+    val backward = r.nextBoolean()
+    val tolMin = if (r.nextBoolean()) 0 else pick(r, Seq(10, 30, 60, 240))
+    val tolNs = tolMin * 60L * 1000000000L
+    val out = Seq("left_id", "matched")
+    val combo = "CAST(p.ts AS HUGEINT) * 1000000000000 + p.event_id"
+    val onDir = if (backward) "p.ts <= v.ts" else "p.ts > v.ts"
+    val onTol =
+      if (tolMin == 0) ""
+      else if (backward) s" AND p.ts >= v.ts - $tolNs"
+      else s" AND p.ts <= v.ts + $tolNs"
+    val agg = if (backward) s"arg_max(p.event_id, $combo)"
+              else s"arg_min(p.event_id, $combo)"
+    val sql = s"SELECT v.event_id AS left_id, $agg AS matched " +
+      s"FROM (SELECT * FROM ${ref("events")} WHERE (${p.sql}) " +
+      s"AND event_type = '$lt') v " +
+      s"LEFT JOIN (SELECT * FROM ${ref("events")} WHERE (${p.sql}) " +
+      s"AND event_type = '$rt') p " +
+      s"ON p.user_id = v.user_id AND $onDir$onTol " +
+      s"GROUP BY v.event_id " + orderSql(out)
+    FuzzQuery(name, (s, dir) => {
+      val ev = read(s, dir, "events").filter(p.c)
+      val lefts = ev.filter(col("event_type") === lt)
+        .select(col("user_id"), col("ts"), lit(0).as("is_r"), col("event_id"))
+      val rights = ev.filter(col("event_type") === rt)
+        .select(col("user_id"), col("ts"), lit(1).as("is_r"), col("event_id"))
+      // right events sort BEFORE left at equal ts (is_r desc): the
+      // backward frame then includes equal-ts rights and the forward
+      // frame excludes them — the two directions' boundary semantics
+      val w0 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_r").desc, col("event_id").asc)
+      val rStruct = when(col("is_r") === 1, struct(col("ts"), col("event_id")))
+      val u = lefts.unionByName(rights)
+      val m =
+        if (backward)
+          u.withColumn("m", last(rStruct, ignoreNulls = true)
+            .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        else
+          u.withColumn("m", first(rStruct, ignoreNulls = true)
+            .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      val inTol =
+        if (tolMin == 0) col("m").isNotNull
+        else if (backward)
+          col("m").isNotNull && col("ts") - col("m.ts") <= tolNs
+        else col("m").isNotNull && col("m.ts") - col("ts") <= tolNs
+      m.filter(col("is_r") === 0)
+        .select(col("event_id").as("left_id"),
+          when(inTol, col("m.event_id")).as("matched"))
+        .orderBy(orderCols(out): _*)
+    }, sql, "asof")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -834,7 +903,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(14) match {
+      r.nextInt(15) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -848,7 +917,8 @@ object Fuzz {
         case 10 => genCaseStr(r, name)
         case 11 => genSession(r, name)
         case 12 => genHopping(r, name)
-        case _ => genRollup(r, name)
+        case 13 => genRollup(r, name)
+        case _ => genAsof(r, name)
       }
     }
   }
