@@ -418,6 +418,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN JOIN — the production retrieval shape: EVERY query vector
+    * gets its approximate top-k neighbors in ONE job through the same
+    * stride-IVF index as `ivfTopK` (which answers one query at a time).
+    * Query set = the `vec_id % queryMod == 0` slice (a held-out panel);
+    * corpus = the whole table, self-match excluded. This is the engine
+    * under semantic dedup, retrieval-based decontamination, and
+    * train/eval leakage scans — all "for each of N queries, its
+    * neighbors" jobs, where a per-query driver loop would be N round
+    * trips.
+    *
+    * Never queries × corpus. Three bounded stages:
+    * 1. corpus assignment: the map-only codegen argmax (`ivfAssign`) —
+    *    no shuffle, no fan-out;
+    * 2. probe selection: queries fan out only against the ≤nlist-row
+    *    broadcast centroid table, and a per-query rank<=nprobe keeps
+    *    `queries × nprobe` probe rows (WindowGroupLimit bounds the
+    *    window's input before any exchange);
+    * 3. candidate join: probes ⋈ index on centroid_id — an equi-join
+    *    whose output is ≈ queries · nprobe · n/nlist candidate rows (the
+    *    IVF contract), exact e9-cosine re-rank, per-query rank<=k
+    *    (WindowGroupLimit again). AQE picks broadcast vs shuffle for the
+    *    probe side by size; at 100 TB the index is partitioned by
+    *    centroid_id on storage (see `ivfTrainedAssign`) so each probed
+    *    list is a pruned read.
+    *
+    * All ranking compares e9-quantized cosines with id tie-breaks, so
+    * the result is deterministic and oracle-replayable like the
+    * single-query path. */
+  def ivfAnnJoin(embeddings: DataFrame, queryMod: Long, k: Int,
+                 nlist: Int = 0, nprobe: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
+    val centroids = ivfCentroids(embeddings, nl)
+    val assigned = ivfAssign(embeddings, centroids)
+    val queries = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e9").desc, col("centroid_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim_e9", cosineE9(cosine("centroid", "q")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= np)
+      .select(col("query_id"), col("q"), col("centroid_id"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_e9").desc, col("vec_id").asc)
+    assigned.join(probes, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineE9(cosine("embedding", "q")).as("cosine_e9"))
+      .withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine_e9"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Scanned-set size of a trained-IVF probe (measurement harness only —
     * graft.ScaleBench `ann` mode): how many corpus vectors fall inside the
     * `nprobe` probed lists for this query. This is the number the index
@@ -673,6 +729,54 @@ object SimilarityQueries extends QModule {
         FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
         WHERE a.vec_id <> 0
         ORDER BY cosine_e9 DESC, a.vec_id ASC LIMIT 10) t
+    """)),
+
+    // Batch ANN join: every 20th vector is a held-out query; each gets
+    // its approximate top-5 through the same DERIVED stride-IVF index as
+    // sim_ann_ivf. The oracle replays the identical integer assignment
+    // and probe formulas — per query instead of for vec 0 only.
+    Q("sim_ann_join", (s, dir) =>
+      ivfAnnJoin(t(s, dir, "embeddings"), 20L, 5), sql = Some(s"""
+      WITH prm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings) t),
+      cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings, prm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   CAST(floor(${duckCos("e.embedding", "c.centroid")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM embeddings e CROSS JOIN cent c) t
+        WHERE rk = 1),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 20 = 0),
+      probe AS (
+        SELECT query_id, qe, centroid_id FROM (
+          SELECT q.query_id, q.qe, c.centroid_id, p.np,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(floor(${duckCos("c.centroid", "q.qe")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM cent c CROSS JOIN q CROSS JOIN prm p) t
+        WHERE rk <= np)
+      SELECT query_id, rk, vec_id, cosine_e9 FROM (
+        SELECT p.query_id, a.vec_id,
+               CAST(floor(${duckCos("a.embedding", "p.qe")} * 1e9 + 0.5) AS BIGINT) AS cosine_e9,
+               CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 CAST(floor(${duckCos("a.embedding", "p.qe")} * 1e9 + 0.5) AS BIGINT) DESC,
+                 a.vec_id ASC) AS BIGINT) AS rk
+        FROM assign a JOIN probe p USING (centroid_id)
+        WHERE a.vec_id <> p.query_id) t
+      WHERE rk <= 5
+      ORDER BY query_id, rk
     """)),
 
     // IVF with a TRAINED coarse quantizer: `ivfKmeansIters` integer Lloyd

@@ -118,6 +118,22 @@ class ExtensionSpec extends SparkSpec {
       s"IVF found none of the true top-10: ${ivf.toSeq}")
   }
 
+  test("batch ann join answers every panel query exactly like the single-query probe") {
+    // ivfAnnJoin is ivfTopK vectorized over the query panel: same derived
+    // index, same probe width, same ranking — so for any panel member the
+    // batch rows must equal the one-query path verbatim
+    val joined = Similarity.ivfAnnJoin(embs, 20L, 5).collect()
+    val panel = joined.map(_.getLong(0)).distinct
+    assert(panel.length > 1, s"panel too small: ${panel.toSeq}")
+    for (qid <- Seq(panel.head, panel.last)) {
+      val batch = joined.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+      val single = Similarity.ivfTopK(embs, qid, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batch === single, s"batch vs single mismatch for query $qid")
+    }
+  }
+
   test("k-means training reaches a fixed point: one MORE Lloyd round cannot change the converged table") {
     // the early stop's oracle-neutrality argument made concrete: integer
     // Lloyd is a deterministic map on the centroid table, so the trained

@@ -342,6 +342,9 @@ class PlanHygieneSpec extends SparkSpec {
     // nlist-row centroid table + 1-row query broadcasts under the
     // trained-IVF assignment and probe
     "sim_ann_ivf_kmeans",
+    // same ≤nlist-row centroid broadcasts (count scalar, packed-cents
+    // row, probe fan-out); the query↔corpus joins are equi-joins
+    "sim_ann_join",
     "e4_funnel", "q11_important_value", "s10_dpp_join",
     // 1-row global min/max broadcast under the histogram bucketing
     "g23_histogram",
