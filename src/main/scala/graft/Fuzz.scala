@@ -826,6 +826,55 @@ object Fuzz {
     }, sql, "rollup")
   }
 
+  /** T16: correlated scalar subqueries — the decorrelation planner path
+    * (RewriteCorrelatedScalarSubquery and friends): a per-outer-row
+    * COUNT(*) subquery always (exact BIGINT; 0 over empty is the classic
+    * decorrelation trap), optionally a MAX over a numeric inner column
+    * (NULL over empty — MAX is exact on any engine), optionally a scalar
+    * COUNT comparison in WHERE. The Spark side runs the SAME text
+    * through spark.sql over conformed temp views — the engine's declared
+    * SQL surface — so the differential covers Spark's subquery planning
+    * end-to-end rather than a hand-decorrelated join rewrite. All
+    * fragments from the shared atom generator are dialect-portable
+    * verbatim (events and its ts grid are excluded from the pair list). */
+  private def genScalarSub(r: Random, name: String): FuzzQuery = {
+    val pairs = Seq(
+      ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+      ("customer", "orders", "c_custkey", "o_custkey"),
+      ("part", "lineitem", "p_partkey", "l_partkey"),
+      ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+      ("nation", "customer", "n_nationkey", "c_nationkey"))
+    val (outer, inner, ok, ik) = pick(r, pairs)
+    val po = preds(r, tbl(outer))
+    val pl = preds(r, tbl(inner))
+    val corr = s"i.$ik = o.$ok"
+    val mc = pick(r, tbl(inner).cols.filter(c => c.kind == IntK || c.kind == DblK))
+    val maxExpr = mc.kind match {
+      case IntK =>
+        s"CAST((SELECT MAX(i.${mc.name}) FROM $inner i WHERE $corr AND (${pl.sql})) AS BIGINT)"
+      case _ =>
+        s"(SELECT MAX(i.${mc.name}) FROM $inner i WHERE $corr AND (${pl.sql}))"
+    }
+    val withMax = r.nextBoolean()
+    val whereSub =
+      if (r.nextBoolean()) ""
+      else {
+        val thr = 1 + r.nextInt(5)
+        s" AND (SELECT COUNT(*) FROM $inner i WHERE $corr) >= $thr"
+      }
+    val out = Seq(ok, "sub_cnt") ++ (if (withMax) Seq("sub_max") else Nil)
+    val q = s"SELECT o.$ok AS $ok, " +
+      s"CAST((SELECT COUNT(*) FROM $inner i WHERE $corr AND (${pl.sql})) AS BIGINT) AS sub_cnt" +
+      (if (withMax) s", $maxExpr AS sub_max" else "") +
+      s" FROM $outer o WHERE (${po.sql})$whereSub " +
+      orderSql(out) + " LIMIT 500"
+    FuzzQuery(name, (s, dir) => {
+      Seq(outer, inner).foreach(tn =>
+        read(s, dir, tn).createOrReplaceTempView(tn))
+      s.sql(q)
+    }, q, "scalar_sub")
+  }
+
   /** T14: as-of join over the event stream — the j4/j9 family randomized.
     * Each LEFT-type event matches the latest RIGHT-type event at-or-
     * before it (backward; equal ts counts as before) or the earliest
@@ -903,7 +952,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(15) match {
+      r.nextInt(16) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -918,7 +967,8 @@ object Fuzz {
         case 11 => genSession(r, name)
         case 12 => genHopping(r, name)
         case 13 => genRollup(r, name)
-        case _ => genAsof(r, name)
+        case 14 => genAsof(r, name)
+        case _ => genScalarSub(r, name)
       }
     }
   }
