@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode / feature
   * extraction runs as a batched per-partition stage.
   *
-  * The WAV path is REAL: `decodeWav` parses RIFF/WAVE (PCM 16-bit) headers
-  * and samples in pure JVM code — no codec library needed — and
-  * `decodeFeatures` computes amplitude statistics from the decoded signal.
-  * Non-WAV payloads (this container has no image codecs) fall back to the
+  * Three decode paths are REAL, all pure JVM (no codec library):
+  * `decodeWav` parses RIFF/WAVE (PCM 16-bit) headers and samples,
+  * `decodeBmp` parses 24-bit Windows bitmaps, and `decodePng` parses
+  * 8-bit RGB/RGBA PNGs (zlib IDAT inflated with the JDK's Inflater, all
+  * five row filters defiltered). Anything else falls back to the
   * clearly-marked deterministic fake (`fakeDecodeFeatures`'s byte-pair
   * hash), so the dispatch is honest: real where a pure-JVM decoder exists,
   * labeled stand-in elsewhere. Everything around the codec is real and
@@ -216,6 +217,112 @@ object Multimodal {
     }
   }
 
+  // --- real pure-JVM PNG codec ---------------------------------------------
+
+  /** Parse a PNG from the public format layout (the PNG spec / RFC 2083):
+    * 8-byte signature, then length-typed chunks — IHDR (dims, bit depth,
+    * color type), concatenated IDAT zlib streams (inflated with the JDK's
+    * `Inflater` — no external codec), IEND. Supports the canonical web
+    * case: 8-bit depth, color type 2 (RGB) or 6 (RGBA; alpha dropped),
+    * no interlace. Rows are defiltered per the five standard per-row
+    * filter types (None/Sub/Up/Average/Paeth). Returns the same packed
+    * top-down 0xRRGGBB `Bmp` record the BMP path yields — a decoded PNG
+    * IS a bitmap; `bitsPerPixel` records the source channel width
+    * (24/32). Anything else (16-bit, palette, grayscale, interlaced,
+    * truncated, hostile dims) → None and the caller falls back to the
+    * labeled stand-in. Chunk CRCs are not verified (degrade, not die —
+    * same policy as decodeBmp's truncated-payload path); dimensions are
+    * capped at 16M pixels like decodeBmp. */
+  def decodePng(bytes: Array[Byte]): Option[Bmp] = {
+    if (bytes == null || bytes.length < 45) return None // sig + IHDR + IEND
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var s = 0
+    while (s < 8) { if ((bytes(s) & 0xff) != sig(s)) return None; s += 1 }
+    def u8(p: Int): Int = bytes(p) & 0xff
+    def be32(p: Int): Long =
+      (u8(p).toLong << 24) | (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+    var width = 0; var height = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var done = false
+    while (!done && p + 12 <= bytes.length) {
+      val len = be32(p)
+      if (len > bytes.length - p - 12) return None
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      val dp = p + 8
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(dp).toInt; height = be32(dp + 4).toInt
+          colorType = u8(dp + 9)
+          if (u8(dp + 8) != 8 || (colorType != 2 && colorType != 6) ||
+              u8(dp + 10) != 0 || u8(dp + 11) != 0 || u8(dp + 12) != 0 ||
+              width <= 0 || height <= 0 ||
+              width.toLong * height > (1L << 24)) return None
+        case "IDAT" => idat.write(bytes, dp, len.toInt)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk: skip
+      }
+      p = dp + len.toInt + 4 // data + CRC
+    }
+    if (!done || colorType < 0 || idat.size() == 0) return None
+    val ch = if (colorType == 6) 4 else 3
+    val stride = width * ch
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val pixels = new Array[Int](width * height)
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val rowBase = y * (stride + 1)
+      val ft = raw(rowBase) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = raw(rowBase + 1 + x) & 0xff
+        val a = if (x >= ch) cur(x - ch) else 0
+        val b = prev(x)
+        val v = ft match {
+          case 0 => f
+          case 1 => (f + a) & 0xff
+          case 2 => (f + b) & 0xff
+          case 3 => (f + (a + b) / 2) & 0xff
+          case _ => // Paeth predictor per the spec's reference algorithm
+            val c = if (x >= ch) prev(x - ch) else 0
+            val pr = a + b - c
+            val pa = math.abs(pr - a); val pb = math.abs(pr - b)
+            val pc = math.abs(pr - c)
+            val pred = if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) b else c
+            (f + pred) & 0xff
+        }
+        cur(x) = v
+        x += 1
+      }
+      var px = 0
+      while (px < width) {
+        val o = px * ch
+        pixels(y * width + px) = (cur(o) << 16) | (cur(o + 1) << 8) | cur(o + 2)
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(Bmp(width, height, ch * 8, pixels))
+  }
+
   /** The deterministic NON-decode stand-in for formats with no pure-JVM
     * decoder in this container: one float per payload byte pair. */
   private def fakeFeats(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -240,15 +347,16 @@ object Multimodal {
     out.toDF()
   }
 
-  /** Decode → features, batched per partition. WAV and BMP payloads
+  /** Decode → features, batched per partition. WAV, BMP and PNG payloads
     * (sniffed by their container magic, not trusted metadata) decode for
-    * real via `decodeWav`/`decodeBmp`; anything else gets the labeled
-    * byte-pair stand-in. Same output contract either way:
+    * real via `decodeWav`/`decodeBmp`/`decodePng`; anything else gets the
+    * labeled byte-pair stand-in. Same output contract either way:
     * (doc_id, features[dim]). */
   def decodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame =
     featureRows(media, dim, bytes =>
       decodeWav(bytes).map(wavFeatures(_, dim))
         .orElse(decodeBmp(bytes).map(bmpFeatures(_, dim)))
+        .orElse(decodePng(bytes).map(bmpFeatures(_, dim)))
         .getOrElse(fakeFeats(bytes, dim)))
 
   /** STUB decode, kept as the explicit non-codec path (and the parity

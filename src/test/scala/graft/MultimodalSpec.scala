@@ -171,6 +171,115 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4) < f(7), "per-band lumas lost the ramp gradient")
   }
 
+  /** Canonical PNG encoder (fixture side), written from the public spec
+    * independent of the decoder: 8-bit RGB or RGBA, one zlib IDAT
+    * (JDK DeflaterOutputStream), CRC32-correct chunks, and a CALLER-
+    * CHOSEN filter type per row so the decoder's five defilter paths are
+    * each exercised deliberately. `px(x, y)` returns packed 0xRRGGBB. */
+  private def pngBytes(w: Int, h: Int, px: (Int, Int) => Int,
+                       rowFilter: Int => Int,
+                       alpha: Boolean = false): Array[Byte] = {
+    val ch = if (alpha) 4 else 3
+    val stride = w * ch
+    val raw = new Array[Byte]((stride + 1) * h)
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val p = px(x, y)
+        cur(x * ch) = (p >> 16) & 0xff
+        cur(x * ch + 1) = (p >> 8) & 0xff
+        cur(x * ch + 2) = p & 0xff
+        if (alpha) cur(x * ch + 3) = 0xff
+      }
+      val ft = rowFilter(y)
+      raw(y * (stride + 1)) = ft.toByte
+      for (x <- 0 until stride) {
+        val a = if (x >= ch) cur(x - ch) else 0
+        val b = prev(x)
+        val c = if (x >= ch) prev(x - ch) else 0
+        val v = ft match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - (a + b) / 2
+          case 4 =>
+            val pr = a + b - c
+            val pa = math.abs(pr - a); val pb = math.abs(pr - b)
+            val pc = math.abs(pr - c)
+            cur(x) - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => fail(s"fixture filter $other")
+        }
+        raw(y * (stride + 1) + 1 + x) = (v & 0xff).toByte
+      }
+      Array.copy(cur, 0, prev, 0, stride)
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(z)
+    dos.write(raw); dos.close()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      be32(data.length)
+      out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(crc.getValue)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte)
+      .put((if (alpha) 6 else 2).toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("decodePng: self-written fixtures round-trip pixels through ALL five row filters") {
+    // 6x5 pseudo-random-ish pixels; each row uses a different filter type
+    // (None/Sub/Up/Average/Paeth), so a bug in ANY defilter path flips
+    // concrete pixels
+    def px(x: Int, y: Int): Int = {
+      val v = (x * 37 + y * 101) % 251
+      ((v & 0xff) << 16) | (((v * 3) & 0xff) << 8) | ((v * 7) & 0xff)
+    }
+    val rgb = Multimodal.decodePng(pngBytes(6, 5, px, y => y % 5)).get
+    assert(rgb.width === 6 && rgb.height === 5 && rgb.bitsPerPixel === 24)
+    for (y <- 0 until 5; x <- 0 until 6)
+      assert(rgb.pixels(y * 6 + x) === px(x, y), s"pixel ($x,$y) under filter ${y % 5}")
+    // RGBA input: alpha dropped, channel width recorded
+    val rgba = Multimodal.decodePng(
+      pngBytes(4, 4, px, y => (y + 1) % 5, alpha = true)).get
+    assert(rgba.bitsPerPixel === 32)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(rgba.pixels(y * 4 + x) === px(x, y), s"rgba pixel ($x,$y)")
+    // refusals: wrong magic, truncated IDAT, unsupported color type
+    assert(Multimodal.decodePng("not a png".getBytes).isEmpty)
+    val good = pngBytes(6, 5, px, _ => 0)
+    assert(Multimodal.decodePng(good.dropRight(30)).isEmpty, "truncated must refuse")
+    val palette = good.clone()
+    palette(8 + 8 + 9) = 3.toByte // IHDR color type byte → palette
+    assert(Multimodal.decodePng(palette).isEmpty, "palette type must refuse")
+  }
+
+  test("decodeFeatures: PNG payloads get real image stats through the sniff chain") {
+    import spark.implicits._
+    // same 8x8 gray ramp as the BMP test — the two container formats must
+    // land on identical features, proving format-independent decode
+    def gray(x: Int, y: Int): Int = { val v = (x + y * 8) * 4; (v << 16) | (v << 8) | v }
+    val png = pngBytes(8, 8, gray, y => y % 5)
+    val bmp = bmpBytes(8, 8, gray)
+    val fix = Seq((1L, png), (2L, bmp)).toDF("doc_id", "media")
+    val f = Multimodal.decodeFeatures(spark, fix).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(1L) === f(2L), "PNG and BMP of the same image must yield identical features")
+    assert(f(1L)(0) === 8.0f && f(1L)(2) === 126.0f)
+  }
+
   test("m4-style frame sampling over REAL decoded dimensions (self-written fixture)") {
     import spark.implicits._
     // 16 kHz × 10 ms frames = 160 samples/frame; 1000 samples → 7 frames,
