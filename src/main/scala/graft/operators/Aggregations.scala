@@ -330,6 +330,74 @@ object Aggregations extends QModule {
       FROM mins
     """)),
 
+    // G24: count-min sketch heavy hitters — the bounded-memory frequency
+    // structure (d=4 hash rows × w=512 buckets, md5-derived bucket ids so
+    // the sketch replays bit-exactly in any engine). Build is ONE
+    // mergeable groupBy over a d-way explode (map-side combine absorbs
+    // the fan-out; the sketch table is d·w rows total, independent of
+    // key cardinality — THE property that matters at 100 TB, where exact
+    // per-key state is the thing you can't hold). Estimates for the
+    // exact top-10 keys are min-over-rows probes via a broadcast join
+    // into the sketch; the output carries the CM guarantee itself
+    // (true <= est <= true + 3N/w, 3 > e rationalizes the ε = e/w bound)
+    // as a checked column, so the oracle verifies the sketch's contract,
+    // not just its arithmetic.
+    Q("g26_countmin_bound", (s, dir) => {
+      import s.implicits._
+      val d = 4; val w = 512
+      def bucketOf(j: org.apache.spark.sql.Column,
+                   key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(j.cast("string"), lit(":"),
+          key.cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % w
+      val orders = t(s, dir, "orders")
+      val nTotal = orders.agg(count(lit(1)).as("n_total"))
+      val truth = orders.groupBy($"o_custkey").agg(count(lit(1)).as("true_cnt"))
+      val top = truth.orderBy($"true_cnt".desc, $"o_custkey".asc).limit(10)
+      val sketch = orders
+        .select($"o_custkey", explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+        .withColumn("bucket", bucketOf($"j", $"o_custkey"))
+        .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+      val probes = top
+        .withColumn("j", explode(expr(s"sequence(0, ${d - 1})")))
+        .withColumn("bucket", bucketOf($"j", $"o_custkey"))
+      probes.join(sketch, Seq("j", "bucket"))
+        .groupBy($"o_custkey", $"true_cnt")
+        .agg(min($"c").as("est_cnt"))
+        .crossJoin(broadcast(nTotal))
+        .select($"o_custkey", $"true_cnt", $"est_cnt",
+          ($"est_cnt" >= $"true_cnt" &&
+           $"est_cnt" <= $"true_cnt" +
+             floor(lit(3.0) * $"n_total" / w).cast("long")).as("within_bound"))
+        .orderBy($"o_custkey")
+    }, sql = Some("""
+      WITH nt AS (SELECT COUNT(*) AS n_total FROM orders),
+      truth AS (SELECT o_custkey, COUNT(*) AS true_cnt FROM orders GROUP BY 1),
+      top AS (SELECT o_custkey, true_cnt FROM truth
+              ORDER BY true_cnt DESC, o_custkey ASC LIMIT 10),
+      r AS (
+        SELECT o_custkey, u.j,
+               ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' ||
+                 CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+        FROM orders, UNNEST(range(0, 4)) u(j)),
+      sketch AS (SELECT j, bucket, COUNT(*) AS c FROM r GROUP BY 1, 2),
+      probes AS (
+        SELECT t.o_custkey, t.true_cnt, u.j,
+               ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' ||
+                 CAST(t.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+        FROM top t, UNNEST(range(0, 4)) u(j)),
+      est AS (
+        SELECT p.o_custkey, p.true_cnt, MIN(s.c) AS est_cnt
+        FROM probes p JOIN sketch s USING (j, bucket)
+        GROUP BY 1, 2)
+      SELECT e.o_custkey, e.true_cnt, e.est_cnt,
+             (e.est_cnt >= e.true_cnt AND
+              e.est_cnt <= e.true_cnt +
+                CAST(floor(3.0 * n.n_total / 512) AS BIGINT)) AS within_bound
+      FROM est e CROSS JOIN nt n
+      ORDER BY o_custkey
+    """)),
+
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {
       import s.implicits._

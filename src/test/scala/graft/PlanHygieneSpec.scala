@@ -348,6 +348,8 @@ class PlanHygieneSpec extends SparkSpec {
     "e4_funnel", "q11_important_value", "s10_dpp_join",
     // 1-row global min/max broadcast under the histogram bucketing
     "g23_histogram",
+    // 1-row total-count broadcast under the count-min bound column
+    "g26_countmin_bound",
     // statistic's three 1-row dashboard scalars composed by cross join
     // over the checkpointed ≤100-row mart
     "serve_statistic",
