@@ -495,7 +495,7 @@ object Fuzz {
     val w = Window.partitionBy(col(pk)).orderBy(ord.map(col(_).asc): _*)
     val intCols = t.cols.filter(c => c.kind == IntK).map(_.name)
     val over = s"OVER (PARTITION BY $pk ORDER BY $ordSql)"
-    val (wc, wsqlFull, rankLike) = r.nextInt(4) match {
+    val (wc, wsqlFull, rankLike) = r.nextInt(7) match {
       case 0 => (row_number().over(w), s"ROW_NUMBER() $over", true)
       case 1 => (rank().over(w), s"RANK() $over", true)
       case 2 if intCols.nonEmpty =>
@@ -503,13 +503,27 @@ object Fuzz {
         // the OVER binds to LAG, inside the widening cast
         (lag(col(c), 1).over(w).cast("long"),
          s"CAST(LAG($c, 1) $over AS BIGINT)", false)
-      case _ if intCols.nonEmpty =>
+      case 3 if intCols.nonEmpty =>
         val c = pick(r, intCols)
         // running sum: DuckDB widens windowed SUM to HUGEINT — cast back
         (sum(col(c)).over(w.rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)).cast("long"),
          s"CAST(SUM($c) OVER (PARTITION BY $pk ORDER BY $ordSql " +
            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+         false)
+      case 4 => (dense_rank().over(w), s"DENSE_RANK() $over", true)
+      case 5 if intCols.nonEmpty =>
+        val c = pick(r, intCols)
+        (lead(col(c), 1).over(w).cast("long"),
+         s"CAST(LEAD($c, 1) $over AS BIGINT)", false)
+      case 6 if intCols.nonEmpty =>
+        // bounded sliding frame — the moving-aggregate shape the
+        // unbounded running sum can't exercise
+        val c = pick(r, intCols)
+        val k = 1 + r.nextInt(3)
+        (sum(col(c)).over(w.rowsBetween(-k, Window.currentRow)).cast("long"),
+         s"CAST(SUM($c) OVER (PARTITION BY $pk ORDER BY $ordSql " +
+           s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW) AS BIGINT)",
          false)
       case _ => (row_number().over(w), s"ROW_NUMBER() $over", true)
     }

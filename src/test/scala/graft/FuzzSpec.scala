@@ -66,6 +66,29 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("window generator arms: every function family executes (supplementary sweep)") {
+    // the 120-query seed-42 pin need not contain all 7 window arms (the
+    // template draws ~8 times per corpus); sweep a second deterministic
+    // corpus and execute one query per arm so a Spark planning
+    // regression in ANY arm fails in-JVM, pin contents notwithstanding
+    val qs = (Fuzz.corpus(42L, 120) ++ Fuzz.corpus(9012L, 120))
+      .filter(_.template == "window")
+    val arms = Seq("ROW_NUMBER()", "DENSE_RANK()", "LAG(", "LEAD(",
+      "UNBOUNDED PRECEDING", "bounded-frame", "plain-rank")
+    arms.foreach { arm =>
+      val q = arm match {
+        case "bounded-frame" => qs.find(q =>
+          q.sql.contains(" PRECEDING AND CURRENT ROW") &&
+            !q.sql.contains("UNBOUNDED"))
+        case "plain-rank" => qs.find(q =>
+          """(?<!DENSE_)RANK\(\)""".r.findFirstIn(q.sql).nonEmpty)
+        case kw => qs.find(_.sql.contains(kw))
+      }
+      assert(q.nonEmpty, s"no window query exercises '$arm' in the swept corpora")
+      assert(q.get.df(spark, sf).count() >= 0, s"'$arm' query failed to execute")
+    }
+  }
+
   test("corpus SQL respects the exactness conventions") {
     val qs = Fuzz.corpus(42L, 120)
     qs.foreach { q =>
