@@ -971,6 +971,82 @@ object SimilarityQueries extends QModule {
       ORDER BY doc_id, frame_idx
     """)),
 
+    // Semantic (embedding-based) decontamination: the retrieval
+    // counterpart of p3's 8-gram decontamination. The held-out panel
+    // (every 20th id) stands in for the eval set; any TRAIN doc whose
+    // embedding lands in a panel member's approximate top-5 at cosine
+    // >= 0.4 is flagged and removed; per-language corpus accounting
+    // comes back out. At 100 TB: the whole flag set is ONE batch ANN
+    // join (never eval × corpus — the ivfAnnJoin contract), the flagged
+    // ids are <= panel*k rows (broadcast anti-join against the corpus),
+    // and the per-language tally is a mergeable agg. The oracle replays
+    // the identical integer index formulas, then the threshold + set
+    // difference.
+    Q("p5_semantic_decontam", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val flagged = ivfAnnJoin(emb, 20L, 5)
+        .filter(col("cosine_e9") >= 400000000L && col("vec_id") % 20 =!= 0)
+        .select(col("vec_id")).distinct()
+      val train = t(s, dir, "documents").filter(col("doc_id") % 20 =!= 0)
+      train.join(flagged, train("doc_id") === flagged("vec_id"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("vec_id")).as("n_removed"),
+          (count(lit(1)) - count(col("vec_id"))).as("n_kept"),
+          sum(when(col("vec_id").isNull, col("n_chars")).otherwise(0))
+            .as("kept_chars"))
+        .orderBy(col("lang"))
+    }, sql = Some(s"""
+      WITH prm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings) t),
+      cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings, prm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   CAST(floor(${duckCos("e.embedding", "c.centroid")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM embeddings e CROSS JOIN cent c) t
+        WHERE rk = 1),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 20 = 0),
+      probe AS (
+        SELECT query_id, qe, centroid_id FROM (
+          SELECT q.query_id, q.qe, c.centroid_id, p.np,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(floor(${duckCos("c.centroid", "q.qe")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM cent c CROSS JOIN q CROSS JOIN prm p) t
+        WHERE rk <= np),
+      ranked AS (
+        SELECT p.query_id, a.vec_id,
+               CAST(floor(${duckCos("a.embedding", "p.qe")} * 1e9 + 0.5) AS BIGINT) AS cosine_e9,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 CAST(floor(${duckCos("a.embedding", "p.qe")} * 1e9 + 0.5) AS BIGINT) DESC,
+                 a.vec_id ASC) AS rk
+        FROM assign a JOIN probe p USING (centroid_id)
+        WHERE a.vec_id <> p.query_id),
+      flagged AS (
+        SELECT DISTINCT vec_id FROM ranked
+        WHERE rk <= 5 AND cosine_e9 >= 400000000 AND vec_id % 20 <> 0),
+      train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0)
+      SELECT t.lang, COUNT(*) AS n_docs,
+             COUNT(f.vec_id) AS n_removed,
+             COUNT(*) - COUNT(f.vec_id) AS n_kept,
+             CAST(SUM(CASE WHEN f.vec_id IS NULL THEN t.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM train t LEFT JOIN flagged f ON t.doc_id = f.vec_id
+      GROUP BY t.lang ORDER BY t.lang
+    """)),
+
     // Cross-modal join: text table ⋈ vector table on the shared id, per
     // language: doc count, total chars, Σ‖v‖² in micro-units (per-row fold
     // rounded to ints BEFORE summing → order-independent, drift-immune).

@@ -344,7 +344,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ann_ivf_kmeans",
     // same ≤nlist-row centroid broadcasts (count scalar, packed-cents
     // row, probe fan-out); the query↔corpus joins are equi-joins
-    "sim_ann_join",
+    "sim_ann_join", "p5_semantic_decontam",
     "e4_funnel", "q11_important_value", "s10_dpp_join",
     // 1-row global min/max broadcast under the histogram bucketing
     "g23_histogram",
