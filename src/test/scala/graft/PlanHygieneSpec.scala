@@ -121,6 +121,16 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("ntile("), "monolithic ntile crept back:\n" + p)
   }
 
+  test("sim_ann_join: both per-query rank filters bound their windows via WindowGroupLimit") {
+    // the probe-selection window (rank<=nprobe) and the final top-k
+    // window (rank<=k) must each be bounded below the shuffle — a
+    // post-filter window over unbounded per-query candidates is the
+    // shape that stops scaling with the panel
+    val p = planOf("sim_ann_join")
+    val n = "WindowGroupLimit".r.findAllIn(p).length
+    assert(n >= 2, s"expected both ann-join windows group-limited, saw $n:\n$p")
+  }
+
   test("sim_ann_ivf: centroid selection has no single-partition window") {
     // the stride predicate replaced the global row_number pass
     val embs = graft.Tables.t(spark, dir, "embeddings")
