@@ -95,7 +95,12 @@ object Multimodal {
           out = Some(Wav(rate, ch, bits, samples))
         }
       }
-      pos = body + sz + (sz & 1) // chunks pad to even length
+      // chunks pad to even length; advance in Long and clamp — a corrupt
+      // 32-bit chunk size near MaxValue would overflow an Int advance
+      // into a NEGATIVE pos that passes the loop guard and crashes the
+      // tag read (found by the hostile-bytes fuzz spec)
+      val next = body.toLong + sz + (sz & 1)
+      pos = if (next > bytes.length) bytes.length else next.toInt
     }
     out
   }

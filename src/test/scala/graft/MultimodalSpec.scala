@@ -280,6 +280,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L)(0) === 8.0f && f(1L)(2) === 126.0f)
   }
 
+  test("decoders never throw on hostile bytes: noise, truncations, bit flips") {
+    // a hostile or corrupt blob must degrade to None (or decode garbage),
+    // NEVER throw — an uncaught parse exception in the mapPartitions
+    // decode stage kills the executor task and, with it, the whole job.
+    // Deterministic seed; three corruption families: pure noise at
+    // assorted sizes, every prefix truncation of a valid container, and
+    // random single-byte flips of a valid container (the worst case for
+    // parsers that trust internal lengths/offsets).
+    val rnd = new java.util.Random(42)
+    def safe(b: Array[Byte]): Unit = {
+      Multimodal.decodeWav(b); Multimodal.decodeBmp(b); Multimodal.decodePng(b)
+      ()
+    }
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b); safe(b)
+    }
+    def px(x: Int, y: Int): Int = (x * 41 + y * 7) & 0xffffff
+    val fixtures = Seq(
+      pngBytes(6, 5, px, y => y % 5),
+      bmpBytes(6, 5, px),
+      wavBytes(rampSamples(40), 8000))
+    fixtures.foreach { fix =>
+      (0 until fix.length).foreach(n => safe(fix.take(n)))
+      for (_ <- 1 to 300) {
+        val m = fix.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        safe(m)
+      }
+    }
+  }
+
   test("m4-style frame sampling over REAL decoded dimensions (self-written fixture)") {
     import spark.implicits._
     // 16 kHz × 10 ms frames = 160 samples/frame; 1000 samples → 7 frames,
