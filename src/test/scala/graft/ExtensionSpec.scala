@@ -52,6 +52,21 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates satisfy the CM guarantee on every probed key") {
+    // the oracled query carries within_bound as a column; this pins that
+    // the guarantee actually HOLDS on testdata (a data-value column of
+    // `false` would still hash-match an equally-wrong oracle)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = graft.SparkEntry.queries("g26_countmin_bound")(spark, d).collect()
+      assert(rows.length == 10, s"$d: expected 10 probed keys")
+      rows.foreach { r =>
+        val (t, e, ok) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+        assert(e >= t, s"$d: CM under-estimated key ${r.getLong(0)}: $e < $t")
+        assert(ok, s"$d: key ${r.getLong(0)} exceeded the 3N/w bound: est $e, true $t")
+      }
+    }
+  }
+
   test("approx_percentile within rank-error bound of the exact percentile") {
     import spark.implicits._
     val li = t(spark, dir, "lineitem")
