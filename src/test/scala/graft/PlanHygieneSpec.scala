@@ -288,6 +288,48 @@ class PlanHygieneSpec extends SparkSpec {
       "global (unpartitioned) window crept into the corpus shuffle:\n" + p)
   }
 
+  test("AQE splits a planted skewed join partition (the join-side skew answer)") {
+    // g20 is the AGG-side skew answer (explicit salt); join-side skew is
+    // deliberately left to AQE's OptimizeSkewedJoin (PERF.md "not taken:
+    // hand-salting joins"). That delegation is an assumption worth
+    // pinning: plant one hot key carrying ~97% of the fact side, lower
+    // the skew thresholds to testdata scale, and assert the executed
+    // plan actually shows the skew split — if a Spark upgrade or conf
+    // drift stops AQE from firing here, this fails before production
+    // finds out.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.when
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val fact = spark.range(0, 60000)
+        .select((when($"id" < 58000, 0L).otherwise($"id" % 97)).as("k"),
+          $"id".as("v"))
+      val dim = spark.range(0, 97).select($"id".as("k"), ($"id" * 10).as("w"))
+      // NB the consumer must NOT require the join's hash partitioning (a
+      // keyed groupBy directly above would make the split invalid and AQE
+      // would — correctly — refuse); a global count has no distribution
+      // requirement
+      val j = fact.join(dim, "k").select($"v" + $"w")
+      j.queryExecution.toRdd.count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isSkewJoin=true") || p.contains("skewed"),
+        "AQE did not split the planted skewed join partition:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("g20: salted aggregation really is two-phase (salt agg below key agg)") {
     val p = planOf("g20_salted_agg").split("== Initial Plan ==").head
     // two logical aggregations (by (k,salt), then by k), each with its
