@@ -292,6 +292,21 @@ object Relational extends QModule {
       s.sql(corrScalarSql)
     }, sql = Some(corrScalarSql)),
 
+    // LATERAL subquery with per-row ORDER BY + LIMIT — the "top-N per
+    // outer row" SQL idiom, ONE text verbatim in both engines. Catalyst
+    // decorrelates the lateral (DecorrelateInnerQuery) into a
+    // rank-filtered Window over an equi-join — verified no nested loop,
+    // no cartesian — which is the identical execution shape the typed
+    // w5_rank_per_group declares; the point is that the SQL surface's
+    // most per-row-looking construct still lands on the set-based plan a
+    // 100 TB run needs. Zero-order customers drop on both engines (inner
+    // lateral).
+    Q("sql_lateral_topn", (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(lateralTopnSql)
+    }, sql = Some(lateralTopnSql)),
+
     // Recursive CTE (Spark 4.1 + DuckDB, same text): the w9 gap-fill
     // date spine generated by RECURSION instead of sequence()/
     // generate_series — the portable form when neither generator exists.
@@ -365,6 +380,16 @@ object Relational extends QModule {
 
   /** Shared verbatim: correlated scalar subquery, decorrelated by the
     * optimizer into an aggregate join. */
+  private val lateralTopnSql = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    WHERE c.c_custkey < 200
+    ORDER BY c.c_custkey ASC, t.o_totalprice DESC, t.o_orderkey ASC
+  """
+
   private val corrScalarSql = """
     SELECT o_orderkey, o_totalprice,
            (SELECT MAX(o2.o_totalprice) FROM orders o2
