@@ -288,6 +288,13 @@ class PlanHygieneSpec extends SparkSpec {
       "global (unpartitioned) window crept into the corpus shuffle:\n" + p)
   }
 
+  test("sql_lateral_topn: lateral decorrelates to a windowed rank, never a per-row loop") {
+    val p = planOf("sql_lateral_topn")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "lateral subquery degraded to a nested loop:\n" + p)
+    assert(p.contains("Window"), "expected the rank-filtered window rewrite:\n" + p)
+  }
+
   test("AQE splits a planted skewed join partition (the join-side skew answer)") {
     // g20 is the AGG-side skew answer (explicit salt); join-side skew is
     // deliberately left to AQE's OptimizeSkewedJoin (PERF.md "not taken:
