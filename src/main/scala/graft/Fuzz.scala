@@ -889,6 +889,46 @@ object Fuzz {
     }, q, "scalar_sub")
   }
 
+  /** T17: LATERAL top-N per outer row — sql_lateral_topn's shape
+    * randomized over the same portable pair list as T16 (events
+    * excluded). Per-row ORDER BY + LIMIT inside a correlated lateral is
+    * the construct most likely to regress into a per-row loop;
+    * Catalyst's DecorrelateInnerQuery must keep rewriting it to a
+    * rank-filtered window over an equi-join, and the differential keeps
+    * the RESULTS honest while the sql_lateral_topn plan pin keeps the
+    * shape honest. Tie-breaks rank on the inner table's declared unique
+    * key columns, so the top-N set is deterministic in both engines. */
+  private def genLateral(r: Random, name: String): FuzzQuery = {
+    val pairs = Seq(
+      ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+      ("customer", "orders", "c_custkey", "o_custkey"),
+      ("part", "lineitem", "p_partkey", "l_partkey"),
+      ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+      ("nation", "customer", "n_nationkey", "c_nationkey"))
+    val (outer, inner, ok, fk) = pick(r, pairs)
+    val po = preds(r, tbl(outer))
+    val pl = preds(r, tbl(inner))
+    val it = tbl(inner)
+    val ordCol = pick(r, it.cols.filter(c => c.kind == IntK || c.kind == DblK)).name
+    val dir = if (r.nextBoolean()) "DESC" else "ASC"
+    val k = 1 + r.nextInt(3)
+    val uniq = it.uniq
+    val tieSql = uniq.map(c => s"$c ASC").mkString(", ")
+    val innerSel = (uniq :+ ordCol).distinct
+    val out = Seq(ok) ++ innerSel
+    val q = s"SELECT o.$ok AS $ok, " +
+      innerSel.map(c => s"t.$c AS $c").mkString(", ") +
+      s" FROM $outer o, LATERAL (SELECT ${innerSel.mkString(", ")}" +
+      s" FROM $inner i WHERE i.$fk = o.$ok AND (${pl.sql})" +
+      s" ORDER BY $ordCol $dir, $tieSql LIMIT $k) t" +
+      s" WHERE (${po.sql}) " + orderSql(out) + " LIMIT 500"
+    FuzzQuery(name, (s, dir0) => {
+      Seq(outer, inner).foreach(tn =>
+        read(s, dir0, tn).createOrReplaceTempView(tn))
+      s.sql(q)
+    }, q, "lateral")
+  }
+
   /** T14: as-of join over the event stream — the j4/j9 family randomized.
     * Each LEFT-type event matches the latest RIGHT-type event at-or-
     * before it (backward; equal ts counts as before) or the earliest
@@ -966,7 +1006,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(16) match {
+      r.nextInt(17) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -982,7 +1022,8 @@ object Fuzz {
         case 12 => genHopping(r, name)
         case 13 => genRollup(r, name)
         case 14 => genAsof(r, name)
-        case _ => genScalarSub(r, name)
+        case 15 => genScalarSub(r, name)
+        case _ => genLateral(r, name)
       }
     }
   }

@@ -39,11 +39,11 @@ class FuzzSpec extends SparkSpec {
   test("every template and coin-flip branch executes on Spark (sf0.001)") {
     val qs = Fuzz.corpus(42L, 120)
     val byTemplate = qs.groupBy(_.template)
-    // all 16 generator templates must be present in the pinned corpus...
+    // all 17 generator templates must be present in the pinned corpus...
     assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
       "window", "setop", "distinct", "semi_anti",
       "full_join", "join3", "case_str", "session", "hopping", "rollup",
-      "asof", "scalar_sub"),
+      "asof", "scalar_sub", "lateral"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
     // ...and one query per (template, branch) must execute as a Spark
     // plan — a Spark-only planning regression in any generator surfaces
@@ -68,11 +68,12 @@ class FuzzSpec extends SparkSpec {
 
   test("window generator arms: every function family executes (supplementary sweep)") {
     // the 120-query seed-42 pin need not contain all 7 window arms (the
-    // template draws ~8 times per corpus); sweep a second deterministic
-    // corpus and execute one query per arm so a Spark planning
-    // regression in ANY arm fails in-JVM, pin contents notwithstanding
-    val qs = (Fuzz.corpus(42L, 120) ++ Fuzz.corpus(9012L, 120))
-      .filter(_.template == "window")
+    // template draws ~8 times per corpus); sweep the DOUBLE-length
+    // seed-42 corpus (its first 120 queries ARE the pin — generation is
+    // sequential from one RNG) and execute one query per arm so a Spark
+    // planning regression in ANY arm fails in-JVM, pin contents
+    // notwithstanding
+    val qs = Fuzz.corpus(42L, 240).filter(_.template == "window")
     val arms = Seq("ROW_NUMBER()", "DENSE_RANK()", "LAG(", "LEAD(",
       "UNBOUNDED PRECEDING", "bounded-frame", "plain-rank")
     arms.foreach { arm =>
