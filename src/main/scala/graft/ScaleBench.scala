@@ -43,6 +43,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (similarity tier: brute vs trained IVF curves)
   *        runMain graft.ScaleBench [sfDir] text [factors...]
   *                        (text tier: tfidf / segment dedup / LM scorer)
+  *        runMain graft.ScaleBench [sfDir] media [factors...]
+  *                        (decode tier: synthesized BMP/WAV/PNG throughput)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -121,6 +123,96 @@ object ScaleBench {
         col("label"))
   }
 
+  // --- media-mode blob generators: real container bytes from the public
+  // BMP/WAVE/PNG layouts (mirroring the MultimodalSpec fixture encoders),
+  // deterministic per id ----------------------------------------------------
+
+  private def genBmp(id: Long): Array[Byte] = {
+    val w = 32; val h = 32
+    val rowSize = (w * 3 + 3) & ~3
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 37 + row * 101 + id) % 251).toInt
+        buf.put((v & 0xff).toByte).put(((v * 3) & 0xff).toByte)
+          .put(((v * 7) & 0xff).toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      row -= 1
+    }
+    buf.array()
+  }
+
+  private def genWav(id: Long): Array[Byte] = {
+    val nSamp = 512
+    val buf = java.nio.ByteBuffer.allocate(44 + nSamp * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamp * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(nSamp * 2)
+    var i = 0
+    while (i < nSamp) {
+      buf.putShort((((i * 131 + id) % 20000) - 10000).toShort); i += 1
+    }
+    buf.array()
+  }
+
+  private def genPng(id: Long): Array[Byte] = {
+    val w = 24; val h = 24; val stride = w * 3
+    // filter-0 rows — the measurement exercises the chunk walk + inflate
+    // + pack path; the five defilter arms are covered by spec fixtures
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < stride) {
+        raw(y * (stride + 1) + 1 + x) = (((x * 7 + y * 13 + id) % 251) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(z)
+    dos.write(raw); dos.close()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      be32(data.length)
+      out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(crc.getValue)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private[graft] def mediaBlob(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => genBmp(id)
+    case 1 => genWav(id)
+    case _ => genPng(id)
+  }
+
   /** 1% of docs get a shared UNTAGGED 40-token hot phrase appended —
     * the skew scenario the maxDf cap bounds by construction. */
   private def plantHotPhrase(docs: DataFrame): DataFrame = {
@@ -138,10 +230,11 @@ object ScaleBench {
     val bloomMode = args.contains("bloom")
     val annMode = args.contains("ann")
     val textMode = args.contains("text")
+    val mediaMode = args.contains("media")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
-          a == "text")
+          a == "text" || a == "media")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -199,6 +292,47 @@ object ScaleBench {
         emit("t_lm_perplexity", f, n,
           () => TextAnalysis.lmPerplexity(docs),
           () => TextAnalysis.lmPerplexity(docs).count())
+      }
+      spark.stop()
+      return
+    }
+
+    // "media" mode: decode-tier throughput curve — the one extension
+    // tier without one. Synthesizes REAL container bytes in-JVM
+    // (BMP/WAV/PNG round-robin by id, the three pure-JVM decoders —
+    // written from the public format layouts like the spec fixtures),
+    // localCheckpoints them (generation excluded from the measurement),
+    // and times the batched mapPartitions decode stage. The stage is
+    // map-only by construction, so the claim under test is per-row cost
+    // FLATNESS: rows/s and MB/s should hold as the blob count grows 16×.
+    if (mediaMode) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("media", BinaryType)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+      for (f <- factors) {
+        val n = 5000L * f
+        val blobs = spark.range(0, n, 1, 32).toDF("doc_id")
+          .mapPartitions(rows => rows.map { r =>
+            val id = r.getLong(0); Row(id, mediaBlob(id))
+          })(enc).toDF().localCheckpoint()
+        val totalBytes = blobs
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(col("media")))).head.getLong(0)
+        val passes = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ext.Multimodal.decodeFeatures(spark, blobs)
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = passes.min
+        println(s"""{"op":"media_decode","factor":$f,"n_blobs":$n,""" +
+          s""""bytes":$totalBytes,"sec":${num(sec)},""" +
+          s""""passes":[${passes.map(num).mkString(",")}],""" +
+          s""""rows_per_s":${num(n / sec)},""" +
+          s""""mb_per_s":${num(totalBytes / 1e6 / sec)}}""")
       }
       spark.stop()
       return
