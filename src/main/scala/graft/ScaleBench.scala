@@ -45,6 +45,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (text tier: tfidf / segment dedup / LM scorer)
   *        runMain graft.ScaleBench [sfDir] media [factors...]
   *                        (decode tier: synthesized BMP/WAV/PNG throughput)
+  *        runMain graft.ScaleBench [sfDir] incr [factors...]
+  *                        (incremental admission: plain vs bloom-pruned)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -231,10 +233,11 @@ object ScaleBench {
     val annMode = args.contains("ann")
     val textMode = args.contains("text")
     val mediaMode = args.contains("media")
+    val incrMode = args.contains("incr")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
-          a == "text" || a == "media")
+          a == "text" || a == "media" || a == "incr")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -292,6 +295,64 @@ object ScaleBench {
         emit("t_lm_perplexity", f, n,
           () => TextAnalysis.lmPerplexity(docs),
           () => TextAnalysis.lmPerplexity(docs).count())
+      }
+      spark.stop()
+      return
+    }
+
+    // "incr" mode: incremental-dedup admission cost vs STORE size — the
+    // scale question dedup_incremental's shape raises: a plain anti-join
+    // of a small batch against the fingerprint store shuffles the WHOLE
+    // store every batch (cost ∝ corpus lifetime), while a bloom of the
+    // BATCH keys (small side!) broadcast as a map-side prune on the
+    // store collapses the store's exchange to ~batch + fpp·store rows
+    // before the exact anti-join absorbs false positives — cost ∝ batch.
+    // Both arms must admit identical counts (asserted).
+    if (incrMode) {
+      import graft.ext.TextAnalysis
+      import graft.operators.BloomPrune
+      val fpCol = TextAnalysis.fingerprint(col("text"))
+      // fixed batch: copy-0 docs OF THE SCALED CORPUS (scaledDocs tags
+      // every copy incl. 0, so raw base text would never match), evens
+      // verbatim (dups vs the store), odds mutated (novel) — a 50% dup
+      // admission workload
+      val batch = scaledDocs(spark, base, 1)
+        .select(col("doc_id"), when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novelbatchtoken"))).as("text"))
+        .select(col("doc_id"), fpCol.as("fp")).localCheckpoint()
+      for (f <- factors) {
+        val store = scaledDocs(spark, base, f)
+          .select(fpCol.as("fp")).distinct().localCheckpoint()
+        val nStore = store.count()
+        def admitted(st: DataFrame): DataFrame = batch
+          .join(st, Seq("fp"), "left_anti")
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        def arm(name: String, mk: () => DataFrame): (Long, Long) = {
+          var n = 0L
+          val passes = (1 to 2).map { _ =>
+            var sec = 0.0
+            val (_, recs) = withShuffleBytes(spark) {
+              val t0 = System.nanoTime()
+              n = mk().queryExecution.toRdd.count()
+              sec = (System.nanoTime() - t0) / 1e9
+            }
+            (sec, recs)
+          }
+          val best = passes.minBy(_._1)
+          println(s"""{"op":"incr_admit_$name","factor":$f,"n_store":$nStore,""" +
+            s""""admitted":$n,"sec":${num(best._1)},""" +
+            s""""passes":[${passes.map(p => num(p._1)).mkString(",")}],""" +
+            s""""shuffle_write_records":${best._2}}""")
+          (n, best._2)
+        }
+        val (nPlain, _) = arm("plain", () => admitted(store))
+        val (nBloom, _) = arm("bloom", () => {
+          val bloom = BloomPrune.bloomOf(
+            batch.select(xxhash64(col("fp")).as("h")), "h", 5000L)
+          admitted(BloomPrune.prune(store, xxhash64(col("fp")), bloom))
+        })
+        require(nPlain == nBloom,
+          s"bloom-pruned admission diverged: $nPlain vs $nBloom")
       }
       spark.stop()
       return
