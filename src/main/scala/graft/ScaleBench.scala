@@ -310,7 +310,6 @@ object ScaleBench {
     // Both arms must admit identical counts (asserted).
     if (incrMode) {
       import graft.ext.TextAnalysis
-      import graft.operators.BloomPrune
       val fpCol = TextAnalysis.fingerprint(col("text"))
       // fixed batch: copy-0 docs OF THE SCALED CORPUS (scaledDocs tags
       // every copy incl. 0, so raw base text would never match), evens
@@ -324,9 +323,7 @@ object ScaleBench {
         val store = scaledDocs(spark, base, f)
           .select(fpCol.as("fp")).distinct().localCheckpoint()
         val nStore = store.count()
-        def admitted(st: DataFrame): DataFrame = batch
-          .join(st, Seq("fp"), "left_anti")
-          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        import graft.ext.Dedup
         def arm(name: String, mk: () => DataFrame): (Long, Long) = {
           var n = 0L
           val passes = (1 to 2).map { _ =>
@@ -345,12 +342,10 @@ object ScaleBench {
             s""""shuffle_write_records":${best._2}}""")
           (n, best._2)
         }
-        val (nPlain, _) = arm("plain", () => admitted(store))
-        val (nBloom, _) = arm("bloom", () => {
-          val bloom = BloomPrune.bloomOf(
-            batch.select(xxhash64(col("fp")).as("h")), "h", 5000L)
-          admitted(BloomPrune.prune(store, xxhash64(col("fp")), bloom))
-        })
+        val (nPlain, _) = arm("plain",
+          () => Dedup.admitIncremental(batch, store, bloomPrune = false))
+        val (nBloom, _) = arm("bloom",
+          () => Dedup.admitIncremental(batch, store, expectedBatch = 5000L))
         require(nPlain == nBloom,
           s"bloom-pruned admission diverged: $nPlain vs $nBloom")
       }

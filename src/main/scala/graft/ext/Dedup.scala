@@ -364,6 +364,39 @@ object Dedup {
     * skew rationale there — a 7-bit chunk has only 128 values, so at
     * corpus scale EVERY chunk value is a potentially-hot bucket; the cap
     * is what keeps candidates ~linear when signatures cluster). */
+  /** Incremental admission of a (doc_id, fp) batch against a fingerprint
+    * store: keep batch rows whose fp is absent from the store, deduped
+    * within the batch to min doc_id. The production entry point behind
+    * dedup_incremental's oracled shape.
+    *
+    * `bloomPrune = true` (default) interposes the measured store-size
+    * answer (PERF §incr-scaling): a bloom built over the BATCH keys —
+    * the small side, a few MB regardless of store size — prunes the
+    * store map-side BEFORE the exact anti-join, so the store's exchange
+    * carries ≈ batch + fpp·store rows instead of the whole store (30×
+    * fewer shuffled records at a 320k store, gap ∝ store). False
+    * positives are absorbed by the exact anti-join — results are
+    * IDENTICAL either way (spec-pinned). With a store under the
+    * broadcast threshold AQE's broadcast join already wins and the bloom
+    * build is overhead: pass `bloomPrune = false` there, or always, for
+    * semantics — the flag only moves shuffle volume. */
+  def admitIncremental(batch: DataFrame, store: DataFrame,
+                       bloomPrune: Boolean = true,
+                       expectedBatch: Long = 0L): DataFrame = {
+    val pruned =
+      if (!bloomPrune) store
+      else {
+        val exp = if (expectedBatch > 0) expectedBatch else batch.count()
+        val bloom = graft.operators.BloomPrune.bloomOf(
+          batch.select(xxhash64(col("fp")).as("h")), "h", exp)
+        graft.operators.BloomPrune.prune(store, xxhash64(col("fp")), bloom)
+      }
+    batch.join(pruned.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("admitted_doc_id"),
+        count(lit(1)).as("n_batch_copies"))
+  }
+
   def simhashCandidates(docs: DataFrame, chunks: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
     val sig = simhashChunks(docs, chunks)
@@ -534,12 +567,12 @@ object DedupQueries extends QModule {
       val docs = t(s, dir, "documents")
       val fp = TextAnalysis.fingerprint(col("text"))
       val existing = docs.filter(col("doc_id") < 400).select(fp.as("fp")).distinct()
-      docs.filter(col("doc_id") >= 400)
-        .select(col("doc_id"), fp.as("fp"))
-        .join(existing, Seq("fp"), "left_anti")
-        .groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("admitted_doc_id"),
-          count(lit(1)).as("n_batch_copies"))
+      // goes through the production entry point WITH the bloom prune on,
+      // so the pruned path itself is differentially verified every round
+      // (false positives must be invisible — the oracle is a plain NOT IN)
+      Dedup.admitIncremental(
+        docs.filter(col("doc_id") >= 400).select(col("doc_id"), fp.as("fp")),
+        existing)
         .orderBy(col("admitted_doc_id"))
     }, sql = Some("""
       WITH fps AS (

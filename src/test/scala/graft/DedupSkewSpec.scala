@@ -70,6 +70,27 @@ class DedupSkewSpec extends SparkSpec {
     assert(lshCap.nonEmpty && shCap.nonEmpty)
   }
 
+  test("admitIncremental: bloom-pruned and plain paths admit identically") {
+    // the bloomPrune flag may only move shuffle volume (PERF
+    // §incr-scaling); false positives from the batch-key bloom must be
+    // invisible behind the exact anti-join
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val fp = graft.ext.TextAnalysis.fingerprint(col("text"))
+    val store = docs.filter(col("doc_id") < 60).select(fp.as("fp")).distinct()
+    // batch overlaps the store on ids 40-59 (dups) and adds 60+ (novel)
+    val batch = docs.filter(col("doc_id") >= 40).select(col("doc_id"), fp.as("fp"))
+    def run(bp: Boolean) = Dedup.admitIncremental(batch, store, bloomPrune = bp)
+      .orderBy(col("admitted_doc_id")).collect().map(_.toSeq).toSeq
+    val plain = run(false)
+    val bloomed = run(true)
+    assert(plain === bloomed, "bloom path changed admission results")
+    val admitted = plain.map(_(1).asInstanceOf[Long])
+    assert(admitted.nonEmpty && admitted.forall(_ >= 60),
+      s"store overlap must be rejected: ${admitted.take(5)}")
+  }
+
   test("containmentPairs: a quote pasted into a long page scores ~1 containment but tiny Jaccard") {
     import spark.implicits._
     // doc 0: a 12-word notice; doc 1: a 200-word page that embeds it
