@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Analytics,
     operators.Functions,
     sources.UpsertQueries,
+    sources.HtmlQueries,
     ext.TextAnalysis,
     ext.DedupQueries,
     ext.SimilarityQueries,
