@@ -952,6 +952,61 @@ object TextAnalysis extends QModule {
       ORDER BY doc_id, copy_id
     """)),
 
+    // Target-weight mixture sampling: downsample each language so the
+    // kept corpus hits a fixed token-share recipe (en 40 %, zh 20 %,
+    // de/fr 15 %, es 10 % — the Pile-style fixed-weight mixing step of a
+    // training-data pipeline). The binding language (largest token
+    // deficit vs its weight) is kept whole; every other language gets a
+    // deterministic per-doc acceptance threshold τ_l = ⌊1e6·m·w_l/T_l⌋
+    // where m = min_l(T_l/w_l), admitted by an integer Knuth-hash bucket
+    // of doc_id — reproducible run-to-run, no RNG state, membership
+    // decidable per row with only the broadcast per-lang thresholds.
+    // Scale posture: one tiny per-lang agg (|langs| rows) broadcast back;
+    // admission is a map-side filter on the scan — the 100 TB shape.
+    // Double math (ratio, min, τ) is division-then-floor on exact integer
+    // token counts, expression-identical in both engines → bit-stable.
+    Q("t_mixture_sample", (s, dir) => {
+      import s.implicits._
+      val w = when($"lang" === "en", 400).when($"lang" === "zh", 200)
+        .when($"lang" === "de", 150).when($"lang" === "fr", 150)
+        .otherwise(100)
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
+      val perLang = docs.groupBy($"lang")
+        .agg(sum($"n_tok").as("t_l"))
+        .withColumn("w_l", w.cast("double"))
+        .withColumn("ratio", $"t_l".cast("double") / $"w_l")
+      val m = perLang.agg(min($"ratio").as("m"))
+      val thresh = perLang.crossJoin(broadcast(m))
+        .select($"lang",
+          floor(lit(1e6) * $"m" * $"w_l" / $"t_l".cast("double"))
+            .cast("long").as("tau"))
+      docs.join(broadcast(thresh), Seq("lang"))
+        .filter(pmod($"doc_id" * lit(2654435761L), lit(1000000L)) < $"tau")
+        .select($"doc_id", $"lang", $"n_tok", $"tau")
+        .orderBy($"doc_id")
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, lang,
+               CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      per_lang AS (
+        SELECT lang, SUM(n_tok) AS t_l,
+               CAST(CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 200
+                    WHEN 'de' THEN 150 WHEN 'fr' THEN 150 ELSE 100 END AS DOUBLE) AS w_l
+        FROM docs GROUP BY lang),
+      scaled AS (
+        SELECT MIN(CAST(t_l AS DOUBLE) / w_l) AS m FROM per_lang),
+      thresh AS (
+        SELECT lang,
+               CAST(floor(1000000.0 * m * w_l / CAST(t_l AS DOUBLE)) AS BIGINT) AS tau
+        FROM per_lang CROSS JOIN scaled)
+      SELECT doc_id, docs.lang, n_tok, tau
+      FROM docs JOIN thresh ON docs.lang = thresh.lang
+      WHERE (doc_id * 2654435761) % 1000000 < tau
+      ORDER BY doc_id
+    """)),
+
     // 8-gram novelty: what fraction of a doc's distinct 8-grams appear
     // here FIRST (min doc_id in id order)? Low novelty = mostly-copied
     // content — the streaming-ingest complement of pairwise dedup. Same

@@ -294,6 +294,33 @@ class ExtensionSpec extends SparkSpec {
     assert(got(1).getLong(1) === -333333333L)
   }
 
+  test("mixture sampling hits the target token recipe with a whole binding language") {
+    import spark.implicits._
+    val mixed = graft.ext.TextAnalysis.qs.find(_.name == "t_mixture_sample").get
+      .fn(spark, dir).cache()
+    try {
+      val perLang = mixed.groupBy($"lang")
+        .agg(sum($"n_tok").as("kept"), max($"tau").as("tau"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // exactly one binding language is kept whole (tau saturated at 1e6)
+      assert(perLang.values.count(_._2 == 1000000L) === 1)
+      // achieved token shares track the 40/20/15/15/10 recipe; hash-bucket
+      // granularity and finite corpus allow a few points of drift
+      val total = perLang.values.map(_._1).sum.toDouble
+      val target = Map("en" -> 0.40, "zh" -> 0.20, "de" -> 0.15,
+        "fr" -> 0.15, "es" -> 0.10)
+      target.foreach { case (l, w) =>
+        val got = perLang(l)._1 / total
+        assert(math.abs(got - w) < 0.05, s"$l share $got vs target $w")
+      }
+      // deterministic: a second evaluation admits the identical doc set
+      val again = graft.ext.TextAnalysis.qs.find(_.name == "t_mixture_sample").get
+        .fn(spark, dir)
+      assert(mixed.select($"doc_id").except(again.select($"doc_id")).count() === 0)
+      assert(again.select($"doc_id").except(mixed.select($"doc_id")).count() === 0)
+    } finally mixed.unpersist()
+  }
+
   test("exact jaccard agrees with a hand-computed pair") {
     import spark.implicits._
     // doc 1: tokens a..f → shingles {a b c d e, b c d e f}
