@@ -414,6 +414,9 @@ class PlanHygieneSpec extends SparkSpec {
     "serve_statistic",
     // 1-row global total broadcast under the percent render
     "x15_percent_render",
+    // 1-row min-token-ratio scalar broadcast under the per-lang
+    // admission thresholds (|langs|-row build side; doc join is equi)
+    "t_mixture_sample",
     // 1-row vocab-size broadcast under the smoothed-bigram scoring join
     "t_lm_perplexity")
 
