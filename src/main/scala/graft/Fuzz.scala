@@ -929,6 +929,82 @@ object Fuzz {
     }, q, "lateral")
   }
 
+  /** T18: [NOT] IN subqueries with optional NULL injection — Spark's
+    * IN-subquery planning route including the null-aware anti-join
+    * (NAAJ), run as the SAME text through spark.sql and DuckDB over the
+    * portable pair list (events excluded, as in T16/T17). NULLIF on the
+    * inner key turns one listed key value into NULL: under IN those rows
+    * simply never match, while a single NULL under NOT IN must empty the
+    * ENTIRE result (three-valued logic — `x <> NULL` is unknown for every
+    * x). That asymmetry is the subquery-semantics class engines break
+    * most often; the differential pins both engines to it. */
+  private def genInSub(r: Random, name: String): FuzzQuery = {
+    val pairs = Seq(
+      ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+      ("customer", "orders", "c_custkey", "o_custkey"),
+      ("part", "lineitem", "p_partkey", "l_partkey"),
+      ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+      ("nation", "customer", "n_nationkey", "c_nationkey"))
+    val (outer, inner, ok, fk) = pick(r, pairs)
+    val po = preds(r, tbl(outer))
+    val pl = preds(r, tbl(inner))
+    val not = r.nextBoolean()
+    val injectNull = r.nextBoolean()
+    val fkc = tbl(inner).cols.find(_.name == fk).get
+    val v = fkc.lo.toLong + r.nextInt((fkc.hi - fkc.lo).toInt + 1)
+    val innerExpr = if (injectNull) s"NULLIF(i.$fk, $v)" else s"i.$fk"
+    val cols0 = subset(r, tbl(outer).cols.map(_.name), 3)
+    val q = s"SELECT ${cols0.mkString(", ")} FROM $outer o " +
+      s"WHERE (${po.sql}) AND o.$ok ${if (not) "NOT IN" else "IN"} " +
+      s"(SELECT $innerExpr FROM $inner i WHERE (${pl.sql})) " +
+      orderSql(cols0) + " LIMIT 500"
+    FuzzQuery(name, (s, dir) => {
+      Seq(outer, inner).foreach(tn =>
+        read(s, dir, tn).createOrReplaceTempView(tn))
+      s.sql(q)
+    }, q, "in_sub")
+  }
+
+  /** T19: FILTER-clause aggregates — per-aggregate predicates inside one
+    * grouped (or global: the coin-flip branch) scan, Spark's
+    * AggregateExpression-filter path, same text in both engines. Exact
+    * aggregates only per the corpus conventions: COUNT, CAST-widened
+    * integer SUM, MIN/MAX; an unmatched filter yields 0 for COUNT and
+    * NULL for the rest, ordered deterministically by NULLS FIRST. */
+  private def genFilterAgg(r: Random, name: String): FuzzQuery = {
+    val t0 = pick(r, tables.filterNot(_.name == "events"))
+    val p = preds(r, t0)
+    val fp = preds(r, t0)
+    val grouped = r.nextBoolean()
+    val keyPool = t0.cols.filter(c => c.kind != DblK && c.kind != TsNsK).map(_.name)
+    val keys = if (grouped) subset(r, keyPool, 2) else Seq.empty
+    val numInt = t0.cols.filter(c => c.kind == IntK && !keys.contains(c.name))
+    val others = t0.cols.filterNot(c => keys.contains(c.name))
+    val fAggs = Seq.newBuilder[(String, String)]
+    fAggs += (("cnt_f", s"COUNT(*) FILTER (WHERE ${fp.sql}) AS cnt_f"))
+    if (numInt.nonEmpty && r.nextBoolean()) {
+      val c = pick(r, numInt)
+      fAggs += ((s"sumf_${c.name}",
+        s"CAST(SUM(${c.name}) FILTER (WHERE ${fp.sql}) AS BIGINT) AS sumf_${c.name}"))
+    }
+    if (others.nonEmpty && r.nextBoolean()) {
+      val c = pick(r, others)
+      val fn = if (r.nextBoolean()) "MIN" else "MAX"
+      fAggs += ((s"${fn.toLowerCase}f_${c.name}",
+        s"$fn(${c.name}) FILTER (WHERE ${fp.sql}) AS ${fn.toLowerCase}f_${c.name}"))
+    }
+    val as = fAggs.result()
+    val out = keys ++ Seq("cnt") ++ as.map(_._1)
+    val sel = (keys ++ Seq("COUNT(*) AS cnt") ++ as.map(_._2)).mkString(", ")
+    val q = s"SELECT $sel FROM ${t0.name} WHERE ${p.sql} " +
+      (if (grouped) s"GROUP BY ${keys.mkString(", ")} " else "") +
+      orderSql(out) + " LIMIT 500"
+    FuzzQuery(name, (s, dir) => {
+      read(s, dir, t0.name).createOrReplaceTempView(t0.name)
+      s.sql(q)
+    }, q, "filter_agg")
+  }
+
   /** T14: as-of join over the event stream — the j4/j9 family randomized.
     * Each LEFT-type event matches the latest RIGHT-type event at-or-
     * before it (backward; equal ts counts as before) or the earliest
@@ -1006,7 +1082,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(17) match {
+      r.nextInt(19) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1023,7 +1099,9 @@ object Fuzz {
         case 13 => genRollup(r, name)
         case 14 => genAsof(r, name)
         case 15 => genScalarSub(r, name)
-        case _ => genLateral(r, name)
+        case 16 => genLateral(r, name)
+        case 17 => genInSub(r, name)
+        case _ => genFilterAgg(r, name)
       }
     }
   }

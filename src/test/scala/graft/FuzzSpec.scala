@@ -39,11 +39,11 @@ class FuzzSpec extends SparkSpec {
   test("every template and coin-flip branch executes on Spark (sf0.001)") {
     val qs = Fuzz.corpus(42L, 120)
     val byTemplate = qs.groupBy(_.template)
-    // all 17 generator templates must be present in the pinned corpus...
+    // all 19 generator templates must be present in the pinned corpus...
     assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
       "window", "setop", "distinct", "semi_anti",
       "full_join", "join3", "case_str", "session", "hopping", "rollup",
-      "asof", "scalar_sub", "lateral"),
+      "asof", "scalar_sub", "lateral", "in_sub", "filter_agg"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
     // ...and one query per (template, branch) must execute as a Spark
     // plan — a Spark-only planning regression in any generator surfaces
@@ -73,18 +73,28 @@ class FuzzSpec extends SparkSpec {
     // sequential from one RNG) and execute one query per arm so a Spark
     // planning regression in ANY arm fails in-JVM, pin contents
     // notwithstanding
-    val qs = Fuzz.corpus(42L, 240).filter(_.template == "window")
+    // deterministic bounded seed scan: the arm mix per seed reshuffles
+    // whenever a template joins the dispatch (r9's T18/T19 did), so no
+    // single fixed seed is future-proof — accumulate corpora from seeds
+    // 42, 43, … (same every run) until all arms are represented, hard
+    // cap 10 seeds
     val arms = Seq("ROW_NUMBER()", "DENSE_RANK()", "LAG(", "LEAD(",
       "UNBOUNDED PRECEDING", "bounded-frame", "plain-rank")
+    def matches(arm: String, sql: String): Boolean = arm match {
+      case "bounded-frame" =>
+        sql.contains(" PRECEDING AND CURRENT ROW") && !sql.contains("UNBOUNDED")
+      case "plain-rank" =>
+        """(?<!DENSE_)RANK\(\)""".r.findFirstIn(sql).nonEmpty
+      case kw => sql.contains(kw)
+    }
+    val qs = scala.collection.mutable.ArrayBuffer[Fuzz.FuzzQuery]()
+    var seed = 42L
+    while (arms.exists(a => !qs.exists(q => matches(a, q.sql))) && seed < 52L) {
+      qs ++= Fuzz.corpus(seed, 240).filter(_.template == "window")
+      seed += 1
+    }
     arms.foreach { arm =>
-      val q = arm match {
-        case "bounded-frame" => qs.find(q =>
-          q.sql.contains(" PRECEDING AND CURRENT ROW") &&
-            !q.sql.contains("UNBOUNDED"))
-        case "plain-rank" => qs.find(q =>
-          """(?<!DENSE_)RANK\(\)""".r.findFirstIn(q.sql).nonEmpty)
-        case kw => qs.find(_.sql.contains(kw))
-      }
+      val q = qs.find(q => matches(arm, q.sql))
       assert(q.nonEmpty, s"no window query exercises '$arm' in the swept corpora")
       assert(q.get.df(spark, sf).count() >= 0, s"'$arm' query failed to execute")
     }
