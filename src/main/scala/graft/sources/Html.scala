@@ -135,6 +135,27 @@ object Html {
       .toDF("full_date", "prize", "number_value")
   }
 
+  /** Streaming variant of the S1 scan: continuous ingestion of crawl
+    * snapshots as they land — the production upgrade of the reference's
+    * daily pull→CSV→staging chain (P1→P2), collapsed to one always-on
+    * query. Same parse, same schema, same map-only plan per micro-batch
+    * as the batch scan (one code path, batch/stream parity); compose with
+    * `Lottery.transform` downstream — it is pure column maps, so the
+    * whole P1→P3 chain streams unchanged. File-source bookkeeping gives
+    * exactly-once per page file; `maxFilesPerTrigger` bounds micro-batch
+    * size when a backfill drops a month of snapshots at once. */
+  def scanDrawPagesStream(spark: SparkSession, pagesDir: String,
+                          maxFilesPerTrigger: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(pagesDir)
+      .as[String]
+      .flatMap(lotteryRows(_))
+      .toDF("full_date", "prize", "number_value")
+  }
+
   // -------------------------------------------------------- page rendering
 
   /** Render one XSMB-style result page for `date` (dd/MM/yyyy, as the live
