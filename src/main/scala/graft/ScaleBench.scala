@@ -209,10 +209,54 @@ object ScaleBench {
     out.toByteArray
   }
 
-  private[graft] def mediaBlob(id: Long): Array[Byte] = (id % 3) match {
+  private def genGif(id: Long): Array[Byte] = {
+    val w = 24; val h = 24
+    // 4-color palette, literal-code LZW with decoder-synchronized width
+    // growth (the spec-fixture approach): the measurement exercises the
+    // header walk + sub-block gather + LZW decode + palette-compose path
+    val palette = Array(0x000000, 0xff0000, 0x00ff40, 0x4080ff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h); out.write(0x80 | 1); out.write(0); out.write(0)
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(2) // min LZW code size
+    val lzw = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0; var codeSize = 3; var next = 6
+    def put(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { lzw.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+    }
+    put(4) // clear
+    var i = 0; var first = true
+    while (i < w * h) {
+      put((((i % w) + (i / w) * 3 + id) % 4).toInt)
+      if (!first && next < 4096) {
+        next += 1
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+      first = false; i += 1
+    }
+    put(5) // end-of-information
+    if (nbits > 0) lzw.write((cur & 0xff).toInt)
+    val data = lzw.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n); off += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  private[graft] def mediaBlob(id: Long): Array[Byte] = (id % 4) match {
     case 0 => genBmp(id)
     case 1 => genWav(id)
-    case _ => genPng(id)
+    case 2 => genPng(id)
+    case _ => genGif(id)
   }
 
   /** 1% of docs get a shared UNTAGGED 40-token hot phrase appended —
@@ -355,7 +399,7 @@ object ScaleBench {
 
     // "media" mode: decode-tier throughput curve — the one extension
     // tier without one. Synthesizes REAL container bytes in-JVM
-    // (BMP/WAV/PNG round-robin by id, the three pure-JVM decoders —
+    // (BMP/WAV/PNG/GIF round-robin by id, the four pure-JVM decoders —
     // written from the public format layouts like the spec fixtures),
     // localCheckpoints them (generation excluded from the measurement),
     // and times the batched mapPartitions decode stage. The stage is

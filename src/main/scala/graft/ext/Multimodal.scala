@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode / feature
   * extraction runs as a batched per-partition stage.
   *
-  * Three decode paths are REAL, all pure JVM (no codec library):
+  * Four decode paths are REAL, all pure JVM (no codec library):
   * `decodeWav` parses RIFF/WAVE (PCM 16-bit) headers and samples,
-  * `decodeBmp` parses 24-bit Windows bitmaps, and `decodePng` parses
+  * `decodeBmp` parses 24-bit Windows bitmaps, `decodePng` parses
   * 8-bit RGB/RGBA PNGs (zlib IDAT inflated with the JDK's Inflater, all
-  * five row filters defiltered). Anything else falls back to the
+  * five row filters defiltered), and `decodeGif` parses GIF87a/89a
+  * (hand-rolled GIF-LZW, 4-pass interlace, local/global palettes,
+  * first frame of animations). Anything else falls back to the
   * clearly-marked deterministic fake (`fakeDecodeFeatures`'s byte-pair
   * hash), so the dispatch is honest: real where a pure-JVM decoder exists,
   * labeled stand-in elsewhere. Everything around the codec is real and
@@ -328,6 +330,167 @@ object Multimodal {
     Some(Bmp(width, height, ch * 8, pixels))
   }
 
+  // --- real pure-JVM GIF codec ---------------------------------------------
+
+  /** GIF-LZW decompression per the public GIF89a specification appendix:
+    * variable-width codes (minCodeSize+1 … 12 bits, LSB-first within the
+    * concatenated sub-block bytes), CLEAR resets the dictionary, EOI
+    * terminates, dictionary entries are (prefix, suffix) pairs capped at
+    * 4096 with deferred-clear behavior. Truncated bit streams decode what
+    * they can (remaining pixels stay palette index 0 — the degrade-not-die
+    * policy of the other codecs); structurally invalid codes → None. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                        maxPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new Array[Byte](maxPixels)
+    var outLen = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + codeSize > nBits) return -1
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        v |= ((data((bp >> 3).toInt) >> (bp & 7).toInt) & 1) << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    def firstOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    var prev = -1
+    var done = false
+    while (!done && outLen < maxPixels) {
+      val code = readCode()
+      if (code < 0) done = true // truncated stream: keep what decoded
+      else if (code == clear) { codeSize = minCodeSize + 1; next = eoi + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else if (prev < 0) {
+        if (code >= clear) return None // first code must be a literal
+        out(outLen) = code.toByte; outLen += 1
+        prev = code
+      } else if (code > next || (code == next && next >= 4096)) {
+        return None // code beyond the dictionary frontier
+      } else {
+        // expand `code` (or prev+firstOf(prev) for the just-about-to-be-
+        // defined code) onto the stack, emit, then define the new entry
+        var sp = 0
+        var c = if (code == next) { stack(sp) = firstOf(prev); sp += 1; prev }
+                else code
+        while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c.toByte; sp += 1
+        while (sp > 0 && outLen < maxPixels) {
+          sp -= 1; out(outLen) = stack(sp); outLen += 1
+        }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = firstOf(code)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** Parse a GIF (87a/89a) from the public format layout: header +
+    * logical screen descriptor, optional global color table, extension
+    * blocks skipped by their sub-block lengths, then the FIRST image
+    * descriptor (optional local color table, optional 4-pass interlace)
+    * LZW-decoded and composed onto the screen canvas at its (left, top).
+    * Animations decode as their first frame. Returns the same packed
+    * top-down 0xRRGGBB `Bmp` record as the other image codecs
+    * (`bitsPerPixel` = 8: palette-indexed source). Missing color table,
+    * bad LZW structure, or hostile dims (16M-pixel cap, frame outside
+    * the canvas) → None; truncated pixel data degrades to palette-0. */
+  def decodeGif(bytes: Array[Byte]): Option[Bmp] = {
+    if (bytes == null || bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val sw = le16(6); val sh = le16(8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > (1L << 24)) return None
+    val packed = u8(10)
+    var p = 13
+    def colorTable(at: Int, sizeBits: Int): Option[Array[Int]] = {
+      val n = 2 << sizeBits
+      if (at + 3 * n > bytes.length) None
+      else Some(Array.tabulate(n)(i =>
+        (u8(at + 3 * i) << 16) | (u8(at + 3 * i + 1) << 8) | u8(at + 3 * i + 2)))
+    }
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      gct = colorTable(p, packed & 7).getOrElse(return None)
+      p += 3 * (2 << (packed & 7))
+    }
+    while (p < bytes.length) {
+      u8(p) match {
+        case 0x3b => return None // trailer before any image frame
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          p += 2
+          while (p < bytes.length && u8(p) != 0) p += 1 + u8(p)
+          p += 1
+        case 0x2c =>
+          if (p + 10 > bytes.length) return None
+          val ix = le16(p + 1); val iy = le16(p + 3)
+          val iw = le16(p + 5); val ih = le16(p + 7)
+          val ip = u8(p + 9)
+          p += 10
+          var ct = gct
+          if ((ip & 0x80) != 0) {
+            ct = colorTable(p, ip & 7).getOrElse(return None)
+            p += 3 * (2 << (ip & 7))
+          }
+          if (ct == null || iw <= 0 || ih <= 0 ||
+              ix + iw > sw || iy + ih > sh || p >= bytes.length) return None
+          val minCode = u8(p); p += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (p < bytes.length && u8(p) != 0) {
+            val n = u8(p)
+            if (p + 1 + n > bytes.length) return None
+            data.write(bytes, p + 1, n)
+            p += 1 + n
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+            .getOrElse(return None)
+          val pixels = new Array[Int](sw * sh)
+          // 4-pass interlace row order per the spec (rows 0,8,16… then
+          // 4,12…, 2,6…, 1,3,5…); sequential otherwise
+          val rowOrder: Seq[Int] =
+            if ((ip & 0x40) != 0)
+              (0 until ih by 8) ++ (4 until ih by 8) ++
+                (2 until ih by 4) ++ (1 until ih by 2)
+            else 0 until ih
+          var src = 0
+          rowOrder.foreach { destRow =>
+            var x = 0
+            while (x < iw) {
+              val ci = idx(src) & 0xff
+              pixels((iy + destRow) * sw + ix + x) =
+                if (ci < ct.length) ct(ci) else 0
+              src += 1; x += 1
+            }
+          }
+          return Some(Bmp(sw, sh, 8, pixels))
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** The deterministic NON-decode stand-in for formats with no pure-JVM
     * decoder in this container: one float per payload byte pair. */
   private def fakeFeats(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -352,16 +515,17 @@ object Multimodal {
     out.toDF()
   }
 
-  /** Decode → features, batched per partition. WAV, BMP and PNG payloads
-    * (sniffed by their container magic, not trusted metadata) decode for
-    * real via `decodeWav`/`decodeBmp`/`decodePng`; anything else gets the
-    * labeled byte-pair stand-in. Same output contract either way:
-    * (doc_id, features[dim]). */
+  /** Decode → features, batched per partition. WAV, BMP, PNG and GIF
+    * payloads (sniffed by their container magic, not trusted metadata)
+    * decode for real via `decodeWav`/`decodeBmp`/`decodePng`/`decodeGif`;
+    * anything else gets the labeled byte-pair stand-in. Same output
+    * contract either way: (doc_id, features[dim]). */
   def decodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame =
     featureRows(media, dim, bytes =>
       decodeWav(bytes).map(wavFeatures(_, dim))
         .orElse(decodeBmp(bytes).map(bmpFeatures(_, dim)))
         .orElse(decodePng(bytes).map(bmpFeatures(_, dim)))
+        .orElse(decodeGif(bytes).map(bmpFeatures(_, dim)))
         .getOrElse(fakeFeats(bytes, dim)))
 
   /** STUB decode, kept as the explicit non-codec path (and the parity
