@@ -278,10 +278,11 @@ object ScaleBench {
     val textMode = args.contains("text")
     val mediaMode = args.contains("media")
     val incrMode = args.contains("incr")
+    val htmlMode = args.contains("html")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
-          a == "text" || a == "media" || a == "incr")
+          a == "text" || a == "media" || a == "incr" || a == "html")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -392,6 +393,45 @@ object ScaleBench {
           () => Dedup.admitIncremental(batch, store, expectedBatch = 5000L))
         require(nPlain == nBloom,
           s"bloom-pruned admission diverged: $nPlain vs $nBloom")
+      }
+      spark.stop()
+      return
+    }
+
+    // "html" mode: S1 DOM-parse throughput curve — the media-mode
+    // pattern applied to the archived-page source. Full ~27-number
+    // XSMB-style pages rendered in-JVM per id (generation excluded via
+    // localCheckpoint), then the tolerant tag-scanner flatMap timed.
+    // Like decode, the parse is map-only; the claim is per-page cost
+    // flatness as the archive grows 64×.
+    if (htmlMode) {
+      import spark.implicits._
+      for (f <- factors) {
+        val n = 5000L * f
+        val pages = spark.range(0, n, 1, 32).map { id =>
+          val tiers = graft.sources.Html.prizeMappings.map(_._1).zipWithIndex
+            .map { case (cls, t) =>
+              cls -> Seq.tabulate(3)(i =>
+                ((id * 31 + t * 7 + i) % 100000).toString)
+            }
+          graft.sources.Html.renderDrawPage(
+            f"${(id % 28) + 1}%02d/01/2020", tiers)
+        }.toDF("page").localCheckpoint()
+        val totalBytes = pages.agg(sum(length(col("page")))).head.getLong(0)
+        val passes = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val parsed = pages.as[String]
+            .flatMap(graft.sources.Html.lotteryRows(_))
+            .toDF("full_date", "prize", "number_value")
+          parsed.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = passes.min
+        println(s"""{"op":"html_parse","factor":$f,"n_pages":$n,""" +
+          s""""bytes":$totalBytes,"sec":${num(sec)},""" +
+          s""""passes":[${passes.map(num).mkString(",")}],""" +
+          s""""pages_per_s":${num(n / sec)},""" +
+          s""""mb_per_s":${num(totalBytes / 1e6 / sec)}}""")
       }
       spark.stop()
       return

@@ -1007,6 +1007,47 @@ object TextAnalysis extends QModule {
       ORDER BY doc_id
     """)),
 
+    // Token-budget fill: take documents best-quality-first per language
+    // until each language's token budget is spent — the "fill a 10B-token
+    // budget from the best of each domain" step of a curation recipe.
+    // Quality = exact-integer stopword density (floor-e6); the running
+    // token total is an explicit ROWS window so both engines bucket
+    // identically. Scale posture: one per-lang window (sort within
+    // domain, never global); at 100 TB the full sort is replaced by a
+    // two-phase form — approx-quantile the score at budget/total, filter
+    // to survivors (tiny), exact-fill the survivors with this same
+    // window — same output, bounded sort.
+    Q("t_budget_fill", (s, dir) => {
+      import s.implicits._
+      val nTok = size(tokens($"text"))
+      val d = t(s, dir, "documents").select($"doc_id", $"lang",
+        nTok.cast("long").as("n_tok"),
+        floor(hits($"text", enPat) * lit(1e6) / nTok).cast("long").as("score_e6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"score_e6".desc, $"doc_id".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      d.withColumn("cum_tok", sum($"n_tok").over(w))
+        .filter($"cum_tok" <= 2000)
+        .select($"lang", $"doc_id", $"n_tok", $"score_e6", $"cum_tok")
+        .orderBy($"lang", $"score_e6".desc, $"doc_id")
+    }, sql = Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               CAST(floor(length(regexp_extract_all(lower(text), '\b(the|of|and|to|is|a)\b')) * 1e6
+                    / length(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS score_e6
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, n_tok, score_e6,
+               CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY score_e6 DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        FROM d)
+      SELECT lang, doc_id, n_tok, score_e6, cum_tok
+      FROM c WHERE cum_tok <= 2000
+      ORDER BY lang, score_e6 DESC, doc_id
+    """)),
+
     // 8-gram novelty: what fraction of a doc's distinct 8-grams appear
     // here FIRST (min doc_id in id order)? Low novelty = mostly-copied
     // content — the streaming-ingest complement of pairwise dedup. Same
