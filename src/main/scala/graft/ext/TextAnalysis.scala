@@ -207,6 +207,72 @@ object TextAnalysis extends QModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Budget fill, reference form (the `t_budget_fill` shape): per-lang
+    * best-score-first cumulative-token window, keep while the running
+    * total fits `budget`. Input: (doc_id, lang, n_tok, score_e6). */
+  def budgetFill(scored: org.apache.spark.sql.DataFrame,
+                 budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score_e6").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("score_e6"),
+        col("cum_tok"))
+  }
+
+  /** The 100-TB form of `budgetFill`, same output bit-for-bit: instead of
+    * window-sorting EVERY row of every language, find a per-lang score
+    * cut from a tiny score HISTOGRAM (≤101 buckets/lang, map-side
+    * combinable agg), pre-filter to the survivors (≈`slack`× the
+    * budget's token mass plus one bucket of overshoot), then run the
+    * exact window only on them. The cut is the highest bucket whose
+    * best-first cumulative token mass reaches slack×budget, so survivor
+    * mass ≥ budget — or the whole language when it never crosses —
+    * BY CONSTRUCTION; a loud-fail assert keeps that invariant checked
+    * anyway. Bounded sort ⇒ the full-corpus pass is one hash aggregate
+    * over (lang, bucket) and the window touches ~slack·budget tokens
+    * per language regardless of corpus size. */
+  /** Phase 1 of `budgetFillTwoPhase`: the histogram-cut survivor set
+    * (exposed for the equality/pruning spec). */
+  private[graft] def budgetSurvivors(scored: org.apache.spark.sql.DataFrame,
+                                     budget: Long, slack: Long): org.apache.spark.sql.DataFrame = {
+    val target = slack * budget
+    val bucketed = scored
+      .withColumn("bucket", floor(col("score_e6") / 10000L).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tok")).as("b_tok"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cuts = bucketed.withColumn("cum", sum(col("b_tok")).over(wB))
+      .groupBy(col("lang"))
+      .agg(max(when(col("cum") >= target, col("bucket"))).as("crossing_bucket"),
+        min(col("bucket")).as("min_bucket"))
+      .select(col("lang"),
+        (coalesce(col("crossing_bucket"), col("min_bucket")) * 10000L).as("cut"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .filter(col("score_e6") >= col("cut"))
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("score_e6"))
+  }
+
+  def budgetFillTwoPhase(scored: org.apache.spark.sql.DataFrame,
+                         budget: Long, slack: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val survivors = budgetSurvivors(scored, budget, slack)
+    // loud-fail safety: per lang, survivors cover the budget or are all
+    val bad = survivors.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("surv_tok"))
+      .join(scored.groupBy(col("lang")).agg(sum(col("n_tok")).as("lang_tok")),
+        Seq("lang"))
+      .filter(col("surv_tok") < budget && col("surv_tok") < col("lang_tok"))
+      .select(col("lang")).collect()
+    require(bad.isEmpty,
+      s"budgetFillTwoPhase: survivor mass under budget for ${bad.mkString(",")} — raise slack")
+    budgetFill(survivors, budget)
+  }
+
   def qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
     // "token counting" op). Int outputs → exact cross-engine.
@@ -1013,10 +1079,10 @@ object TextAnalysis extends QModule {
     // Quality = exact-integer stopword density (floor-e6); the running
     // token total is an explicit ROWS window so both engines bucket
     // identically. Scale posture: one per-lang window (sort within
-    // domain, never global); at 100 TB the full sort is replaced by a
-    // two-phase form — approx-quantile the score at budget/total, filter
-    // to survivors (tiny), exact-fill the survivors with this same
-    // window — same output, bounded sort.
+    // domain, never global); at 100 TB use `budgetFillTwoPhase` —
+    // histogram-cut the score, exact-fill only the ~2×budget survivors —
+    // same output bit-for-bit (ExtensionSpec pins the equality), bounded
+    // sort.
     Q("t_budget_fill", (s, dir) => {
       import s.implicits._
       val nTok = size(tokens($"text"))

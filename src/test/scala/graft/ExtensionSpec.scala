@@ -321,6 +321,36 @@ class ExtensionSpec extends SparkSpec {
     } finally mixed.unpersist()
   }
 
+  test("two-phase budget fill equals the full-window form bit-for-bit") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val nTok = size(TextAnalysis.tokens($"text"))
+    val scored = docs.select($"doc_id", $"lang",
+      nTok.cast("long").as("n_tok"),
+      floor(TextAnalysis.hits($"text", TextAnalysis.enPat) * lit(1e6) / nTok)
+        .cast("long").as("score_e6")).cache()
+    try {
+      Seq(500L, 2000L, 1000000000L).foreach { budget =>
+        val full = TextAnalysis.budgetFill(scored, budget)
+        val two = TextAnalysis.budgetFillTwoPhase(scored, budget)
+        assert(rows(full) === rows(two), s"budget $budget diverged")
+      }
+      // the histogram cut really prunes: at a small budget the survivor
+      // set the exact window touches is a fraction of the corpus, and
+      // per lang its token mass still covers the budget (the invariant
+      // the loud-fail guards)
+      val total = scored.count()
+      val surv = TextAnalysis.budgetSurvivors(scored, 500L, 2L).cache()
+      try {
+        assert(surv.count() < total / 2,
+          s"two-phase fill kept ${surv.count()} of $total — cut did not prune")
+        val masses = surv.groupBy($"lang").agg(sum($"n_tok").as("m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        masses.foreach { case (l, m) => assert(m >= 500L, s"$l survivor mass $m") }
+      } finally surv.unpersist()
+    } finally scored.unpersist()
+  }
+
   test("exact jaccard agrees with a hand-computed pair") {
     import spark.implicits._
     // doc 1: tokens a..f → shingles {a b c d e, b c d e f}
