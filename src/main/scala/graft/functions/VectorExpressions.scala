@@ -51,19 +51,86 @@ object VectorFunctions {
       s"vec_dot expects 2 arguments, got ${other.size}")
   }
 
+  /** Tuning arguments of the signature functions arrive from SQL as
+    * literals; anything non-foldable is a usage error, rejected here at
+    * plan time rather than at codegen. */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, cls: Class[_], usage: String): ExpressionInfo =
+    new ExpressionInfo(cls.getCanonicalName, null, name, usage,
+      "", "", "", "", "", "", "")
+
+  /** The whole registerable native-function family (the Bloom probe is
+    * excluded: its bound filter object has no SQL literal form). */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (fnId, fnInfo, fnBuilder),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSignature],
+        "_FUNC_(tokens, k, numHashes) - one-pass MinHash signature over k-shingles; null for < k tokens."),
+      {
+        case Seq(t, k, n) =>
+          MinHashSignature(t, intLit(k, "minhash_sig", "k"),
+            intLit(n, "minhash_sig", "numHashes"))
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig expects 3 arguments, got ${other.size}")
+      }),
+    (FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", classOf[SimHashSignature],
+        "_FUNC_(tokens, k, chunks, bitsPerChunk) - one-pass SimHash chunk signature over k-shingles."),
+      {
+        case Seq(t, k, c, b) =>
+          SimHashSignature(t, intLit(k, "simhash_sig", "k"),
+            intLit(c, "simhash_sig", "chunks"),
+            intLit(b, "simhash_sig", "bitsPerChunk"))
+        case other => throw new IllegalArgumentException(
+          s"simhash_sig expects 4 arguments, got ${other.size}")
+      }),
+    (FunctionIdentifier("vec_lsh_sig"),
+      info("vec_lsh_sig", classOf[VectorLshSignature],
+        "_FUNC_(vec, planes, dim) - packed random-hyperplane LSH signature of a float vector."),
+      {
+        case Seq(v, p, d) =>
+          VectorLshSignature(v, intLit(p, "vec_lsh_sig", "planes"),
+            intLit(d, "vec_lsh_sig", "dim"))
+        case other => throw new IllegalArgumentException(
+          s"vec_lsh_sig expects 3 arguments, got ${other.size}")
+      }),
+    (FunctionIdentifier("vec_argmax_cos_e9"),
+      info("vec_argmax_cos_e9", classOf[VectorArgmaxE9Cosine],
+        "_FUNC_(vec, cents) - id of the max-e9-cosine centroid in an array of (centroid_id, centroid, cnorm) structs."),
+      {
+        case Seq(v, c) => VectorArgmaxE9Cosine(v, c)
+        case other => throw new IllegalArgumentException(
+          s"vec_argmax_cos_e9 expects 2 arguments, got ${other.size}")
+      }),
+    (FunctionIdentifier("vec_argmax_dot_i64"),
+      info("vec_argmax_dot_i64", classOf[VectorArgmaxDotLong],
+        "_FUNC_(vec, cents) - id of the max-integer-dot centroid in an array of (centroid_id, ce6) structs."),
+      {
+        case Seq(v, c) => VectorArgmaxDotLong(v, c)
+        case other => throw new IllegalArgumentException(
+          s"vec_argmax_dot_i64 expects 2 arguments, got ${other.size}")
+      }))
+
   /** Imperative registration (safe under any externally-created session —
     * the round driver builds its own SparkSession without extensions). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
-    Shims.registerFunction(spark, fnId, fnInfo, fnBuilder)
+    all.foreach { case (id, inf, b) => Shims.registerFunction(spark, id, inf, b) }
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
-  * makes `vec_dot` available as a SQL function and installs the
+  * makes the full native-function family (`vec_dot`, `minhash_sig`,
+  * `simhash_sig`, `vec_lsh_sig`, `vec_argmax_cos_e9`,
+  * `vec_argmax_dot_i64`) available as SQL functions and installs the
   * edit-distance prefilter optimizer rule in any session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((VectorFunctions.fnId, VectorFunctions.fnInfo,
-      VectorFunctions.fnBuilder))
+    VectorFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

@@ -48,6 +48,42 @@ class VectorExprSpec extends SparkSpec {
     assert(r.forall(_.getDouble(1) > 0.0))
   }
 
+  test("the full native family is SQL-callable and matches the Column API exactly") {
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    // text signatures over real documents
+    val docs = t(spark, dir, "documents").limit(50)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    docs.createOrReplaceTempView("docs_v")
+    val mhSql = spark.sql(
+      "SELECT doc_id, minhash_sig(toks, 5, 16) AS s FROM docs_v ORDER BY doc_id").collect()
+    val mhCol = docs.select(col("doc_id"),
+      VectorFunctions.minhashSig(col("toks"), 5, 16).as("s"))
+      .orderBy(col("doc_id")).collect()
+    assert(mhSql.map(_.toSeq.toList).toSeq === mhCol.map(_.toSeq.toList).toSeq)
+    val shSql = spark.sql(
+      "SELECT doc_id, simhash_sig(toks, 5, 8, 8) AS s FROM docs_v ORDER BY doc_id").collect()
+    val shCol = docs.select(col("doc_id"),
+      VectorFunctions.simhashSig(col("toks"), 5, 8, 8).as("s"))
+      .orderBy(col("doc_id")).collect()
+    assert(shSql.map(_.toSeq.toList).toSeq === shCol.map(_.toSeq.toList).toSeq)
+    // vector signatures over real embeddings
+    val emb = t(spark, dir, "embeddings").limit(50)
+    emb.createOrReplaceTempView("emb_fam_v")
+    val lshSql = spark.sql(
+      "SELECT vec_id, vec_lsh_sig(embedding, 8, 16) AS b FROM emb_fam_v ORDER BY vec_id").collect()
+    val lshCol = emb.select(col("vec_id"),
+      VectorFunctions.vecLshSig(col("embedding"), 8, 16).as("b"))
+      .orderBy(col("vec_id")).collect()
+    assert(lshSql.map(_.toSeq.toList).toSeq === lshCol.map(_.toSeq.toList).toSeq)
+    // non-literal tuning argument is a plan-time usage error, not codegen
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(toks, CAST(doc_id AS INT), 16) FROM docs_v").collect()
+    }
+    assert(err.getMessage.contains("integer literal"),
+      s"unexpected error: ${err.getMessage}")
+  }
+
   test("expression participates in whole-stage codegen (not CodegenFallback)") {
     val e = t(spark, dir, "embeddings")
     val df = e.select(VectorFunctions.vecDot(col("embedding"), col("embedding")).as("n2"))
