@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode / feature
   * extraction runs as a batched per-partition stage.
   *
-  * Four decode paths are REAL, all pure JVM (no codec library):
+  * Five decode paths are REAL, all pure JVM (no external codec library):
   * `decodeWav` parses RIFF/WAVE (PCM 16-bit) headers and samples,
   * `decodeBmp` parses 24-bit Windows bitmaps, `decodePng` parses
   * 8-bit RGB/RGBA PNGs (zlib IDAT inflated with the JDK's Inflater, all
-  * five row filters defiltered), and `decodeGif` parses GIF87a/89a
+  * five row filters defiltered), `decodeGif` parses GIF87a/89a
   * (hand-rolled GIF-LZW, 4-pass interlace, local/global palettes,
-  * first frame of animations). Anything else falls back to the
+  * first frame of animations), and `decodeJpeg` rides the JDK's bundled
+  * ImageIO decoder (the one family where a hand parser is out of
+  * scope). Anything else falls back to the
   * clearly-marked deterministic fake (`fakeDecodeFeatures`'s byte-pair
   * hash), so the dispatch is honest: real where a pure-JVM decoder exists,
   * labeled stand-in elsewhere. Everything around the codec is real and
@@ -491,6 +493,44 @@ object Multimodal {
     None
   }
 
+  // --- JPEG via the JDK's bundled decoder ----------------------------------
+
+  /** Decode a JPEG through `javax.imageio` — the one image family where a
+    * hand parser is out of scope (baseline+progressive Huffman/DCT), and
+    * the JDK ships a decoder, so "no external codec library" still holds.
+    * Sniffed by the FFD8FF magic BEFORE handing bytes to ImageIO (a
+    * non-JPEG must never reach it: the other formats keep their
+    * hand-rolled parsers), dimension-capped like the other codecs, and
+    * any ImageIO failure degrades to None. Returns the shared packed
+    * top-down 0xRRGGBB `Bmp` record. */
+  def decodeJpeg(bytes: Array[Byte]): Option[Bmp] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8 ||
+        (bytes(2) & 0xff) != 0xff) return None
+    val iis = try javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        // header-only dimension read BEFORE full decode — the hostile-
+        // dimension guard must not require decoding the hostile payload
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+        val img = reader.read(0)
+        val pixels = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, pixels, 0, w)
+        var i = 0
+        while (i < pixels.length) { pixels(i) &= 0xffffff; i += 1 }
+        Some(Bmp(w, h, 24, pixels))
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
   /** The deterministic NON-decode stand-in for formats with no pure-JVM
     * decoder in this container: one float per payload byte pair. */
   private def fakeFeats(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -515,17 +555,19 @@ object Multimodal {
     out.toDF()
   }
 
-  /** Decode → features, batched per partition. WAV, BMP, PNG and GIF
-    * payloads (sniffed by their container magic, not trusted metadata)
-    * decode for real via `decodeWav`/`decodeBmp`/`decodePng`/`decodeGif`;
-    * anything else gets the labeled byte-pair stand-in. Same output
-    * contract either way: (doc_id, features[dim]). */
+  /** Decode → features, batched per partition. WAV, BMP, PNG, GIF and
+    * JPEG payloads (sniffed by their container magic, not trusted
+    * metadata) decode for real — the first four via the hand-rolled
+    * parsers, JPEG via the JDK's bundled ImageIO decoder; anything else
+    * gets the labeled byte-pair stand-in. Same output contract either
+    * way: (doc_id, features[dim]). */
   def decodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame =
     featureRows(media, dim, bytes =>
       decodeWav(bytes).map(wavFeatures(_, dim))
         .orElse(decodeBmp(bytes).map(bmpFeatures(_, dim)))
         .orElse(decodePng(bytes).map(bmpFeatures(_, dim)))
         .orElse(decodeGif(bytes).map(bmpFeatures(_, dim)))
+        .orElse(decodeJpeg(bytes).map(bmpFeatures(_, dim)))
         .getOrElse(fakeFeats(bytes, dim)))
 
   /** STUB decode, kept as the explicit non-codec path (and the parity

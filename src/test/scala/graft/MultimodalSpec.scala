@@ -412,6 +412,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got(22L).length === 8)
   }
 
+  test("decodeJpeg: JDK-encoded fixtures decode with exact dims and faithful stats") {
+    val w = 31; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // smooth gradient — survives lossy JPEG with small per-pixel error
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 40 + (x * 4 + y * 2)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos), "JDK JPEG writer unavailable")
+    val got = Multimodal.decodeJpeg(baos.toByteArray).get
+    assert((got.width, got.height, got.bitsPerPixel) === ((w, h, 24)))
+    // lossy but faithful: mean luma within 3 levels of the source mean
+    val srcMean = (for (y <- 0 until h; x <- 0 until w)
+      yield (40 + (x * 4 + y * 2)).toDouble).sum / (w * h)
+    val gotMean = got.pixels.map(p => ((p >> 16) & 0xff).toDouble).sum / (w * h)
+    assert(math.abs(gotMean - srcMean) < 3.0, s"mean $gotMean vs $srcMean")
+    // sniff is magic-exact: JFIF magic mangled → None, not an ImageIO probe
+    val mangled = baos.toByteArray.clone(); mangled(0) = 0x00
+    assert(Multimodal.decodeJpeg(mangled).isEmpty)
+  }
+
+  test("decodeFeatures: JPEG payloads get real image stats through the sniff chain") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(12, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 12) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val fix = Seq((31L, baos.toByteArray)).toDF("doc_id", "media")
+    val feats = Multimodal.decodeFeatures(spark, fix).collect().head.getSeq[Float](1)
+    assert(feats(0) === 12.0f && feats(1) === 9.0f)
+  }
+
   test("ScaleBench media blobs all really decode (no stand-in rows in the curve)") {
     (0L to 7L).foreach { id =>
       val b = graft.ScaleBench.mediaBlob(id)
@@ -433,7 +468,7 @@ class MultimodalSpec extends SparkSpec {
     val rnd = new java.util.Random(42)
     def safe(b: Array[Byte]): Unit = {
       Multimodal.decodeWav(b); Multimodal.decodeBmp(b); Multimodal.decodePng(b)
-      Multimodal.decodeGif(b)
+      Multimodal.decodeGif(b); Multimodal.decodeJpeg(b)
       ()
     }
     for (_ <- 1 to 200) {
