@@ -1005,6 +1005,43 @@ object Fuzz {
     }, q, "filter_agg")
   }
 
+  /** T20: time-bucket aggregation — `date_trunc` grains (year → hour,
+    * including the Monday-anchored week) or a CAST-widened `EXTRACT`
+    * field as the group key, same text through spark.sql and DuckDB over
+    * the timestamp-bearing tables. Calendar semantics (week anchoring,
+    * quarter boundaries, UTC truncation) are a classic silent-divergence
+    * class between engines; the differential pins both to the same
+    * answer. EXTRACT results are CAST AS BIGINT on both sides (DuckDB
+    * widens EXTRACT to BIGINT, Spark to INT — the r4/r5 hash-type
+    * class). */
+  private def genTimeBucket(r: Random, name: String): FuzzQuery = {
+    val (tn, tsCol) = pick(r, Seq(("lineitem", "l_shipdate"), ("orders", "o_orderdate")))
+    val t0 = tbl(tn)
+    val p = preds(r, t0)
+    val useTrunc = r.nextBoolean()
+    // the portable contract the first pin run surfaced: DuckDB returns
+    // DATE for day-or-coarser date_trunc while Spark returns TIMESTAMP —
+    // CAST AS DATE on both; and DOW anchors differently (Spark 1-based
+    // vs DuckDB 0=Sunday), so the day-of-week field is DOY (1-based in
+    // both engines)
+    val bucketSql =
+      if (useTrunc) {
+        val grain = pick(r, Seq("year", "quarter", "month", "week", "day"))
+        s"CAST(date_trunc('$grain', $tsCol) AS DATE)"
+      } else {
+        val field = pick(r, Seq("YEAR", "QUARTER", "MONTH", "DAY", "DOY"))
+        s"CAST(EXTRACT($field FROM $tsCol) AS BIGINT)"
+      }
+    val as = aggs(r, t0, Set(tsCol))
+    val out = Seq("bucket") ++ as.map(_.name)
+    val q = s"SELECT $bucketSql AS bucket, ${as.map(_.sql).mkString(", ")} " +
+      s"FROM $tn WHERE ${p.sql} GROUP BY bucket " + orderSql(out)
+    FuzzQuery(name, (s, dir) => {
+      read(s, dir, tn).createOrReplaceTempView(tn)
+      s.sql(q)
+    }, q, "time_bucket")
+  }
+
   /** T14: as-of join over the event stream — the j4/j9 family randomized.
     * Each LEFT-type event matches the latest RIGHT-type event at-or-
     * before it (backward; equal ts counts as before) or the earliest
@@ -1082,7 +1119,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(19) match {
+      r.nextInt(20) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1101,7 +1138,8 @@ object Fuzz {
         case 15 => genScalarSub(r, name)
         case 16 => genLateral(r, name)
         case 17 => genInSub(r, name)
-        case _ => genFilterAgg(r, name)
+        case 18 => genFilterAgg(r, name)
+        case _ => genTimeBucket(r, name)
       }
     }
   }
