@@ -92,6 +92,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got.contains(201L), "clean doc was dropped")
   }
 
+  test("UPSTREAM CANARY: Spark's EXTRACT/date_trunc calendar anchors (the T20 contract)") {
+    // The two cross-engine divergences the T20 pin run surfaced, frozen
+    // as Spark-side facts so an upgrade that silently moves either fails
+    // HERE, not as a scattered fuzz mismatch: (a) Spark EXTRACT(DOW)
+    // anchors Sunday=1 where DuckDB anchors Sunday=0 (T20 uses DOY,
+    // 1-based in both); (b) Spark date_trunc returns TIMESTAMP at every
+    // grain where DuckDB returns DATE for day-or-coarser (T20 CASTs to
+    // DATE on both sides). Week anchoring (Monday) agrees and is pinned
+    // too — 2024-01-07 is a Sunday, so its week starts 2024-01-01.
+    val r = spark.sql(
+      "SELECT CAST(EXTRACT(DOW FROM DATE '2024-01-07') AS INT) AS dow, " +
+        "CAST(EXTRACT(DOY FROM DATE '2024-01-07') AS INT) AS doy, " +
+        "date_trunc('day', TIMESTAMP '2024-01-07 10:00:00') AS d, " +
+        "CAST(date_trunc('week', TIMESTAMP '2024-01-07 10:00:00') AS DATE) AS wk").head
+    assert(r.getInt(0) === 1, "Spark DOW anchor moved (was Sunday=1)")
+    assert(r.getInt(1) === 7, "DOY is 1-based in both engines")
+    assert(r.get(2).isInstanceOf[java.sql.Timestamp],
+      "Spark date_trunc('day') stopped returning TIMESTAMP")
+    assert(r.getDate(3).toString === "2024-01-01", "Monday week anchor moved")
+  }
+
   test("UPSTREAM CANARY: rollup/cube over EMPTY input emits NO grand-total row") {
     // The SQL standard (and DuckDB) emit the empty grouping set as one
     // all-NULL row with COUNT(*)=0 even when the input is empty — the
