@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Functions,
     sources.UpsertQueries,
     sources.HtmlQueries,
+    sources.CsvQueries,
     ext.TextAnalysis,
     ext.DedupQueries,
     ext.SimilarityQueries,
