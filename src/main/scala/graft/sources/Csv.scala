@@ -59,6 +59,28 @@ object CsvQueries extends QModule {
              lpad(CAST((n_nationkey % 28) + 1 AS VARCHAR), 2, '0') || '-03-2024' AS full_date
       FROM nation
       ORDER BY number_value
+    """)),
+
+    // K1 CSV writer as a driver-oracled round-trip (it was spec-only:
+    // IoSpec's quoting/BOM round-trips): the ENGINE writes the dim as a
+    // header CSV directory (distributed write, one file per partition —
+    // StagingDW's CsvLoader consumes exactly this layout), reads it back
+    // through the schema'd directory scan, and the oracle recomputes
+    // from the parquet source — writer quoting, header, and type
+    // round-trip all sit inside the hash.
+    Q("k1_csv_write_scan", (s, dir) => {
+      import s.implicits._
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_k1_csv_$safe"
+      if (!new java.io.File(path).exists())
+        t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+          .write.mode("ignore").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(path)
+        .orderBy($"n_nationkey")
+    }, sql = Some("""
+      SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
     """))
   )
 }
