@@ -273,6 +273,31 @@ object TextAnalysis extends QModule {
     budgetFill(survivors, budget)
   }
 
+  /** The mixture-sampling admission shared by `t_mixture_sample` and
+    * `t_mixture_interleave` (see the former's Q comment for the recipe
+    * and exactness argument). Returns the admitted docs with their lang,
+    * exact token count, and the per-lang admission threshold. */
+  private def mixtureAdmitted(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = when($"lang" === "en", 400).when($"lang" === "zh", 200)
+      .when($"lang" === "de", 150).when($"lang" === "fr", 150)
+      .otherwise(100)
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
+    val perLang = docs.groupBy($"lang")
+      .agg(sum($"n_tok").as("t_l"))
+      .withColumn("w_l", w.cast("double"))
+      .withColumn("ratio", $"t_l".cast("double") / $"w_l")
+    val m = perLang.agg(min($"ratio").as("m"))
+    val thresh = perLang.crossJoin(broadcast(m))
+      .select($"lang",
+        floor(lit(1e6) * $"m" * $"w_l" / $"t_l".cast("double"))
+          .cast("long").as("tau"))
+    docs.join(broadcast(thresh), Seq("lang"))
+      .filter(pmod($"doc_id" * lit(2654435761L), lit(1000000L)) < $"tau")
+  }
+
   def qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens + BPE-ish lexer tokens (north-star
     // "token counting" op). Int outputs → exact cross-engine.
@@ -1031,27 +1056,11 @@ object TextAnalysis extends QModule {
     // admission is a map-side filter on the scan — the 100 TB shape.
     // Double math (ratio, min, τ) is division-then-floor on exact integer
     // token counts, expression-identical in both engines → bit-stable.
-    Q("t_mixture_sample", (s, dir) => {
-      import s.implicits._
-      val w = when($"lang" === "en", 400).when($"lang" === "zh", 200)
-        .when($"lang" === "de", 150).when($"lang" === "fr", 150)
-        .otherwise(100)
-      val docs = t(s, dir, "documents")
-        .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
-      val perLang = docs.groupBy($"lang")
-        .agg(sum($"n_tok").as("t_l"))
-        .withColumn("w_l", w.cast("double"))
-        .withColumn("ratio", $"t_l".cast("double") / $"w_l")
-      val m = perLang.agg(min($"ratio").as("m"))
-      val thresh = perLang.crossJoin(broadcast(m))
-        .select($"lang",
-          floor(lit(1e6) * $"m" * $"w_l" / $"t_l".cast("double"))
-            .cast("long").as("tau"))
-      docs.join(broadcast(thresh), Seq("lang"))
-        .filter(pmod($"doc_id" * lit(2654435761L), lit(1000000L)) < $"tau")
-        .select($"doc_id", $"lang", $"n_tok", $"tau")
-        .orderBy($"doc_id")
-    }, sql = Some("""
+    Q("t_mixture_sample", (s, dir) =>
+      mixtureAdmitted(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("tau"))
+        .orderBy(col("doc_id")),
+    sql = Some("""
       WITH docs AS (
         SELECT doc_id, lang,
                CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
@@ -1071,6 +1080,58 @@ object TextAnalysis extends QModule {
       FROM docs JOIN thresh ON docs.lang = thresh.lang
       WHERE (doc_id * 2654435761) % 1000000 < tau
       ORDER BY doc_id
+    """)),
+
+    // Training-order interleave over the mixed corpus: the admitted docs
+    // of each language are ranked (rn, by doc_id) and given the exact
+    // integer key rn·(LCM/w_l) — LCM(400,200,150,100)=1200, so en docs
+    // land every 3 key units, zh every 6, de/fr every 8, es every 12 —
+    // the smooth weight-proportional schedule a training loader wants
+    // (never a long monolingual run), deterministic and resumable from
+    // any key offset. Scale posture: per-lang window for rn (same
+    // shuffle the admission already keys), pure map for the key; the
+    // global ORDER BY is oracle presentation — production writes
+    // key-sorted WITHIN shards and merge-reads, never a global sort.
+    Q("t_mixture_interleave", (s, dir) => {
+      import s.implicits._
+      val k = when($"lang" === "en", 3L).when($"lang" === "zh", 6L)
+        .when($"lang" === "de", 8L).when($"lang" === "fr", 8L)
+        .otherwise(12L)
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")).cast("long")
+      mixtureAdmitted(s, dir)
+        .withColumn("rn", rn)
+        .select($"lang", $"doc_id", $"rn", ($"rn" * k).as("ikey"))
+        .orderBy($"ikey", $"lang", $"doc_id")
+    }, sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, lang,
+               CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      per_lang AS (
+        SELECT lang, SUM(n_tok) AS t_l,
+               CAST(CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 200
+                    WHEN 'de' THEN 150 WHEN 'fr' THEN 150 ELSE 100 END AS DOUBLE) AS w_l
+        FROM docs GROUP BY lang),
+      scaled AS (
+        SELECT MIN(CAST(t_l AS DOUBLE) / w_l) AS m FROM per_lang),
+      thresh AS (
+        SELECT lang,
+               CAST(floor(1000000.0 * m * w_l / CAST(t_l AS DOUBLE)) AS BIGINT) AS tau
+        FROM per_lang CROSS JOIN scaled),
+      admitted AS (
+        SELECT doc_id, docs.lang
+        FROM docs JOIN thresh ON docs.lang = thresh.lang
+        WHERE (doc_id * 2654435761) % 1000000 < tau),
+      ranked AS (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+        FROM admitted)
+      SELECT lang, doc_id, rn,
+             rn * CAST(CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 6
+                  WHEN 'de' THEN 8 WHEN 'fr' THEN 8 ELSE 12 END AS BIGINT) AS ikey
+      FROM ranked
+      ORDER BY ikey, lang, doc_id
     """)),
 
     // Token-budget fill: take documents best-quality-first per language

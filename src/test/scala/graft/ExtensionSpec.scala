@@ -321,6 +321,28 @@ class ExtensionSpec extends SparkSpec {
     } finally mixed.unpersist()
   }
 
+  test("mixture interleave: weight-proportional schedule with no monolingual blocks") {
+    val il = graft.ext.TextAnalysis.qs.find(_.name == "t_mixture_interleave").get
+      .fn(spark, dir).collect()
+    val langs = il.map(_.getString(0))
+    // the whole point of the key schedule: a training loader never sees a
+    // long single-language block (a naive lang-ordered concat would be
+    // hundreds long here; the tail where other langs are exhausted is the
+    // only place short runs appear)
+    var maxRun = 1; var run = 1
+    for (i <- 1 until langs.length) {
+      if (langs(i) == langs(i - 1)) { run += 1; maxRun = math.max(maxRun, run) }
+      else run = 1
+    }
+    assert(maxRun <= 16, s"monolingual run of $maxRun in the interleave")
+    // weight proportions hold in the steady-state prefix: en (w=400,
+    // key step 3) outnumbers es (w=100, step 12) by roughly 4x
+    val head = langs.take(200)
+    val en = head.count(_ == "en").toDouble
+    val es = math.max(1, head.count(_ == "es")).toDouble
+    assert(en / es >= 2.0 && en / es <= 8.0, s"en/es ratio ${en / es}")
+  }
+
   test("two-phase budget fill equals the full-window form bit-for-bit") {
     import spark.implicits._
     import graft.ext.TextAnalysis
