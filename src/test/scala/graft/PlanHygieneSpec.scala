@@ -416,7 +416,7 @@ class PlanHygieneSpec extends SparkSpec {
     "x15_percent_render",
     // 1-row min-token-ratio scalar broadcast under the per-lang
     // admission thresholds (|langs|-row build side; doc join is equi)
-    "t_mixture_sample",
+    "t_mixture_sample", "t_mixture_interleave",
     // 1-row vocab-size broadcast under the smoothed-bigram scoring join
     "t_lm_perplexity")
 
