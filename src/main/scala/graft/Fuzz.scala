@@ -1005,6 +1005,35 @@ object Fuzz {
     }, q, "filter_agg")
   }
 
+  /** T21: EXISTS as a *projected* boolean — `SELECT …, [NOT] EXISTS(…)
+    * AS has_match` rather than a WHERE gate (T7's shape). Projected
+    * existential subqueries decorrelate to a LEFT OUTER existence join
+    * (a different planner path from the semi/anti rewrite), and the
+    * emitted boolean participates in ordering/hashing — same text
+    * through spark.sql and DuckDB over the portable pair list. */
+  private def genExistsProj(r: Random, name: String): FuzzQuery = {
+    val pairs = Seq(
+      ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+      ("customer", "orders", "c_custkey", "o_custkey"),
+      ("part", "lineitem", "p_partkey", "l_partkey"),
+      ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+      ("nation", "customer", "n_nationkey", "c_nationkey"))
+    val (outer, inner, ok, fk) = pick(r, pairs)
+    val po = preds(r, tbl(outer))
+    val pl = preds(r, tbl(inner))
+    val not = if (r.nextBoolean()) "NOT " else ""
+    val cols0 = subset(r, tbl(outer).cols.map(_.name), 3)
+    val out = cols0 :+ "has_match"
+    val q = s"SELECT ${cols0.mkString(", ")}, " +
+      s"${not}EXISTS (SELECT 1 FROM $inner i WHERE i.$fk = o.$ok AND (${pl.sql})) AS has_match " +
+      s"FROM $outer o WHERE (${po.sql}) " + orderSql(out) + " LIMIT 500"
+    FuzzQuery(name, (s, dir) => {
+      Seq(outer, inner).foreach(tn =>
+        read(s, dir, tn).createOrReplaceTempView(tn))
+      s.sql(q)
+    }, q, "exists_proj")
+  }
+
   /** T20: time-bucket aggregation — `date_trunc` grains (year → hour,
     * including the Monday-anchored week) or a CAST-widened `EXTRACT`
     * field as the group key, same text through spark.sql and DuckDB over
@@ -1119,7 +1148,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(20) match {
+      r.nextInt(21) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1139,7 +1168,8 @@ object Fuzz {
         case 16 => genLateral(r, name)
         case 17 => genInSub(r, name)
         case 18 => genFilterAgg(r, name)
-        case _ => genTimeBucket(r, name)
+        case 19 => genTimeBucket(r, name)
+        case _ => genExistsProj(r, name)
       }
     }
   }
