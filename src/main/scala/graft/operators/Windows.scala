@@ -228,8 +228,8 @@ object Windows extends QModule {
     // functions of the FULL partition, so the drk<=3 limit cannot push
     // below the window (contrast w4/w5/r6, where WindowGroupLimit keeps
     // k rows per task) and each of the ~5 segments sorts in one task.
-    // Fine for function coverage; at 100 TB compute rank positions from
-    // mergeable per-segment counts instead (the w6 two-pass rank pattern).
+    // Fine for function coverage; the 100-TB form is SHIPPED as w8b below
+    // (rank positions from mergeable per-segment counts).
     Q("w8_rank_family", (s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment")
@@ -256,6 +256,58 @@ object Windows extends QModule {
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)) t
       WHERE drk <= 3 ORDER BY c_mktsegment, drk, c_custkey
+    """)),
+
+    // W8b: the SAME rank family with NO per-row window — the 100-TB form
+    // of w8, retiring its scale note the way w6's two-pass ntile retired
+    // w6b. rank / dense_rank / percent_rank / cume_dist over (PARTITION BY
+    // segment ORDER BY value) are all functions of the per-(segment,value)
+    // row COUNTS, which are mergeable: one map-side-combined hash agg
+    // builds the distinct-value counts table, whose size is bounded by the
+    // VALUE DOMAIN (≤1.1M distinct cents per segment for acctbal), not by
+    // corpus rows — so the per-segment prefix window over it is safe at
+    // any fact scale (and if the domain were unbounded, the w6 bucket-
+    // offset trick applies at this level too). From the running count:
+    //   rank       = cum - c + 1          (ties share the minimal position)
+    //   dense_rank = position among distinct values
+    //   percent_rank = (rank-1)/(n-1), cume_dist = cum/n  (exact-int IEEE
+    //   divisions, hash-stable cross-engine)
+    // The top-k limit prunes AT THE DISTINCT-VALUE LEVEL (drk<=3 keeps ≤3
+    // rows per segment in the counts table) BEFORE touching fact rows —
+    // the pushdown w8's full-partition functions structurally cannot do —
+    // and the pruned table broadcasts, so fact rows are never shuffled or
+    // sorted: one scan + one hash agg + a broadcast-hash join.
+    Q("w8b_rank_from_counts", (s, dir) => {
+      import s.implicits._
+      val wseg = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc)
+      val cnts = t(s, dir, "customer")
+        .groupBy($"c_mktsegment", $"c_acctbal")
+        .agg(count(lit(1)).as("c"))
+      val ranked = cnts
+        .withColumn("cum", sum($"c").over(
+          wseg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"c_mktsegment")))
+        .withColumn("rnk", $"cum" - $"c" + 1)
+        .withColumn("drk", row_number().over(wseg).cast("long"))
+        .filter($"drk" <= 3)
+      t(s, dir, "customer")
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+        .join(broadcast(ranked), Seq("c_mktsegment", "c_acctbal"))
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+          $"rnk", $"drk",
+          (($"rnk" - 1).cast("double") / ($"n" - 1).cast("double")).as("prk"),
+          ($"cum".cast("double") / $"n".cast("double")).as("cd"))
+        .orderBy($"c_mktsegment", $"c_acctbal".desc, $"c_custkey")
+    }, sql = Some("""
+      SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drk, prk, cd FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drk,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)) t
+      WHERE drk <= 3 ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
     """)),
 
     // W10: RANGE frame (value-based window, vs W7's ROWS frame): for each

@@ -121,6 +121,26 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("ntile("), "monolithic ntile crept back:\n" + p)
   }
 
+  test("w8b: rank-from-counts never windows or shuffles the fact side") {
+    // the windows live on the distinct-value counts table (domain-bounded);
+    // the fact side must reach the join via a straight scan + broadcast —
+    // no Window above the probe side, no SortMergeJoin, no global window.
+    val p = planOf("w8b_rank_from_counts").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      "pruned counts table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "fact side shuffled for the rank join:\n" + p)
+    assert("""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isEmpty,
+      "single-partition window crept into w8b:\n" + p)
+    // exactly the three count-table windows (cum, n, row_number) — every
+    // one keyed by segment — and the drk<=3 prune must bound the
+    // row_number via WindowGroupLimit before the final window pass
+    val wins = "Window \\[".r.findAllIn(p).length
+    assert(wins <= 3, s"expected <=3 Window nodes over the counts table, saw $wins:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "distinct-value top-k prune not pushed below the window:\n" + p)
+  }
+
   test("sim_ann_join: both per-query rank filters bound their windows via WindowGroupLimit") {
     // the probe-selection window (rank<=nprobe) and the final top-k
     // window (rank<=k) must each be bounded below the shuffle — a
