@@ -1211,6 +1211,77 @@ object TextAnalysis extends QModule {
              CAST(floor(COALESCE(n.n_novel, 0) * 1e6 / p.n_grams) AS BIGINT) AS novelty_e6
       FROM per p LEFT JOIN novel n ON p.doc_id = n.doc_id
       ORDER BY p.doc_id
+    """)),
+
+    // Leakage-safe train/val/test split: t_split_assign hashes the DOC id,
+    // which lets two near-duplicate documents straddle train and test —
+    // the classic silent eval-contamination path (a test doc's near-copy
+    // in train inflates every benchmark). Here the split hashes the
+    // near-dup CLUSTER representative instead (dedup_clusters' min-id
+    // rep; singletons are their own rep), so by construction no Jaccard
+    // edge can cross a split boundary: same cluster → same rep → same
+    // md5 slot → same split. Scale: the rep table is bounded by docs
+    // that appear in some near-dup pair (usually a small corpus
+    // fraction), joined back on doc_id — one shuffle join, or broadcast
+    // when AQE sees it small; everything upstream rides the capped
+    // jaccardPairs inverted index. The oracle replays the full chain,
+    // recursive-CTE closure included, then re-derives the same md5 slot.
+    Q("t_leakage_split", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val reps = Dedup.dupClusters(
+        Dedup.jaccardPairs(docs.select($"doc_id", $"text")))
+        .select($"doc_id", $"rep_id")
+      docs.join(reps, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce($"rep_id", $"doc_id"))
+        .withColumn("slot", conv(substring(md5($"rep".cast("string")
+          .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
+        .withColumn("split",
+          when($"slot" < 80, "train").when($"slot" < 90, "val")
+            .otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"rep").as("n_clusters"),
+          sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_doc_id"))
+        .orderBy($"lang", $"split")
+    }, sql = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM docs, UNNEST(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+      idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+      cand AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT doc_i, doc_j FROM cand
+        JOIN sizes si ON si.doc_id = doc_i
+        JOIN sizes sj ON sj.doc_id = doc_j
+        WHERE shared * 10 >= (si.n_sh + sj.n_sh - shared) * 3),
+      edges AS (SELECT doc_i AS a, doc_j AS b FROM jp
+                UNION ALL SELECT doc_j, doc_i FROM jp),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id FROM reach GROUP BY a),
+      assigned AS (
+        SELECT d.lang, d.n_chars, d.doc_id,
+               COALESCE(r.rep_id, d.doc_id) AS rep,
+               ('0x' || substr(md5(CAST(COALESCE(r.rep_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 AS slot
+        FROM documents d LEFT JOIN rep r USING (doc_id))
+      SELECT lang,
+             CASE WHEN slot < 80 THEN 'train'
+                  WHEN slot < 90 THEN 'val' ELSE 'test' END AS split,
+             COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_clusters,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(doc_id) AS min_doc_id
+      FROM assigned GROUP BY 1, 2 ORDER BY lang, split
     """))
   )
 }

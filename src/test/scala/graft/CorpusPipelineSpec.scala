@@ -107,4 +107,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value === langFiles,
       "scan read more files than the selected language partition holds")
   }
+
+  test("t_leakage_split: no near-dup edge straddles a split; doc-hash split would leak") {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_i"), col("doc_j")).cache()
+    assert(pairs.count() > 0, "corpus lost its planted near-dup pairs")
+
+    def splitOf(keyCol: org.apache.spark.sql.Column) = {
+      val slot = conv(substring(md5(keyCol.cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long") % 100
+      when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+    }
+    // cluster-rep assignment (the t_leakage_split rule, per doc)
+    val byRep = docs
+      .join(Dedup.dupClusters(
+        Dedup.jaccardPairs(docs.select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep_id"), col("doc_id")))
+      .select(col("doc_id"), splitOf(col("rep")).as("split"))
+    val leakSafe = pairs
+      .join(byRep.withColumnRenamed("doc_id", "doc_i")
+        .withColumnRenamed("split", "si"), Seq("doc_i"))
+      .join(byRep.withColumnRenamed("doc_id", "doc_j")
+        .withColumnRenamed("split", "sj"), Seq("doc_j"))
+    assert(leakSafe.filter(col("si") =!= col("sj")).count() === 0,
+      "a near-dup pair straddles train/val/test under the cluster-rep split")
+
+    // the guard is non-vacuous: the naive doc-id-hash split (the
+    // t_split_assign rule) DOES put near-dup pairs across splits on this
+    // exact corpus (12 of 28 pairs at sf0.001, deterministic seed)
+    val byDoc = docs.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    val leakNaive = pairs
+      .join(byDoc.withColumnRenamed("doc_id", "doc_i")
+        .withColumnRenamed("split", "si"), Seq("doc_i"))
+      .join(byDoc.withColumnRenamed("doc_id", "doc_j")
+        .withColumnRenamed("split", "sj"), Seq("doc_j"))
+      .filter(col("si") =!= col("sj")).count()
+    assert(leakNaive > 0,
+      "expected the doc-hash split to leak on this corpus — fixture drifted")
+  }
 }
