@@ -317,10 +317,9 @@ object Windows extends QModule {
     // frame sum are exact in both engines — peers with equal cents get
     // identical frame results, making range semantics deterministic.
     // SCALE NOTE (w6 caveat class, also applies to w11): ~5 priority
-    // strata each sort in one task. RANGE-frame semantics demo; at 100 TB
-    // a trailing value band becomes the j5 banded equi-join (band key =
-    // cents div width, join adjacent bands, residual range filter) —
-    // shuffle-parallel in the number of bands, identical result.
+    // strata each sort in one task. RANGE-frame semantics demo; the
+    // 100-TB form is SHIPPED as w10b below (banded prefixes + as-of
+    // merge, shuffle-parallel in the number of bands, identical result).
     Q("w10_range_frame", (s, dir) => {
       import s.implicits._
       val cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
@@ -330,6 +329,84 @@ object Windows extends QModule {
         .select($"o_orderkey", $"o_orderpriority", cents.as("cents"))
         .withColumn("band_orders", count(lit(1)).over(w))
         .withColumn("band_cents", sum($"cents").over(w))
+        .orderBy($"o_orderpriority", $"cents", $"o_orderkey")
+    }, sql = Some("""
+      SELECT o_orderkey, o_orderpriority, cents,
+             COUNT(*) OVER w AS band_orders,
+             CAST(SUM(cents) OVER w AS BIGINT) AS band_cents
+      FROM (SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders) t
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+                   RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderpriority, cents, o_orderkey
+    """)),
+
+    // W10b: the SAME trailing-RANGE-frame result computed DISTRIBUTED —
+    // the 100-TB form of w10, retiring its scale note the way w8b retired
+    // w8's. Key fact: a trailing frame of width exactly W, banded by
+    // band = cents div W, spans at most the probe's own band (prefix up
+    // to its value) plus ONE neighbor band (suffix from the threshold) —
+    // so the full-partition window decomposes into per-(priority, band)
+    // pieces, shuffle-parallel in the number of bands:
+    //   1. one hash agg builds per-(priority, band) DISTINCT-VALUE
+    //      running prefixes (count + sum), windows keyed by (prio, band);
+    //   2. in-band term: probes equi-join their own (prio, band, cents)
+    //      prefix row — peers included, matching RANGE's <= semantics;
+    //   3. neighbor term: tot(band-1) minus the strict-below prefix at
+    //      threshold c-W, found by an AS-OF MERGE — union the neighbor
+    //      band's prefix rows with probe lookups at v = c-W-1 (integer
+    //      strictness), running last() per (prio, band). A probe whose
+    //      threshold undercuts the neighbor band floor naturally reads
+    //      NULL → 0 → whole neighbor band in frame (the c == band*W edge).
+    // No pair materialization anywhere (the naive banded self-join is
+    // O(sum of frame sizes) — quadratic in band density); this is
+    // O(n log n) within bands with ~55 bands/priority at any corpus
+    // size. Hash-identical to w10's single-window oracle.
+    Q("w10b_band_frame", (s, dir) => {
+      import s.implicits._
+      val W = 1000000L
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("band", expr("cents div 1000000"))
+      val wb = Window.partitionBy($"o_orderpriority", $"band")
+        .orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = o.groupBy($"o_orderpriority", $"band", $"cents")
+        .agg(count(lit(1)).as("c"), sum($"cents").as("sc"))
+        .withColumn("cum_c", sum($"c").over(wb))
+        .withColumn("cum_s", sum($"sc").over(wb))
+      val tot2 = cum.groupBy($"o_orderpriority", $"band")
+        .agg(max($"cum_c").as("tot_c"), max($"cum_s").as("tot_s"))
+        .withColumnRenamed("band", "lb")
+      val inBand = o.join(
+        cum.select($"o_orderpriority", $"band", $"cents", $"cum_c", $"cum_s"),
+        Seq("o_orderpriority", "band", "cents"))
+      val cumRows = cum.select($"o_orderpriority", $"band".as("lb"),
+        $"cents".as("v"), lit(0).as("is_probe"),
+        lit(null).cast("long").as("o_orderkey"),
+        $"cum_c".as("bc"), $"cum_s".as("bs"))
+      val probeRows = o.select($"o_orderpriority", ($"band" - 1).as("lb"),
+        ($"cents" - W - 1).as("v"), lit(1).as("is_probe"), $"o_orderkey",
+        lit(null).cast("long").as("bc"), lit(null).cast("long").as("bs"))
+      val wU = Window.partitionBy($"o_orderpriority", $"lb")
+        .orderBy($"v", $"is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val below = cumRows.unionByName(probeRows)
+        .withColumn("below_c", last($"bc", ignoreNulls = true).over(wU))
+        .withColumn("below_s", last($"bs", ignoreNulls = true).over(wU))
+        .filter($"is_probe" === 1)
+        .select($"o_orderkey", $"o_orderpriority", $"lb",
+          $"below_c", $"below_s")
+      val neigh = below.join(broadcast(tot2), Seq("o_orderpriority", "lb"), "left")
+        .select($"o_orderkey", $"o_orderpriority",
+          (coalesce($"tot_c", lit(0L)) - coalesce($"below_c", lit(0L))).as("n_c"),
+          (coalesce($"tot_s", lit(0L)) - coalesce($"below_s", lit(0L))).as("n_s"))
+      inBand.join(neigh, Seq("o_orderkey", "o_orderpriority"))
+        .select($"o_orderkey", $"o_orderpriority", $"cents",
+          ($"cum_c" + $"n_c").as("band_orders"),
+          ($"cum_s" + $"n_s").as("band_cents"))
         .orderBy($"o_orderpriority", $"cents", $"o_orderkey")
     }, sql = Some("""
       SELECT o_orderkey, o_orderpriority, cents,

@@ -141,6 +141,19 @@ class PlanHygieneSpec extends SparkSpec {
       "distinct-value top-k prune not pushed below the window:\n" + p)
   }
 
+  test("w10b: distributed RANGE frame — every window keyed, no cartesian, no pair blow-up") {
+    // w10's single-window form sorts each priority stratum in one task;
+    // w10b must keep every Window node keyed by (priority, band) and
+    // combine via joins — never a partition-wide window or a cross join.
+    val p = planOf("w10b_band_frame").split("== Initial Plan ==").head
+    assert("""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isEmpty,
+      "single-partition window crept into w10b:\n" + p)
+    assert("""Window \[[^\]]*\], \[o_orderpriority""".r.findFirstIn(p).isDefined,
+      "expected (priority, band)-keyed windows:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banded frame degraded to a pair join:\n" + p)
+  }
+
   test("sim_ann_join: both per-query rank filters bound their windows via WindowGroupLimit") {
     // the probe-selection window (rank<=nprobe) and the final top-k
     // window (rank<=k) must each be bounded below the shuffle — a
