@@ -47,6 +47,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (decode tier: synthesized BMP/WAV/PNG throughput)
   *        runMain graft.ScaleBench [sfDir] incr [factors...]
   *                        (incremental admission: plain vs bloom-pruned)
+  *        runMain graft.ScaleBench [sfDir] frame [factors...]
+  *                        (RANGE frame: w10 single-window vs w10b banded)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -279,10 +281,12 @@ object ScaleBench {
     val mediaMode = args.contains("media")
     val incrMode = args.contains("incr")
     val htmlMode = args.contains("html")
+    val frameMode = args.contains("frame")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
-          a == "text" || a == "media" || a == "incr" || a == "html")
+          a == "text" || a == "media" || a == "incr" || a == "html" ||
+          a == "frame")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -317,6 +321,35 @@ object ScaleBench {
         s""""sec":${num(best._1)},"passes":[${passes.map(p => num(p._1)).mkString(",")}],""" +
         s""""cardinality":$card,"shuffle_write_bytes":${best._2},""" +
         s""""shuffle_write_records":${best._3}}""")
+    }
+
+    // "frame" mode: the w10-vs-w10b curve — the per-priority single-
+    // window RANGE frame against the banded-prefix + as-of-merge form,
+    // over ×factor replicated orders (keys shifted per copy; cents
+    // distribution preserved, so band populations — the frame op's real
+    // load — grow linearly). The window form serializes each of the ~5
+    // priority strata through one sort task regardless of factor; the
+    // banded form stays shuffle-parallel in (priority, band). Identical
+    // output (the w10b oracle pins bit-equality at both gated SFs).
+    if (frameMode) {
+      val baseOrders = Tables.t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      factors.foreach { f =>
+        val o = (0 until f).map(k => baseOrders.withColumn("o_orderkey",
+            col("o_orderkey") + lit(k.toLong * 100000000L)))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        val n = o.count()
+        emit("w10_window_frame", f, n,
+          () => operators.Windows.windowedTrailingFrame(o, 1000000L),
+          () => n)
+        emit("w10b_band_frame", f, n,
+          () => operators.Windows.bandedTrailingFrame(o, 1000000L),
+          () => n)
+        o.unpersist()
+      }
+      spark.stop()
+      return
     }
 
     // "text" mode: the text-analysis tier's curves over the same

@@ -22,6 +22,70 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Windows extends QModule {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** The distributed exact trailing-RANGE-frame (w10b's algorithm) over
+    * any (o_orderkey, o_orderpriority, cents) input: per-(priority, band)
+    * distinct-value running prefixes, an equi-join for the in-band term,
+    * and an as-of merge into the single neighbor band a width-`W` frame
+    * can reach. Output (o_orderkey, o_orderpriority, cents, band_orders,
+    * band_cents), unordered — bit-identical to
+    *   COUNT(*)/SUM(cents) OVER (PARTITION BY priority ORDER BY cents
+    *                             RANGE BETWEEN W PRECEDING AND CURRENT ROW).
+    * Exposed for ScaleBench's frame-mode curves; the oracled w10b query
+    * adds only the presentation sort. Requires cents >= 0. */
+  def bandedTrailingFrame(o0: DataFrame, W: Long): DataFrame = {
+    val o = o0.withColumn("band", expr(s"cents div $W"))
+    val wb = Window.partitionBy(col("o_orderpriority"), col("band"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = o.groupBy(col("o_orderpriority"), col("band"), col("cents"))
+      .agg(count(lit(1)).as("c"), sum(col("cents")).as("sc"))
+      .withColumn("cum_c", sum(col("c")).over(wb))
+      .withColumn("cum_s", sum(col("sc")).over(wb))
+    val tot2 = cum.groupBy(col("o_orderpriority"), col("band"))
+      .agg(max(col("cum_c")).as("tot_c"), max(col("cum_s")).as("tot_s"))
+      .withColumnRenamed("band", "lb")
+    val inBand = o.join(
+      cum.select(col("o_orderpriority"), col("band"), col("cents"),
+        col("cum_c"), col("cum_s")),
+      Seq("o_orderpriority", "band", "cents"))
+    val cumRows = cum.select(col("o_orderpriority"), col("band").as("lb"),
+      col("cents").as("v"), lit(0).as("is_probe"),
+      lit(null).cast("long").as("o_orderkey"),
+      col("cum_c").as("bc"), col("cum_s").as("bs"))
+    val probeRows = o.select(col("o_orderpriority"),
+      (col("band") - 1).as("lb"), (col("cents") - W - 1).as("v"),
+      lit(1).as("is_probe"), col("o_orderkey"),
+      lit(null).cast("long").as("bc"), lit(null).cast("long").as("bs"))
+    val wU = Window.partitionBy(col("o_orderpriority"), col("lb"))
+      .orderBy(col("v"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = cumRows.unionByName(probeRows)
+      .withColumn("below_c", last(col("bc"), ignoreNulls = true).over(wU))
+      .withColumn("below_s", last(col("bs"), ignoreNulls = true).over(wU))
+      .filter(col("is_probe") === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("lb"),
+        col("below_c"), col("below_s"))
+    val neigh = below.join(broadcast(tot2), Seq("o_orderpriority", "lb"), "left")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (coalesce(col("tot_c"), lit(0L)) - coalesce(col("below_c"), lit(0L))).as("n_c"),
+        (coalesce(col("tot_s"), lit(0L)) - coalesce(col("below_s"), lit(0L))).as("n_s"))
+    inBand.join(neigh, Seq("o_orderkey", "o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+        (col("cum_c") + col("n_c")).as("band_orders"),
+        (col("cum_s") + col("n_s")).as("band_cents"))
+  }
+
+  /** w10's single-window form over the same input — the per-stratum
+    * baseline ScaleBench's frame mode measures against. */
+  def windowedTrailingFrame(o: DataFrame, W: Long): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      .rangeBetween(-W, 0L)
+    o.withColumn("band_orders", count(lit(1)).over(w))
+      .withColumn("band_cents", sum(col("cents")).over(w))
+  }
+
   def qs: Seq[Q] = Seq(
     // W2: per-key lag → gap-days since previous order (the reference's
     // days_since_last, canonicalized to full-history per SURVEY §7.2).
@@ -365,48 +429,10 @@ object Windows extends QModule {
     // size. Hash-identical to w10's single-window oracle.
     Q("w10b_band_frame", (s, dir) => {
       import s.implicits._
-      val W = 1000000L
       val o = t(s, dir, "orders")
         .select($"o_orderkey", $"o_orderpriority",
           floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
-        .withColumn("band", expr("cents div 1000000"))
-      val wb = Window.partitionBy($"o_orderpriority", $"band")
-        .orderBy($"cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = o.groupBy($"o_orderpriority", $"band", $"cents")
-        .agg(count(lit(1)).as("c"), sum($"cents").as("sc"))
-        .withColumn("cum_c", sum($"c").over(wb))
-        .withColumn("cum_s", sum($"sc").over(wb))
-      val tot2 = cum.groupBy($"o_orderpriority", $"band")
-        .agg(max($"cum_c").as("tot_c"), max($"cum_s").as("tot_s"))
-        .withColumnRenamed("band", "lb")
-      val inBand = o.join(
-        cum.select($"o_orderpriority", $"band", $"cents", $"cum_c", $"cum_s"),
-        Seq("o_orderpriority", "band", "cents"))
-      val cumRows = cum.select($"o_orderpriority", $"band".as("lb"),
-        $"cents".as("v"), lit(0).as("is_probe"),
-        lit(null).cast("long").as("o_orderkey"),
-        $"cum_c".as("bc"), $"cum_s".as("bs"))
-      val probeRows = o.select($"o_orderpriority", ($"band" - 1).as("lb"),
-        ($"cents" - W - 1).as("v"), lit(1).as("is_probe"), $"o_orderkey",
-        lit(null).cast("long").as("bc"), lit(null).cast("long").as("bs"))
-      val wU = Window.partitionBy($"o_orderpriority", $"lb")
-        .orderBy($"v", $"is_probe")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val below = cumRows.unionByName(probeRows)
-        .withColumn("below_c", last($"bc", ignoreNulls = true).over(wU))
-        .withColumn("below_s", last($"bs", ignoreNulls = true).over(wU))
-        .filter($"is_probe" === 1)
-        .select($"o_orderkey", $"o_orderpriority", $"lb",
-          $"below_c", $"below_s")
-      val neigh = below.join(broadcast(tot2), Seq("o_orderpriority", "lb"), "left")
-        .select($"o_orderkey", $"o_orderpriority",
-          (coalesce($"tot_c", lit(0L)) - coalesce($"below_c", lit(0L))).as("n_c"),
-          (coalesce($"tot_s", lit(0L)) - coalesce($"below_s", lit(0L))).as("n_s"))
-      inBand.join(neigh, Seq("o_orderkey", "o_orderpriority"))
-        .select($"o_orderkey", $"o_orderpriority", $"cents",
-          ($"cum_c" + $"n_c").as("band_orders"),
-          ($"cum_s" + $"n_s").as("band_cents"))
+      bandedTrailingFrame(o, 1000000L)
         .orderBy($"o_orderpriority", $"cents", $"o_orderkey")
     }, sql = Some("""
       SELECT o_orderkey, o_orderpriority, cents,
