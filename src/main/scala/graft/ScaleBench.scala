@@ -49,6 +49,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (incremental admission: plain vs bloom-pruned)
   *        runMain graft.ScaleBench [sfDir] frame [factors...]
   *                        (RANGE frame: w10 single-window vs w10b banded)
+  *        runMain graft.ScaleBench [sfDir] rank [factors...]
+  *                        (rank family: w8 window vs w8b counts+broadcast)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -282,11 +284,12 @@ object ScaleBench {
     val incrMode = args.contains("incr")
     val htmlMode = args.contains("html")
     val frameMode = args.contains("frame")
+    val rankMode = args.contains("rank")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
-          a == "frame")
+          a == "frame" || a == "rank")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -347,6 +350,34 @@ object ScaleBench {
           () => operators.Windows.bandedTrailingFrame(o, 1000000L),
           () => n)
         o.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
+    // "rank" mode: the w8-vs-w8b curve — the full-partition rank-family
+    // window (percent_rank/cume_dist need every row, so the drk<=3
+    // filter cannot push below the window and each segment sorts whole)
+    // against the counts-table form (fact rows never windowed; the
+    // distinct-value table is DOMAIN-bounded, so it stays ~constant as
+    // the fact side grows — the per-row cost collapses to a hash agg +
+    // broadcast probe). Replicated customers, acctbal distribution
+    // preserved. Identical output (w8b's oracle pins bit-equality).
+    if (rankMode) {
+      val baseCust = Tables.t(spark, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      factors.foreach { f =>
+        val c = (0 until f).map(k => baseCust.withColumn("c_custkey",
+            col("c_custkey") + lit(k.toLong * 100000000L)))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        val n = c.count()
+        emit("w8_window_rank", f, n,
+          () => operators.Windows.windowedRankFamily(c),
+          () => operators.Windows.windowedRankFamily(c).count())
+        emit("w8b_rank_from_counts", f, n,
+          () => operators.Windows.rankFamilyFromCounts(c),
+          () => operators.Windows.rankFamilyFromCounts(c).count())
+        c.unpersist()
       }
       spark.stop()
       return

@@ -86,6 +86,42 @@ object Windows extends QModule {
       .withColumn("band_cents", sum(col("cents")).over(w))
   }
 
+  /** w8b's algorithm over any (c_mktsegment, c_custkey, c_acctbal)
+    * input: the top-k rank family from mergeable per-(segment, value)
+    * counts — windows only over the distinct-value table, pruned at
+    * drk<=k, broadcast back; fact rows never windowed or shuffled.
+    * Exposed for ScaleBench's rank-mode curves. */
+  def rankFamilyFromCounts(c: DataFrame, k: Int = 3): DataFrame = {
+    val wseg = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+    val ranked = c.groupBy(col("c_mktsegment"), col("c_acctbal"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        wseg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("rnk", col("cum") - col("c") + 1)
+      .withColumn("drk", row_number().over(wseg).cast("long"))
+      .filter(col("drk") <= k)
+    c.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .join(broadcast(ranked), Seq("c_mktsegment", "c_acctbal"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        col("rnk"), col("drk"),
+        ((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double")).as("prk"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+  }
+
+  /** The single-window baseline for the same top-k rank family
+    * (w8's shape, minus the tie-broken extras). */
+  def windowedRankFamily(c: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+    c.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      rank().over(w).as("rnk"), dense_rank().over(w).cast("long").as("drk"),
+      percent_rank().over(w).as("prk"), cume_dist().over(w).as("cd"))
+      .filter(col("drk") <= k)
+  }
+
   def qs: Seq[Q] = Seq(
     // W2: per-key lag → gap-days since previous order (the reference's
     // days_since_last, canonicalized to full-history per SURVEY §7.2).
@@ -343,24 +379,8 @@ object Windows extends QModule {
     // sorted: one scan + one hash agg + a broadcast-hash join.
     Q("w8b_rank_from_counts", (s, dir) => {
       import s.implicits._
-      val wseg = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc)
-      val cnts = t(s, dir, "customer")
-        .groupBy($"c_mktsegment", $"c_acctbal")
-        .agg(count(lit(1)).as("c"))
-      val ranked = cnts
-        .withColumn("cum", sum($"c").over(
-          wseg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum($"c").over(Window.partitionBy($"c_mktsegment")))
-        .withColumn("rnk", $"cum" - $"c" + 1)
-        .withColumn("drk", row_number().over(wseg).cast("long"))
-        .filter($"drk" <= 3)
-      t(s, dir, "customer")
-        .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
-        .join(broadcast(ranked), Seq("c_mktsegment", "c_acctbal"))
-        .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
-          $"rnk", $"drk",
-          (($"rnk" - 1).cast("double") / ($"n" - 1).cast("double")).as("prk"),
-          ($"cum".cast("double") / $"n".cast("double")).as("cd"))
+      rankFamilyFromCounts(t(s, dir, "customer")
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal"))
         .orderBy($"c_mktsegment", $"c_acctbal".desc, $"c_custkey")
     }, sql = Some("""
       SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drk, prk, cd FROM (
