@@ -107,7 +107,11 @@ object Windows extends QModule {
       .join(broadcast(ranked), Seq("c_mktsegment", "c_acctbal"))
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
         col("rnk"), col("drk"),
-        ((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double")).as("prk"),
+        // n == 1: percent_rank defines 0.0 where (rnk-1)/(n-1) is 0/0
+        // (PropertySpec's random single-row segments caught this)
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double") /
+            (col("n") - 1).cast("double")).as("prk"),
         (col("cum").cast("double") / col("n").cast("double")).as("cd"))
   }
 
@@ -117,7 +121,8 @@ object Windows extends QModule {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc)
     c.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-      rank().over(w).as("rnk"), dense_rank().over(w).cast("long").as("drk"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drk"),
       percent_rank().over(w).as("prk"), cume_dist().over(w).as("cd"))
       .filter(col("drk") <= k)
   }

@@ -245,4 +245,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Two result sets with identical schemas are row-multiset-equal
+    * (collect-side compare — exceptAll over two plans sharing a parent
+    * trips Spark's self-join attribute dedup). */
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.schema.map(f => (f.name, f.dataType)) ===
+      b.schema.map(f => (f.name, f.dataType)), "schema mismatch")
+    val ka = a.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val kb = b.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val onlyA = ka.diff(kb)
+    val onlyB = kb.diff(ka)
+    assert(onlyA.isEmpty && onlyB.isEmpty,
+      s"mismatch:\nA-only ${onlyA.take(5).mkString("; ")}\n" +
+        s"B-only ${onlyB.take(5).mkString("; ")}")
+  }
+
+  test("bandedTrailingFrame == single-window RANGE frame on random band-edge inputs (w10b)") {
+    // cents land ON and AROUND band floors (off ∈ {0, 1, W-1, ...}) with
+    // heavy (priority, cents) ties — the threshold/floor cases the fixed
+    // oracle dataset reaches only by luck
+    val W = 1000L
+    forAllSamples(Gen.listOfN(80, for {
+      key <- Gen.chooseNum(1L, 1000000L)
+      pr <- Gen.oneOf("A", "B")
+      band <- Gen.chooseNum(0, 6)
+      off <- Gen.oneOf(0L, 1L, 2L, W - 1, W / 2, W / 3)
+    } yield (key, pr, band * W + off)), n = 4) { rows =>
+      import spark.implicits._
+      val o = rows.toDF("o_orderkey", "o_orderpriority", "cents")
+        .dropDuplicates("o_orderkey")
+      sameRows(operators.Windows.bandedTrailingFrame(o, W),
+        operators.Windows.windowedTrailingFrame(o, W))
+    }
+  }
+
+  test("rankFamilyFromCounts == single-window rank family on random tied inputs (w8b)") {
+    // few distinct values → heavy rank ties; single-row segments are
+    // frequent (they exposed the prk 0/0 edge the operator now guards)
+    forAllSamples(Gen.listOfN(40, for {
+      key <- Gen.chooseNum(1L, 1000000L)
+      seg <- Gen.oneOf("S1", "S2", "S3", "S4")
+      bal <- Gen.chooseNum(0, 4)
+    } yield (key, seg, bal.toDouble)), n = 4) { rows =>
+      import spark.implicits._
+      val c = rows.toDF("c_custkey", "c_mktsegment", "c_acctbal")
+        .dropDuplicates("c_custkey")
+      sameRows(operators.Windows.rankFamilyFromCounts(c),
+        operators.Windows.windowedRankFamily(c))
+    }
+  }
 }
