@@ -23,7 +23,7 @@ import java.util.Random
   *   sbt "runMain graft.Fuzz <sfDir> <outDir> [seed] [n]"
   *   python3 scripts/check.py <sfDir> <outDir>
   *
-  * The committed corpus (`fuzz/corpus_seed42.json`) pins seed 42 / n 120:
+  * The committed corpus (`fuzz/corpus_seed42.json`) pins seed 42 / n 180:
   * FuzzSpec asserts the generator still reproduces it byte-for-byte, so
   * the reviewed corpus cannot drift silently under generator edits.
   *
@@ -1034,6 +1034,38 @@ object Fuzz {
     }, q, "exists_proj")
   }
 
+  /** T22: recursive-CTE date spine + fact join-aggregate — Spark 4's
+    * UnionLoop planner path (WITH RECURSIVE), same text in both engines.
+    * UNION ALL arm only: Spark 4.1.2 rejects the distinct arm
+    * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so the generator stays on
+    * the supported surface; termination is a bounded integer level
+    * (<= 60, under Spark's default 100-level recursion limit). The spine
+    * anchors at the fact's MIN date and strides 1/2/7 days (DATE + INT
+    * arithmetic — probed identical across engines); the outer query
+    * joins facts back per day (LEFT keeps empty spine days, INNER drops
+    * them — both deterministic) under a random ON-clause predicate. */
+  private def genRecSpine(r: Random, name: String): FuzzQuery = {
+    val (tn, dcol) = pick(r, Seq(("lineitem", "l_shipdate"), ("orders", "o_orderdate")))
+    val t0 = tbl(tn)
+    val p = preds(r, t0)
+    val steps = 10 + r.nextInt(51)
+    val stride = pick(r, Seq(1, 2, 7))
+    val joinKw = if (r.nextBoolean()) "LEFT JOIN" else "JOIN"
+    val as = aggs(r, t0, Set(dcol))
+    val out = Seq("day", "lvl") ++ as.map(_.name)
+    val q =
+      s"WITH RECURSIVE spine(d, lvl) AS (" +
+      s"SELECT CAST(MIN(CAST($dcol AS DATE)) AS DATE) AS d, 0 AS lvl FROM $tn " +
+      s"UNION ALL SELECT d + $stride, lvl + 1 FROM spine WHERE lvl < $steps) " +
+      s"SELECT s.d AS day, s.lvl AS lvl, ${as.map(_.sql).mkString(", ")} " +
+      s"FROM spine s $joinKw $tn f ON CAST(f.$dcol AS DATE) = s.d AND (${p.sql}) " +
+      s"GROUP BY s.d, s.lvl " + orderSql(out)
+    FuzzQuery(name, (s, dir) => {
+      read(s, dir, tn).createOrReplaceTempView(tn)
+      s.sql(q)
+    }, q, "rec_spine")
+  }
+
   /** T20: time-bucket aggregation — `date_trunc` grains (year → hour,
     * including the Monday-anchored week) or a CAST-widened `EXTRACT`
     * field as the group key, same text through spark.sql and DuckDB over
@@ -1148,7 +1180,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(21) match {
+      r.nextInt(22) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1169,7 +1201,8 @@ object Fuzz {
         case 17 => genInSub(r, name)
         case 18 => genFilterAgg(r, name)
         case 19 => genTimeBucket(r, name)
-        case _ => genExistsProj(r, name)
+        case 20 => genExistsProj(r, name)
+        case _ => genRecSpine(r, name)
       }
     }
   }
