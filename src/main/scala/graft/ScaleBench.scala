@@ -51,6 +51,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (RANGE frame: w10 single-window vs w10b banded)
   *        runMain graft.ScaleBench [sfDir] rank [factors...]
   *                        (rank family: w8 window vs w8b counts+broadcast)
+  *        runMain graft.ScaleBench [sfDir] layout [factor]
+  *                        (data skipping: random vs range vs z-order files)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -285,11 +287,12 @@ object ScaleBench {
     val htmlMode = args.contains("html")
     val frameMode = args.contains("frame")
     val rankMode = args.contains("rank")
+    val layoutMode = args.contains("layout")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
-          a == "frame" || a == "rank")
+          a == "frame" || a == "rank" || a == "layout")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -350,6 +353,79 @@ object ScaleBench {
           () => operators.Windows.bandedTrailingFrame(o, 1000000L),
           () => n)
         o.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
+    // "layout" mode: MEASURED data-skipping benefit of the Compact tier.
+    // Three physical layouts of the same ×factor orders table, 64 files
+    // each: RANDOM (hash repartition — the as-ingested shape), RANGE
+    // (single-key clustering on custkey), ZORDER (Morton interleave of
+    // custkey+orderkey). For a selective band predicate on EACH key:
+    //   - files_hit = files whose parquet footer [min,max] intersects the
+    //     band (what footer-stat file skipping — Delta/Iceberg data
+    //     skipping, or row-group pruning inside vanilla Spark's reader —
+    //     can exploit; file count is the deterministic proxy);
+    //   - best-of-2 wall of the selective aggregate over the layout
+    //     (vanilla Spark realizes the benefit at row-group granularity).
+    // The 100-TB claim under test: single-key clustering collapses ONE
+    // key's scan and leaves the other at full width; z-order pays a
+    // modest factor on both keys instead of 100% on one.
+    if (layoutMode) {
+      val f = factors.max
+      val base = Tables.t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      // shift copies by (max+1) so the scaled key domain stays uniformly
+      // dense — k*1e8 spacing was measured leaving macro-gaps that make
+      // footer-intersection counts meaningless (bands landing in voids)
+      val keySpan = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
+      val big = (0 until f).map(k => base
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * keySpan)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val n = big.count()
+      val root = s"/tmp/graft_layout_$f"
+      val srcDir = s"$root/src"
+      big.write.mode("overwrite").parquet(srcDir)
+      val layouts = Seq(
+        "random" -> { () =>
+          spark.read.parquet(srcDir).repartition(64)
+            .write.mode("overwrite").parquet(s"$root/random"); s"$root/random" },
+        "range_custkey" -> { () =>
+          spark.read.parquet(srcDir).repartitionByRange(64, col("o_custkey"))
+            .write.mode("overwrite").parquet(s"$root/range"); s"$root/range" },
+        "zorder" -> { () =>
+          sources.Compact.zorder(spark, srcDir, s"$root/zorder", 64,
+            "o_custkey", "o_orderkey"); s"$root/zorder" })
+      // band predicates: ~1% of each key's domain
+      val custMax = base.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+      val keyMaxBig = big.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val bands = Seq(
+        ("custkey_band", "o_custkey", custMax / 2, custMax / 2 + custMax / 100),
+        ("orderkey_band", "o_orderkey", keyMaxBig / 2, keyMaxBig / 2 + keyMaxBig / 100))
+      layouts.foreach { case (lname, mk) =>
+        val ldir = mk()
+        val files = new java.io.File(ldir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+        bands.foreach { case (bname, key, lo, hi) =>
+          val hit = files.count { fp =>
+            val r = spark.read.parquet(fp)
+              .agg(min(col(key)), max(col(key))).collect()(0)
+            r.getLong(0) <= hi && r.getLong(1) >= lo
+          }
+          val passes = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            spark.read.parquet(ldir)
+              .filter(col(key) >= lo && col(key) <= hi)
+              .agg(count(lit(1)), sum(col("cents")))
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(s"""{"op":"layout_$lname","band":"$bname","factor":$f,""" +
+            s""""n_rows":$n,"files_hit":$hit,"files_total":${files.length},""" +
+            s""""sec":${num(passes.min)},"passes":[${passes.map(num).mkString(",")}]}""")
+        }
       }
       spark.stop()
       return
