@@ -192,38 +192,61 @@ object Relational extends QModule {
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
-    // Z-order (Morton) layout: interleave the low 16 bits of two
-    // dimensions into one sort key, then range-bucket on it. The output
-    // is the pruning property itself: within each z-bucket BOTH
-    // dimensions' min..max spans are ~sqrt(global) — so after
-    // `repartitionByRange(zval).sortWithinPartitions(zval)` +
+    // Z-order (Morton) layout: NORMALIZE each dimension to its [min,max]
+    // domain at 16-bit resolution, interleave, then range-bucket on the
+    // code. The output is the pruning property itself: within each
+    // z-bucket BOTH dimensions' min..max spans are ~sqrt(global) — so
+    // after `repartitionByRange(zval).sortWithinPartitions(zval)` +
     // parquet write, a range predicate on EITHER l_partkey OR l_suppkey
     // skips most row groups on footer min/max alone. This is the
     // write-side layout step (Delta/Iceberg OPTIMIZE ZORDER) a 100 TB
-    // table needs when two filter columns compete for the sort order;
-    // the z-value is 32 codegen'd shift/mask terms, map-only.
+    // table needs when two filter columns compete for the sort order.
+    // Normalization is load-bearing, not cosmetic: these domains differ
+    // ~20× (partkey vs suppkey), and interleaving RAW values lets the
+    // wide key's high bits own every significant Morton position —
+    // ScaleBench's layout mode measured exactly that degeneration in
+    // Compact.zorder (64/64 files hit on the narrow key) before the
+    // same fix. Bounds are one tiny scalar agg broadcast back over the
+    // scan; the z-value stays 32 codegen'd shift/mask terms, map-only.
     Q("s11_zorder_layout", (s, dir) => {
       import s.implicits._
+      val bounds = t(s, dir, "lineitem").agg(
+        min($"l_partkey").as("pklo"), max($"l_partkey").as("pkhi"),
+        min($"l_suppkey").as("sklo"), max($"l_suppkey").as("skhi"))
       val zval = (0 until 16).map { i =>
-        shiftleft(shiftright($"l_partkey", i).bitwiseAND(1), 2 * i) +
-          shiftleft(shiftright($"l_suppkey", i).bitwiseAND(1), 2 * i + 1)
+        shiftleft(shiftright($"pn", i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright($"sn", i).bitwiseAND(1), 2 * i + 1)
       }.reduce(_ + _)
       t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey")
+        .crossJoin(broadcast(bounds))
+        .withColumn("pn", expr(
+          "(l_partkey - pklo) * 65535 div greatest(pkhi - pklo, 1)"))
+        .withColumn("sn", expr(
+          "(l_suppkey - sklo) * 65535 div greatest(skhi - sklo, 1)"))
         .select($"l_partkey", $"l_suppkey", zval.as("zval"))
-        .withColumn("z_bucket", expr("zval div 131072")) // 2^17-wide z-ranges
+        .withColumn("z_bucket", expr("zval div 67108864")) // 2^26 → 64 cells
         .groupBy($"z_bucket")
         .agg(count(lit(1)).as("n"),
           min($"l_partkey").as("pk_min"), max($"l_partkey").as("pk_max"),
           min($"l_suppkey").as("sk_min"), max($"l_suppkey").as("sk_max"))
         .orderBy($"z_bucket")
     }, sql = Some("""
-      WITH z AS (
+      WITH b AS (
+        SELECT MIN(l_partkey) AS pklo, MAX(l_partkey) AS pkhi,
+               MIN(l_suppkey) AS sklo, MAX(l_suppkey) AS skhi FROM lineitem),
+      nrm AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               (l_partkey - pklo) * 65535 // GREATEST(pkhi - pklo, 1) AS pn,
+               (l_suppkey - sklo) * 65535 // GREATEST(skhi - sklo, 1) AS sn
+        FROM lineitem, b),
+      z AS (
         SELECT l_partkey, l_suppkey,
-               CAST(SUM((((l_partkey >> i) & 1) << (2*i))
-                      + (((l_suppkey >> i) & 1) << (2*i + 1))) AS BIGINT) AS zval
-        FROM lineitem, UNNEST(range(0, 16)) t(i)
+               CAST(SUM((((pn >> i) & 1) << (2*i))
+                      + (((sn >> i) & 1) << (2*i + 1))) AS BIGINT) AS zval
+        FROM nrm, UNNEST(range(0, 16)) t(i)
         GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
-      SELECT zval // 131072 AS z_bucket, COUNT(*) AS n,
+      SELECT zval // 67108864 AS z_bucket, COUNT(*) AS n,
              MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
              MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
       FROM z GROUP BY 1 ORDER BY z_bucket

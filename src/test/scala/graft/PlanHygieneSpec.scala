@@ -451,7 +451,9 @@ class PlanHygieneSpec extends SparkSpec {
     // admission thresholds (|langs|-row build side; doc join is equi)
     "t_mixture_sample", "t_mixture_interleave",
     // 1-row vocab-size broadcast under the smoothed-bigram scoring join
-    "t_lm_perplexity")
+    "t_lm_perplexity",
+    // 1-row key-domain bounds broadcast under the normalized Morton code
+    "s11_zorder_layout")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row
