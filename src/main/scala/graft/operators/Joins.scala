@@ -292,6 +292,80 @@ object Joins extends QModule {
       GROUP BY c_mktsegment ORDER BY c_mktsegment
     """)),
 
+    // J11: interval-OVERLAP join — two interval SETS, find all
+    // overlapping pairs (sessions × maintenance windows; the class j5's
+    // point-in-band join doesn't cover). The scalable form is the grid
+    // join: each interval registers in every 6h grid cell it touches
+    // (sequence+explode — fan-out bounded by interval length / cell),
+    // pairs meet on a cell EQUI-key, an exact half-open predicate
+    // (s.start < w.end AND w.start < s.end) filters grid co-tenants that
+    // don't truly overlap, and DISTINCT collapses pairs that share
+    // several cells. Any overlapping pair shares the cell of any point
+    // in its intersection, so the grid join loses nothing. Never an
+    // inequality join: shuffle-parallel in the number of cells.
+    // Intervals: user sessions (30-min-gap lag/gap reconstruction over
+    // exact microseconds, the e11 bounds convention) × a derived 1h
+    // maintenance window every 6h across the event span. The oracle
+    // replays sessionization and joins by the explicit inequality.
+    Q("j11_interval_overlap_join", (s, dir) => {
+      import s.implicits._
+      val cell = 21600000000L // 6h in micros
+      val ev = t(s, dir, "events") // ts normalized to Long nanos
+        .select($"user_id", $"event_id", expr("ts div 1000").as("us"))
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val sessions = ev
+        .withColumn("new_s", when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"us").as("s_start"),
+             (max($"us") + 1800000000L).as("s_end"))
+      val wins = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
+        .select(explode(expr(
+          s"sequence(lo div $cell * $cell, hi, $cell)")).as("w_start"))
+        .withColumn("w_end", $"w_start" + 3600000000L)
+      val sc = sessions.withColumn("cell", explode(expr(
+        s"sequence(s_start div $cell, (s_end - 1) div $cell)")))
+      val wc = wins.withColumn("cell", explode(expr(
+        s"sequence(w_start div $cell, (w_end - 1) div $cell)")))
+      sc.join(wc, Seq("cell"))
+        .filter($"s_start" < $"w_end" && $"w_start" < $"s_end")
+        .select($"user_id", $"s_start", $"w_start",
+          (least($"s_end", $"w_end") - greatest($"s_start", $"w_start"))
+            .as("overlap_us"))
+        .distinct()
+        .orderBy($"user_id", $"s_start", $"w_start")
+    }, sql = Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > CAST(1800 AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+      sess AS (
+        SELECT user_id, MIN(us) AS s_start,
+               MAX(us) + CAST(1800 AS BIGINT) * 1000000 AS s_end
+        FROM s GROUP BY user_id, sid),
+      b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+      wins AS (
+        SELECT CAST(x AS BIGINT) AS w_start,
+               CAST(x + 3600000000 AS BIGINT) AS w_end
+        FROM b, UNNEST(range(lo // 21600000000 * 21600000000, hi + 1,
+                             21600000000)) t(x))
+      SELECT user_id, s_start, w_start,
+             LEAST(s_end, w_end) - GREATEST(s_start, w_start) AS overlap_us
+      FROM sess JOIN wins ON s_start < w_end AND w_start < s_end
+      ORDER BY user_id, s_start, w_start
+    """)),
+
     // Cross join (small×small only — at scale a guarded operation).
     Q("j6_cross_join", (s, dir) => {
       import s.implicits._

@@ -154,6 +154,14 @@ class PlanHygieneSpec extends SparkSpec {
       "banded frame degraded to a pair join:\n" + p)
   }
 
+  test("j11: interval overlap joins on the grid-cell EQUI key, never an inequality join") {
+    val p = planOf("j11_interval_overlap_join").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval overlap degenerated to an inequality/nested-loop join:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "expected an equi join on the grid cell:\n" + p)
+  }
+
   test("sim_ann_join: both per-query rank filters bound their windows via WindowGroupLimit") {
     // the probe-selection window (rank<=nprobe) and the final top-k
     // window (rank<=k) must each be bounded below the shuffle — a
