@@ -133,4 +133,26 @@ class EdgeCasesSpec extends SparkSpec {
     // asymmetry that makes the divergence surprising
     assert(empty.agg(count(lit(1))).count() === 1L)
   }
+
+  test("UPSTREAM CANARY: recursive CTE supports UNION ALL, rejects the distinct arm (T22 contract)") {
+    // Spark 4.1.2's UnionLoop handles WITH RECURSIVE ... UNION ALL but
+    // rejects UNION (distinct) with UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE —
+    // which is why Fuzz.genRecSpine only generates the ALL arm and why no
+    // closure-style recursive query (whose termination NEEDS the distinct
+    // arm on cyclic edges) can run through spark.sql yet. A future Spark
+    // that adds the distinct arm fails HERE loudly, at which point T22
+    // can grow a closure arm and dedup_clusters gains a same-text twin.
+    val ok = spark.sql(
+      "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r WHERE n < 5) " +
+        "SELECT CAST(SUM(n) AS BIGINT) AS s FROM r").collect()
+    assert(ok.head.getLong(0) === 15L)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION SELECT n+1 FROM r WHERE n < 5) " +
+          "SELECT COUNT(*) FROM r").collect()
+    }
+    assert(e.getCondition == "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
+      "Spark now accepts the distinct arm in recursive CTEs — extend T22 " +
+        s"with a closure arm and re-pin the corpus (got: ${e.getCondition})")
+  }
 }
