@@ -53,6 +53,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (rank family: w8 window vs w8b counts+broadcast)
   *        runMain graft.ScaleBench [sfDir] layout [factor]
   *                        (data skipping: random vs range vs z-order files)
+  *        runMain graft.ScaleBench [sfDir] overlap [factors...]
+  *                        (interval overlap: grid join vs inequality join)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -288,11 +290,12 @@ object ScaleBench {
     val frameMode = args.contains("frame")
     val rankMode = args.contains("rank")
     val layoutMode = args.contains("layout")
+    val overlapMode = args.contains("overlap")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
-          a == "frame" || a == "rank" || a == "layout")
+          a == "frame" || a == "rank" || a == "layout" || a == "overlap")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -426,6 +429,43 @@ object ScaleBench {
             s""""n_rows":$n,"files_hit":$hit,"files_total":${files.length},""" +
             s""""sec":${num(passes.min)},"passes":[${passes.map(num).mkString(",")}]}""")
         }
+      }
+      spark.stop()
+      return
+    }
+
+    // "overlap" mode: the j11 curve — interval-overlap via the grid
+    // equi-join vs the naive inequality join. BOTH interval sets grow
+    // with the factor (events replicated ×f by user_id shift → sessions
+    // ×f; window cadence divided by f → windows ×f): the naive form can
+    // only plan a broadcast nested loop whose predicate evaluations grow
+    // as sessions × windows ∝ f², while the grid join's work follows
+    // cell co-residency ∝ true overlap pairs. (With a FIXED tiny window
+    // set the nested loop is the RIGHT plan — a 120-row broadcast beats
+    // the grid's shuffle, measured 0.27 vs 0.35 s at ×1 — which is why
+    // this mode scales the window side: the grid form exists for the
+    // regime where neither interval set is broadcast-small.)
+    if (overlapMode) {
+      val baseEv = Tables.t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      val userSpan = baseEv.agg(max(col("user_id"))).collect()(0).getLong(0) + 1L
+      factors.foreach { f =>
+        val ev = (0 until f).map(k => baseEv
+            .withColumn("user_id", col("user_id") + lit(k.toLong * userSpan)))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        val sessions = operators.Joins.sessionIntervalsUs(ev).localCheckpoint()
+        val wins = operators.Joins.maintenanceWindowsUs(ev,
+          cadence = 21600000000L / f).localCheckpoint()
+        val nS = sessions.count()
+        val nW = wins.count()
+        emit("overlap_grid", f, nS,
+          () => operators.Joins.intervalOverlapGrid(sessions, wins),
+          () => operators.Joins.intervalOverlapGrid(sessions, wins).count())
+        emit("overlap_inequality_join", f, nS,
+          () => operators.Joins.intervalOverlapNaive(sessions, wins),
+          () => operators.Joins.intervalOverlapNaive(sessions, wins).count())
+        println(s"""{"note":"overlap_inputs","factor":$f,"sessions":$nS,"windows":$nW}""")
+        ev.unpersist(); sessions.unpersist(); wins.unpersist()
       }
       spark.stop()
       return

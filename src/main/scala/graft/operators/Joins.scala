@@ -21,6 +21,59 @@ import org.apache.spark.sql.functions._
   */
 object Joins extends QModule {
 
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** 30-min-gap user sessions as half-open microsecond intervals
+    * [s_start, s_end) over (user_id, event_id, us) input — the e11
+    * bounds convention (end = last event + gap). One shuffle on
+    * user_id. */
+  def sessionIntervalsUs(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("new_s", when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s_start"),
+           (max(col("us")) + 1800000000L).as("s_end"))
+  }
+
+  /** A 1h maintenance window every `cadence` micros across the event
+    * span, [w_start, w_end) — the derived second interval set. */
+  def maintenanceWindowsUs(ev: DataFrame, cadence: Long = 21600000000L,
+                           len: Long = 3600000000L): DataFrame =
+    ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(explode(expr(
+        s"sequence(lo div $cadence * $cadence, hi, $cadence)")).as("w_start"))
+      .withColumn("w_end", col("w_start") + len)
+
+  /** Interval-overlap join, grid form (j11's algorithm): register each
+    * interval in every `cell`-wide grid cell it touches, equi-join on
+    * the cell, exact half-open residual filter, DISTINCT over pairs
+    * sharing several cells. Shuffle-parallel in cells. */
+  def intervalOverlapGrid(sessions: DataFrame, wins: DataFrame,
+                          cell: Long = 21600000000L): DataFrame = {
+    val sc = sessions.withColumn("cell", explode(expr(
+      s"sequence(s_start div $cell, (s_end - 1) div $cell)")))
+    val wc = wins.withColumn("cell", explode(expr(
+      s"sequence(w_start div $cell, (w_end - 1) div $cell)")))
+    sc.join(wc, Seq("cell"))
+      .filter(col("s_start") < col("w_end") && col("w_start") < col("s_end"))
+      .select(col("user_id"), col("s_start"), col("w_start"),
+        (least(col("s_end"), col("w_end")) -
+          greatest(col("s_start"), col("w_start"))).as("overlap_us"))
+      .distinct()
+  }
+
+  /** The naive inequality-join baseline (plans as a nested-loop join —
+    * ScaleBench's overlap mode measures what the grid form avoids). */
+  def intervalOverlapNaive(sessions: DataFrame, wins: DataFrame): DataFrame =
+    sessions.join(wins,
+        col("s_start") < col("w_end") && col("w_start") < col("s_end"))
+      .select(col("user_id"), col("s_start"), col("w_start"),
+        (least(col("s_end"), col("w_end")) -
+          greatest(col("s_start"), col("w_start"))).as("overlap_us"))
+
   def qs: Seq[Q] = Seq(
     // J1: surrogate-key lookup join, fact ⋈ small dims (broadcast-hash).
     // Reference shape: Map<number_value→number_key> probe per fact row.
@@ -309,32 +362,9 @@ object Joins extends QModule {
     // replays sessionization and joins by the explicit inequality.
     Q("j11_interval_overlap_join", (s, dir) => {
       import s.implicits._
-      val cell = 21600000000L // 6h in micros
       val ev = t(s, dir, "events") // ts normalized to Long nanos
         .select($"user_id", $"event_id", expr("ts div 1000").as("us"))
-      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-      val sessions = ev
-        .withColumn("new_s", when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > 1800000000L, 1).otherwise(0))
-        .withColumn("sid", sum($"new_s").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"sid")
-        .agg(min($"us").as("s_start"),
-             (max($"us") + 1800000000L).as("s_end"))
-      val wins = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
-        .select(explode(expr(
-          s"sequence(lo div $cell * $cell, hi, $cell)")).as("w_start"))
-        .withColumn("w_end", $"w_start" + 3600000000L)
-      val sc = sessions.withColumn("cell", explode(expr(
-        s"sequence(s_start div $cell, (s_end - 1) div $cell)")))
-      val wc = wins.withColumn("cell", explode(expr(
-        s"sequence(w_start div $cell, (w_end - 1) div $cell)")))
-      sc.join(wc, Seq("cell"))
-        .filter($"s_start" < $"w_end" && $"w_start" < $"s_end")
-        .select($"user_id", $"s_start", $"w_start",
-          (least($"s_end", $"w_end") - greatest($"s_start", $"w_start"))
-            .as("overlap_us"))
-        .distinct()
+      intervalOverlapGrid(sessionIntervalsUs(ev), maintenanceWindowsUs(ev))
         .orderBy($"user_id", $"s_start", $"w_start")
     }, sql = Some("""
       WITH g AS (
