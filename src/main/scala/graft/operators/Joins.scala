@@ -74,6 +74,30 @@ object Joins extends QModule {
         (least(col("s_end"), col("w_end")) -
           greatest(col("s_start"), col("w_start"))).as("overlap_us"))
 
+  /** Adaptive interval-overlap join, backed by the MEASURED crossover
+    * (PERF.md §overlap): when either interval set's estimated size fits
+    * the session's broadcast threshold, the inequality join is strictly
+    * better — a shuffle-free codegen inner loop over the broadcast side
+    * (0.22 vs 0.29 s at ×1, 9.9 vs 14.2 s even at ×64 locally). Beyond
+    * the threshold the nested loop is structurally unavailable (the
+    * build side cannot ship) and the grid form is the shape that scales.
+    * Same result either way — the j11 oracle pins the grid arm, a spec
+    * pins arm-equality and the dispatch. */
+  def intervalOverlap(sessions: DataFrame, wins: DataFrame,
+                      cell: Long = 21600000000L): DataFrame = {
+    val raw = sessions.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // "-1" disables broadcasting (and isn't a valid byte string)
+    val thresh =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: NumberFormatException => -1L }
+    def fits(df: DataFrame): Boolean =
+      thresh > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
+    if (fits(wins) || fits(sessions)) intervalOverlapNaive(sessions, wins)
+    else intervalOverlapGrid(sessions, wins, cell)
+  }
+
   def qs: Seq[Q] = Seq(
     // J1: surrogate-key lookup join, fact ⋈ small dims (broadcast-hash).
     // Reference shape: Map<number_value→number_key> probe per fact row.

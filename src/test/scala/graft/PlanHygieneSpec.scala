@@ -154,6 +154,38 @@ class PlanHygieneSpec extends SparkSpec {
       "banded frame degraded to a pair join:\n" + p)
   }
 
+  test("intervalOverlap dispatch: broadcast-small side → inequality join; beyond threshold → grid; same rows") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val sessions = Joins.sessionIntervalsUs(ev).localCheckpoint()
+    val wins = Joins.maintenanceWindowsUs(ev).localCheckpoint()
+    def planOfDf(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    // tiny window set under the default threshold → the measured-better
+    // nested loop
+    val naiveArm = Joins.intervalOverlap(sessions, wins)
+    assert(planOfDf(naiveArm).contains("BroadcastNestedLoopJoin"),
+      "small-side dispatch should take the inequality join")
+    // threshold disabled → the scale shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gridArm = Joins.intervalOverlap(sessions, wins)
+      val p = planOfDf(gridArm)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "beyond-threshold dispatch must take the grid join:\n" + p)
+      // both arms produce the same row multiset
+      val a = naiveArm.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val b = gridArm.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(a === b, "dispatch arms disagree")
+      assert(a.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("j11: interval overlap joins on the grid-cell EQUI key, never an inequality join") {
     val p = planOf("j11_interval_overlap_join").split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
