@@ -34,28 +34,40 @@ object Windows extends QModule {
     *                             RANGE BETWEEN W PRECEDING AND CURRENT ROW).
     * Exposed for ScaleBench's frame-mode curves; the oracled w10b query
     * adds only the presentation sort. Requires cents >= 0. */
-  def bandedTrailingFrame(o0: DataFrame, W: Long): DataFrame = {
-    val o = o0.withColumn("band", expr(s"cents div $W"))
+  def bandedTrailingFrame(o0: DataFrame, W: Long): DataFrame =
+    bandedTrailingFrameBy(o0, W, "cents", "cents")
+      .withColumnRenamed("frame_count", "band_orders")
+      .withColumnRenamed("frame_sum", "band_cents")
+
+  /** The generalized core: trailing frame of reach `W` over ORDER column
+    * `ordC` (integer; band width = W, so the frame spans at most the own
+    * band plus one neighbor), summing VALUE column `valC` — w10b uses
+    * ordC = valC = cents; w11b orders by epoch-micros and sums cents.
+    * Output (o_orderkey, o_orderpriority, <ordC>, frame_count,
+    * frame_sum), unordered. */
+  def bandedTrailingFrameBy(o0: DataFrame, W: Long,
+                            ordC: String, valC: String): DataFrame = {
+    val o = o0.withColumn("band", expr(s"$ordC div $W"))
     val wb = Window.partitionBy(col("o_orderpriority"), col("band"))
-      .orderBy(col("cents"))
+      .orderBy(col(ordC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = o.groupBy(col("o_orderpriority"), col("band"), col("cents"))
-      .agg(count(lit(1)).as("c"), sum(col("cents")).as("sc"))
+    val cum = o.groupBy(col("o_orderpriority"), col("band"), col(ordC))
+      .agg(count(lit(1)).as("c"), sum(col(valC)).as("sc"))
       .withColumn("cum_c", sum(col("c")).over(wb))
       .withColumn("cum_s", sum(col("sc")).over(wb))
     val tot2 = cum.groupBy(col("o_orderpriority"), col("band"))
       .agg(max(col("cum_c")).as("tot_c"), max(col("cum_s")).as("tot_s"))
       .withColumnRenamed("band", "lb")
     val inBand = o.join(
-      cum.select(col("o_orderpriority"), col("band"), col("cents"),
+      cum.select(col("o_orderpriority"), col("band"), col(ordC),
         col("cum_c"), col("cum_s")),
-      Seq("o_orderpriority", "band", "cents"))
+      Seq("o_orderpriority", "band", ordC))
     val cumRows = cum.select(col("o_orderpriority"), col("band").as("lb"),
-      col("cents").as("v"), lit(0).as("is_probe"),
+      col(ordC).as("v"), lit(0).as("is_probe"),
       lit(null).cast("long").as("o_orderkey"),
       col("cum_c").as("bc"), col("cum_s").as("bs"))
     val probeRows = o.select(col("o_orderpriority"),
-      (col("band") - 1).as("lb"), (col("cents") - W - 1).as("v"),
+      (col("band") - 1).as("lb"), (col(ordC) - W - 1).as("v"),
       lit(1).as("is_probe"), col("o_orderkey"),
       lit(null).cast("long").as("bc"), lit(null).cast("long").as("bs"))
     val wU = Window.partitionBy(col("o_orderpriority"), col("lb"))
@@ -72,9 +84,9 @@ object Windows extends QModule {
         (coalesce(col("tot_c"), lit(0L)) - coalesce(col("below_c"), lit(0L))).as("n_c"),
         (coalesce(col("tot_s"), lit(0L)) - coalesce(col("below_s"), lit(0L))).as("n_s"))
     inBand.join(neigh, Seq("o_orderkey", "o_orderpriority"))
-      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
-        (col("cum_c") + col("n_c")).as("band_orders"),
-        (col("cum_s") + col("n_s")).as("band_cents"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col(ordC),
+        (col("cum_c") + col("n_c")).as("frame_count"),
+        (col("cum_s") + col("n_s")).as("frame_sum"))
   }
 
   /** w10's single-window form over the same input — the per-stratum
@@ -475,10 +487,30 @@ object Windows extends QModule {
     // timestamp — not a row count, not a numeric band): ONE SQL text
     // verbatim in both engines. Cents quantization keeps the frame sums
     // integer-exact; frame membership is a timestamp comparison, same in
-    // both. The per-key window keeps it scale-safe.
+    // both. Semantics demo (per-priority single-task window); the
+    // 100-TB form is SHIPPED as w11b below against the same oracle text.
     Q("w11_time_range_frame", (s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(timeRangeFrameSql)
+    }, sql = Some(timeRangeFrameSql)),
+
+    // W11b: the SAME trailing-7-day result computed DISTRIBUTED — w10b's
+    // banded algorithm on the TIME axis, retiring w11's per-stratum
+    // caveat with a shipped twin instead of a cross-reference. The order
+    // column is exact epoch MICROS (7 days = exactly 604,800,000,000 µs
+    // in epoch arithmetic — no DST, matching DuckDB's timestamp
+    // INTERVAL math bit-for-bit), the aggregated value is cents, and
+    // the band width equals the frame reach so a frame spans at most
+    // the own band plus one neighbor. Same oracle TEXT as w11: the
+    // single-window SQL is the ground truth for both forms.
+    Q("w11b_time_band_frame", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority",
+        unix_micros($"o_orderdate".cast("timestamp")).as("tus"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      bandedTrailingFrameBy(o, 604800000000L, "tus", "cents")
+        .select($"o_orderkey", $"frame_sum".as("trail7d_cents"))
+        .orderBy($"o_orderkey")
     }, sql = Some(timeRangeFrameSql)),
 
     // W9: gap-fill / resample — densify a sparse daily series onto a

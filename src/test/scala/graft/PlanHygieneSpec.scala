@@ -141,17 +141,20 @@ class PlanHygieneSpec extends SparkSpec {
       "distinct-value top-k prune not pushed below the window:\n" + p)
   }
 
-  test("w10b: distributed RANGE frame — every window keyed, no cartesian, no pair blow-up") {
-    // w10's single-window form sorts each priority stratum in one task;
-    // w10b must keep every Window node keyed by (priority, band) and
-    // combine via joins — never a partition-wide window or a cross join.
-    val p = planOf("w10b_band_frame").split("== Initial Plan ==").head
-    assert("""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isEmpty,
-      "single-partition window crept into w10b:\n" + p)
-    assert("""Window \[[^\]]*\], \[o_orderpriority""".r.findFirstIn(p).isDefined,
-      "expected (priority, band)-keyed windows:\n" + p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "banded frame degraded to a pair join:\n" + p)
+  test("w10b/w11b: distributed RANGE frames — every window keyed, no cartesian, no pair blow-up") {
+    // the single-window forms sort each priority stratum in one task;
+    // the banded twins must keep every Window node keyed by
+    // (priority, band) and combine via joins — never a partition-wide
+    // window or a cross join.
+    Seq("w10b_band_frame", "w11b_time_band_frame").foreach { name =>
+      val p = planOf(name).split("== Initial Plan ==").head
+      assert("""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isEmpty,
+        s"single-partition window crept into $name:\n" + p)
+      assert("""Window \[[^\]]*\], \[o_orderpriority""".r.findFirstIn(p).isDefined,
+        s"expected (priority, band)-keyed windows in $name:\n" + p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"banded frame $name degraded to a pair join:\n" + p)
+    }
   }
 
   test("intervalOverlap dispatch: broadcast-small side → inequality join; beyond threshold → grid; same rows") {
