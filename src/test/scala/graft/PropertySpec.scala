@@ -278,6 +278,18 @@ class PropertySpec extends SparkSpec {
         .dropDuplicates("o_orderkey")
       sameRows(operators.Windows.bandedTrailingFrame(o, W),
         operators.Windows.windowedTrailingFrame(o, W))
+      // the generalized ord≠val path (w11b's shape): order by cents,
+      // sum an INDEPENDENT value column — against the plain window
+      val withVal = o.withColumn("v", col("o_orderkey") % 97)
+      val wTime = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+        .rangeBetween(-W, 0L)
+      val want = withVal.select(col("o_orderkey"), col("o_orderpriority"),
+        col("cents"), count(lit(1)).over(wTime).as("frame_count"),
+        sum(col("v")).over(wTime).as("frame_sum"))
+      sameRows(
+        operators.Windows.bandedTrailingFrameBy(withVal, W, "cents", "v"),
+        want)
     }
   }
 
