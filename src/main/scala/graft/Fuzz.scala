@@ -23,7 +23,7 @@ import java.util.Random
   *   sbt "runMain graft.Fuzz <sfDir> <outDir> [seed] [n]"
   *   python3 scripts/check.py <sfDir> <outDir>
   *
-  * The committed corpus (`fuzz/corpus_seed42.json`) pins seed 42 / n 180:
+  * The committed corpus (`fuzz/corpus_seed42.json`) pins seed 42 / n 190:
   * FuzzSpec asserts the generator still reproduces it byte-for-byte, so
   * the reviewed corpus cannot drift silently under generator edits.
   *
@@ -1034,6 +1034,37 @@ object Fuzz {
     }, q, "exists_proj")
   }
 
+  /** T23: CTE referenced TWICE (self-join over an aggregate) — the CTE
+    * inlining / exchange-reuse planner path: Spark decides between
+    * inlining the definition into both references (two scans, possibly a
+    * ReusedExchange) and `WITH ... AS` materialization, DuckDB
+    * materializes — results must agree regardless. The join key is a
+    * modular bucket of an integer column with a ±delta shift, so both
+    * arms of the self-join carry real aggregate rows and the left-join
+    * arm exercises null extension of the second reference. */
+  private def genCteReuse(r: Random, name: String): FuzzQuery = {
+    val tn = pick(r, Seq("lineitem", "orders", "customer", "part", "supplier"))
+    val t0 = tbl(tn)
+    val p = preds(r, t0)
+    val keyCol = pick(r, t0.cols.filter(_.kind == IntK)).name
+    val m = 20 + r.nextInt(41)
+    val delta = 1 + r.nextInt(3)
+    val joinKw = if (r.nextBoolean()) "LEFT JOIN" else "JOIN"
+    val as = aggs(r, t0, Set(keyCol))
+    val outPairs = as.map(a => (s"a.${a.name} AS a_${a.name}",
+                                s"b.${a.name} AS b_${a.name}"))
+    val out = Seq("k") ++ as.flatMap(a => Seq(s"a_${a.name}", s"b_${a.name}"))
+    val q =
+      s"WITH agg AS (SELECT $keyCol % $m AS k, ${as.map(_.sql).mkString(", ")} " +
+      s"FROM $tn WHERE ${p.sql} GROUP BY $keyCol % $m) " +
+      s"SELECT a.k AS k, ${outPairs.map(pr => pr._1 + ", " + pr._2).mkString(", ")} " +
+      s"FROM agg a $joinKw agg b ON b.k = a.k + $delta " + orderSql(out)
+    FuzzQuery(name, (s, dir) => {
+      read(s, dir, tn).createOrReplaceTempView(tn)
+      s.sql(q)
+    }, q, "cte_reuse")
+  }
+
   /** T22: recursive-CTE date spine + fact join-aggregate — Spark 4's
     * UnionLoop planner path (WITH RECURSIVE), same text in both engines.
     * UNION ALL arm only: Spark 4.1.2 rejects the distinct arm
@@ -1180,7 +1211,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(22) match {
+      r.nextInt(23) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1202,7 +1233,8 @@ object Fuzz {
         case 18 => genFilterAgg(r, name)
         case 19 => genTimeBucket(r, name)
         case 20 => genExistsProj(r, name)
-        case _ => genRecSpine(r, name)
+        case 21 => genRecSpine(r, name)
+        case _ => genCteReuse(r, name)
       }
     }
   }
