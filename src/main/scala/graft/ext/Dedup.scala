@@ -397,6 +397,31 @@ object Dedup {
         count(lit(1)).as("n_batch_copies"))
   }
 
+  /** Leakage-safe split assignment (the `t_leakage_split` rule as a
+    * per-doc API): each doc gets train/val/test by the md5 slot of its
+    * near-dup CLUSTER representative (min-id rep from [[dupClusters]]
+    * over [[jaccardPairs]]; singletons are their own rep), so by
+    * construction no near-dup pair straddles a split — the silent
+    * eval-contamination path a doc-keyed hash allows (measured: 12/28
+    * planted pairs straddle under the naive rule on the test corpus).
+    * Input needs (doc_id, text); output is the input plus
+    * (rep, split) — map-shaped and sort-free, ready for a partitioned
+    * write. Thresholds are percent cut points (train < t1 <= val < t2
+    * <= test). */
+  def leakageSafeSplit(docs: DataFrame, trainPct: Int = 80,
+                       valPct: Int = 90): DataFrame = {
+    val reps = dupClusters(jaccardPairs(docs.select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("rep_id"))
+    docs.join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep_id"), col("doc_id")))
+      .withColumn("slot", conv(substring(md5(col("rep").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("slot") < trainPct, "train")
+          .when(col("slot") < valPct, "val").otherwise("test"))
+      .drop("rep_id", "slot")
+  }
+
   def simhashCandidates(docs: DataFrame, chunks: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
     val sig = simhashChunks(docs, chunks)

@@ -1228,17 +1228,7 @@ object TextAnalysis extends QModule {
     // recursive-CTE closure included, then re-derives the same md5 slot.
     Q("t_leakage_split", (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
-      val reps = Dedup.dupClusters(
-        Dedup.jaccardPairs(docs.select($"doc_id", $"text")))
-        .select($"doc_id", $"rep_id")
-      docs.join(reps, Seq("doc_id"), "left")
-        .withColumn("rep", coalesce($"rep_id", $"doc_id"))
-        .withColumn("slot", conv(substring(md5($"rep".cast("string")
-          .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
-        .withColumn("split",
-          when($"slot" < 80, "train").when($"slot" < 90, "val")
-            .otherwise("test"))
+      Dedup.leakageSafeSplit(t(s, dir, "documents"))
         .groupBy($"lang", $"split")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct($"rep").as("n_clusters"),
