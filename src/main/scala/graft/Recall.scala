@@ -32,6 +32,9 @@ object Recall {
       // purpose) instead of re-running the Lloyd iteration per query;
       // ivfTrainedCentroids returns it already localCheckpoint'd
       val cent = Similarity.ivfTrainedCentroids(emb)
+      // PQ handles likewise train/encode once (pqEncode is the index build)
+      val cb = Similarity.pqCodebooks(emb)
+      val codes = Similarity.pqEncode(emb, cb).localCheckpoint()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("vec_id").collect().map(_.getLong(0)).toSet
       val recalls = (0L until nQueries.toLong).map { q =>
@@ -49,17 +52,28 @@ object Recall {
         val ivfP8 = ids(Similarity.ivfTrainedTopK(emb, q, k, nprobe = 8,
             centroids = Some(cent)))
           .intersect(truth).size / truth.size.toDouble
-        (lsh, ivf, ivfK, ivfMp, ivfP8)
+        // PQ-ADC at a refine=4 control and the shipped refine=8: the gap
+        // between them is the residual code-quantization error the refine
+        // margin absorbs
+        val pq4 = ids(Similarity.pqTopK(emb, q, k, refine = 4,
+            codebooks = Some(cb), codes = Some(codes)))
+          .intersect(truth).size / truth.size.toDouble
+        val pq8 = ids(Similarity.pqTopK(emb, q, k, refine = 8,
+            codebooks = Some(cb), codes = Some(codes)))
+          .intersect(truth).size / truth.size.toDouble
+        (lsh, ivf, ivfK, ivfMp, ivfP8, pq4, pq8)
       }
       val lshAvg = recalls.map(_._1).sum / nQueries
       val ivfAvg = recalls.map(_._2).sum / nQueries
       val ivfKAvg = recalls.map(_._3).sum / nQueries
       val ivfMpAvg = recalls.map(_._4).sum / nQueries
       val ivfP8Avg = recalls.map(_._5).sum / nQueries
+      val pq4Avg = recalls.map(_._6).sum / nQueries
+      val pq8Avg = recalls.map(_._7).sum / nQueries
       emb.unpersist()
       // Fmt.num: JSON stays valid on comma-decimal default locales
       def r3(v: Double): String = Fmt.num(v, 3)
-      println(s"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":${r3(lshAvg)},"ivf":${r3(ivfAvg)},"ivf_kmeans":${r3(ivfKAvg)},"ivf_kmeans_mp6p2":${r3(ivfMpAvg)},"ivf_kmeans_p8":${r3(ivfP8Avg)}}""")
+      println(s"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":${r3(lshAvg)},"ivf":${r3(ivfAvg)},"ivf_kmeans":${r3(ivfKAvg)},"ivf_kmeans_mp6p2":${r3(ivfMpAvg)},"ivf_kmeans_p8":${r3(ivfP8Avg)},"pq_adc_r4":${r3(pq4Avg)},"pq_adc_r8":${r3(pq8Avg)}}""")
     }
     spark.stop()
   }

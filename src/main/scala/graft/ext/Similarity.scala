@@ -529,6 +529,182 @@ object Similarity {
         cosineE9(cosine("ei", "ej")).as("cosine_e9"))
       .filter(col("cosine_e9") >= threshE9)
   }
+
+  // --- Product quantization (PQ): compressed codes + ADC scan ------------
+
+  /** PQ geometry: `pqM` subspaces of `pqDim/pqM` dims, `pqKsub` codes per
+    * subspace. 64 floats (256 B) compress to 16 one-byte codes + one shared
+    * 512-entry codebook — a 16× corpus shrink. THIS is the piece that makes
+    * 100 TB of embeddings scannable: IVF prunes WHICH vectors a query
+    * reads, PQ shrinks WHAT a read costs; at scale you run both (the codes
+    * table replaces the vector table in the probe scan and only the
+    * re-rank candidates fetch full vectors). Geometry is MEASURED, not
+    * guessed (graft.PqSweep, sf0.1): (m=8,k=16) 0.54, (m=8,k=32) 0.64,
+    * (m=16,k=16) 0.73, (m=16,k=32) 0.90 recall@10 at refine=8 — finer
+    * subspaces beat more codes per subspace at equal code bytes. */
+  val pqDim = 64
+  val pqM = 16
+  val pqKsub = 32
+  val pqKmeansIters = 2
+
+  /** (vec_id, ne6): e6 copy of the UNIT-normalIZED vector, engine-exact.
+    * The norm² is an exact BIGINT (sum of e6 squares), so both engines feed
+    * the SAME integer into one correctly-rounded IEEE sqrt and one divide
+    * per element — no cross-engine fold-order ulp can exist. Normalizing
+    * matters because on the unit sphere squared-L2 order ≡ cosine order
+    * (L2² = 2 − 2·cos), which is what lets the PQ ADC scan rank by an
+    * integer L2 table and still approximate the cosine truth (unnormalized
+    * ADC measured recall@10 0.40–0.54; normalized 0.7+ — Recall.scala).
+    * The 1e-12 floor only guards an all-zero vector against NaN codes. */
+  private def pqNormed(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
+      .withColumn("nrm", expr(
+        """greatest(sqrt(CAST(aggregate(ve6, CAST(0 AS BIGINT),
+          |  (a, x) -> a + x * x) AS DOUBLE)), CAST(1e-12 AS DOUBLE))""".stripMargin))
+      .select(col("vec_id"), expr(
+        "transform(ve6, v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT))")
+        .as("ne6"))
+
+  /** Per-vector subspace slices of the normalized-integer copy:
+    * (vec_id, m, sub). A transform+posexplode — the training-side fan-out
+    * is ×pqM rows, never ×codes. */
+  private def pqSubs(embeddings: DataFrame, m: Int): DataFrame = {
+    val ds = pqDim / m
+    pqNormed(embeddings)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> slice(ne6, mi * $ds + 1, $ds))"))
+        .as(Seq("m", "sub")))
+  }
+
+  /** Nearest-code assignment for every (vec_id, m) slice: exact integer
+    * squared-L2 argmin against the broadcast per-subspace codebook, ties to
+    * the lower code — the same broadcast-argmax shape as `assignByDot`, so
+    * training never shuffles the corpus (the only exchanges per Lloyd round
+    * are the (m, code, d) partial-sum aggregates, ≤ pqM·pqKsub·dim rows). */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val packed = cb.groupBy(col("m"))
+      .agg(collect_list(struct(col("code"), col("ce6"))).as("cbs"))
+    subs.join(broadcast(packed), Seq("m"))
+      .withColumn("code", expr(
+        """-array_max(transform(cbs, c -> named_struct(
+          |  'negd', -aggregate(zip_with(sub, c.ce6, (x, y) -> (x - y) * (x - y)),
+          |                     CAST(0 AS BIGINT), (acc, v) -> acc + v),
+          |  'ncode', -c.code))).ncode""".stripMargin))
+      .drop("cbs")
+  }
+
+  /** Train the PQ codebooks: stride-initialized codes per subspace, then
+    * `iters` integer Lloyd rounds (squared-L2 assignment, per-dimension
+    * floor-mean recenter via the pmod identity) — the `ivfTrainedCentroids`
+    * recipe applied independently to each of the `m` subspaces in ONE
+    * DataFrame keyed by (m, code), so both engines replay training exactly
+    * (SimilarityQueries.duckPqRounds generates the oracle rounds from the
+    * same iteration count). Codes that lose every member drop out, same in
+    * the replay. Fixed-point early stop as in the IVF trainer: the probe
+    * collects only the ≤ m·ksub-row codebook, never the vectors. Returns
+    * (m, code, ce6) localCheckpoint'd — train once, pass the handle. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = pqM, ksub: Int = pqKsub,
+                  iters: Int = pqKmeansIters): DataFrame = {
+    val subs = pqSubs(embeddings, m)
+    val nDf = embeddings.agg(count(lit(1)).as("n"))
+    def recenter(cb: DataFrame): DataFrame =
+      pqAssign(subs, cb)
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("d", "v")))
+        .groupBy(col("m"), col("code"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("mm", expr("(s - pmod(s, cnt)) div cnt"))
+        .groupBy(col("m"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, mm))), p -> p.mm)")
+          .as("ce6"))
+    def snapshot(cb: DataFrame): Seq[(Int, Int, Seq[Long])] =
+      cb.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq.sortBy(t => (t._1, t._2))
+    var cb = subs.crossJoin(broadcast(nDf))
+      .withColumn("stride", greatest(floor(col("n") / ksub), lit(1)).cast("long"))
+      .filter(col("vec_id") % col("stride") === 0 &&
+              col("vec_id") < col("stride") * ksub)
+      .select(col("m"), expr("CAST(vec_id div stride AS INT)").as("code"),
+        col("sub").as("ce6"))
+      .localCheckpoint()
+    var prev = snapshot(cb)
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
+      cb = recenter(cb).localCheckpoint()
+      val cur = snapshot(cb)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    cb
+  }
+
+  /** Encode the corpus against trained codebooks: (vec_id, codes[pqM]) in
+    * ONE map-only pass — all codebooks ride a single broadcast row and each
+    * vector's m codes are a nested-HOF argmin over ≤ m·ksub tiny slices (no
+    * per-subspace fan-out, no shuffle). At 100 TB this pass streams the
+    * vector table once and writes the 32×-smaller codes table; it is the
+    * production index build (`pqTopK` takes it as the train-once handle). */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
+               m: Int = pqM): DataFrame = {
+    val ds = pqDim / m
+    val all = codebooks
+      .agg(collect_list(struct(col("m"), col("code"), col("ce6"))).as("cb"))
+    pqNormed(embeddings)
+      .crossJoin(broadcast(all))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), mi ->
+           |  -array_max(transform(filter(cb, c -> c.m = mi), c -> named_struct(
+           |    'negd', -aggregate(zip_with(slice(ne6, mi * $ds + 1, $ds), c.ce6,
+           |                               (x, y) -> (x - y) * (x - y)),
+           |                       CAST(0 AS BIGINT), (acc, v) -> acc + v),
+           |    'ncode', -c.code))).ncode)""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank: build the query's
+    * (m, code) → squared-L2 distance table (≤ m·ksub longs, broadcast as a
+    * map), score every ENCODED vector by the asymmetric-distance sum — a
+    * map-only scan of the codes table that never touches full vectors —
+    * keep the `k·refine` best ADC candidates (TakeOrderedAndProject), then
+    * fetch only those vectors for the exact e9-cosine re-rank. All-integer
+    * up to the re-rank, so the candidate set (and hence the result) is
+    * engine-exact and oracle-replayable. Codes live on the unit sphere
+    * (pqNormed), so ADC's L2 order tracks the cosine truth; the refine
+    * margin absorbs the residual quantization error (recall measured in
+    * PERF.md §ann; the spec pins the floor). */
+  def pqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+             m: Int = pqM, ksub: Int = pqKsub, refine: Int = 8,
+             codebooks: Option[DataFrame] = None,
+             codes: Option[DataFrame] = None): DataFrame = {
+    val ds = pqDim / m
+    val cb = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
+    val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+    val qv = pqNormed(embeddings.filter(col("vec_id") === queryVecId))
+      .select(col("ne6").as("qe6"))
+    val dtab = cb.crossJoin(broadcast(qv))
+      .withColumn("dist", expr(
+        s"""aggregate(zip_with(slice(qe6, m * $ds + 1, $ds), ce6,
+           |                   (x, y) -> (x - y) * (x - y)),
+           |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .agg(map_from_entries(collect_list(
+        struct(col("m") * ksub + col("code"), col("dist")))).as("dt"))
+    val cand = enc.crossJoin(broadcast(dtab))
+      .withColumn("adc", expr(
+        s"""aggregate(transform(sequence(0, ${m - 1}), mi ->
+           |            dt[mi * $ksub + element_at(codes, mi + 1)]),
+           |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("vec_id") =!= queryVecId)
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(k * refine)
+      .select(col("vec_id"))
+    embeddings.join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(embeddings.filter(col("vec_id") === queryVecId)
+        .select(col("embedding").as("q"))))
+      .select(col("vec_id"), cosineE9(cosine("embedding", "q")).as("cosine_e9"))
+      .orderBy(col("cosine_e9").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }
 
 object SimilarityQueries extends QModule {
@@ -568,6 +744,35 @@ object SimilarityQueries extends QModule {
          |      GROUP BY centroid_id, d) x) y
          |  GROUP BY centroid_id),""".stripMargin
     }.mkString("\n")
+
+  /** One SQL CTE pair (assign + recenter) per PQ Lloyd round — generated
+    * from the SAME iteration count the Spark trainer uses, replaying all
+    * `pqM` subspaces' training in one (m, code)-keyed table. `subs`/`p0`
+    * are defined by the enclosing query. */
+  private def duckPqRounds(iters: Int): String = {
+    val ds = Similarity.pqDim / Similarity.pqM
+    (1 to iters).map { i =>
+      s"""pa$i AS (
+         |  SELECT m, code, sub FROM (
+         |    SELECT s.vec_id, s.m, s.sub, c.code,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |             list_sum(list_transform(list_zip(s.sub, c.ce6),
+         |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+         |             c.code ASC) AS rk
+         |    FROM subs s JOIN p${i - 1} c ON s.m = c.m) t
+         |  WHERE rk = 1),
+         |p$i AS (
+         |  SELECT m, code, list(mm ORDER BY d) AS ce6 FROM (
+         |    SELECT m, code, d,
+         |           (s2 - (((s2 % cnt) + cnt) % cnt)) // cnt AS mm
+         |    FROM (
+         |      SELECT m, code, d, CAST(SUM(sub[d]) AS BIGINT) AS s2,
+         |             COUNT(*) AS cnt
+         |      FROM pa$i, UNNEST(range(1, ${ds + 1})) t(d)
+         |      GROUP BY m, code, d) x) y
+         |  GROUP BY m, code),""".stripMargin
+    }.mkString("\n")
+  }
 
   def qs: Seq[Q] = Seq(
     // Brute-force cosine top-10 for query vector 0 (the exact baseline).
@@ -834,6 +1039,72 @@ object SimilarityQueries extends QModule {
         JOIN probed p ON aF.centroid_id = p.centroid_id
         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
         WHERE b.vec_id <> 0
+        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
+    """)),
+
+    // ANN via PRODUCT QUANTIZATION: train pqKsub sub-centroids per pqM
+    // subspace (integer Lloyd, generated-round oracle like the IVF
+    // trainer), encode 64 floats → pqM byte codes (16× corpus shrink at
+    // the shipped m=16 geometry — the piece
+    // that makes 100 TB of embeddings scannable at all), ADC-scan the
+    // CODES table against the query's broadcast distance table, exact
+    // e9-cosine re-rank of the k·refine survivors only. All-integer up to
+    // the re-rank, so the candidate set is engine-exact and the oracle
+    // replays training + encode + ADC verbatim.
+    Q("sim_ann_pq", (s, dir) =>
+      pqTopK(t(s, dir, "embeddings"), 0L, 10), sql = Some(s"""
+      WITH base AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings) t0),
+      nbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM base),
+      subs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+      prm AS (
+        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
+        FROM embeddings),
+      p0 AS (
+        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        FROM subs, prm
+        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+      ${duckPqRounds(pqKmeansIters)}
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_sum(list_transform(list_zip(s.sub, c.ce6),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   c.code ASC) AS rk
+          FROM subs s JOIN p${pqKmeansIters} c ON s.m = c.m) t
+        WHERE rk = 1),
+      qs AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
+      dt AS (
+        SELECT c.m, c.code,
+               CAST(list_sum(list_transform(list_zip(q.qsub, c.ce6),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM p${pqKmeansIters} c JOIN qs q ON c.m = q.m),
+      adc AS (
+        SELECT e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
+        FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.code
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id),
+      cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${10 * 8})
+      SELECT vec_id, cosine_e9 FROM (
+        SELECT b.vec_id, CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
+        FROM embeddings b JOIN cand USING (vec_id)
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
     """)),
 

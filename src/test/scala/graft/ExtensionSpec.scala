@@ -244,6 +244,37 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("pq ann: handles ≡ inline, codes well-formed, recall@10 meets the floor") {
+    val d = "/root/testdata/sf0.01"
+    val e = t(spark, d, "embeddings")
+    // train/encode once — the production posture (pqEncode IS the index)
+    val cb = Similarity.pqCodebooks(e)
+    val codes = Similarity.pqEncode(e, cb).localCheckpoint()
+    // every vector gets pqM codes, each inside [0, pqKsub)
+    val bad = codes.filter(expr(
+      s"""size(codes) != ${Similarity.pqM} OR exists(codes,
+         |  c -> c IS NULL OR c < 0 OR c >= ${Similarity.pqKsub})""".stripMargin))
+      .count()
+    assert(bad === 0, s"$bad vectors with malformed code words")
+    // the precomputed-handle path must be a pure factoring of the inline
+    // path, never a semantic fork
+    val inline = Similarity.pqTopK(e, 0L, 10).collect().toSeq
+    val handle = Similarity.pqTopK(e, 0L, 10,
+      codebooks = Some(cb), codes = Some(codes)).collect().toSeq
+    assert(inline === handle,
+      "precomputed codebook/codes result diverged from the inline path")
+    // recall floor at the shipped geometry (PqSweep measured 0.73-0.90
+    // across refine 4-8 at sf0.1; sf0.01 similar — floor set with margin
+    // against top-10 boundary churn)
+    val rec = (0L until 20L).map { q =>
+      val brute = Similarity.topK(e, q, 10).collect().map(_.getLong(0)).toSet
+      Similarity.pqTopK(e, q, 10, codebooks = Some(cb), codes = Some(codes))
+        .collect().map(_.getLong(0)).toSet.intersect(brute).size / 10.0
+    }.sum / 20
+    info(f"pq recall@10 = $rec%.2f")
+    assert(rec >= 0.6, f"PQ-ADC recall@10 $rec%.2f < 0.6")
+  }
+
   test("contamination check finds real planted overlap (never a vacuous empty pass)") {
     val hits = graft.SparkEntry.queries("t_contamination")(spark, dir)
     assert(hits.count() > 0, "eval/corpus split no longer crosses any planted dup pair")

@@ -496,7 +496,11 @@ class PlanHygieneSpec extends SparkSpec {
     // 1-row vocab-size broadcast under the smoothed-bigram scoring join
     "t_lm_perplexity",
     // 1-row key-domain bounds broadcast under the normalized Morton code
-    "s11_zorder_layout")
+    "s11_zorder_layout",
+    // PQ: 1-row broadcasts only — corpus-count scalar (stride init),
+    // query subvectors, and the packed (m,code)→dist ADC map; the
+    // codes-table scan and candidate fetch are equi-joins
+    "sim_ann_pq")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row
