@@ -35,6 +35,8 @@ object Recall {
       // PQ handles likewise train/encode once (pqEncode is the index build)
       val cb = Similarity.pqCodebooks(emb)
       val codes = Similarity.pqEncode(emb, cb).localCheckpoint()
+      // the composed index additionally needs the materialized assignment
+      val assigned = Similarity.ivfTrainedAssign(emb, cent).localCheckpoint()
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("vec_id").collect().map(_.getLong(0)).toSet
       val recalls = (0L until nQueries.toLong).map { q =>
@@ -61,7 +63,13 @@ object Recall {
         val pq8 = ids(Similarity.pqTopK(emb, q, k, refine = 8,
             codebooks = Some(cb), codes = Some(codes)))
           .intersect(truth).size / truth.size.toDouble
-        (lsh, ivf, ivfK, ivfMp, ivfP8, pq4, pq8)
+        // composed IVF×PQ: probe-pruned ADC scan — its recall is bounded
+        // above by BOTH parents (IVF's probed lists, PQ's code resolution)
+        val ivfpq = ids(Similarity.ivfPqTopK(emb, q, k,
+            centroids = Some(cent), assigned = Some(assigned),
+            codebooks = Some(cb), codes = Some(codes)))
+          .intersect(truth).size / truth.size.toDouble
+        (lsh, ivf, ivfK, ivfMp, ivfP8, pq4, pq8, ivfpq)
       }
       val lshAvg = recalls.map(_._1).sum / nQueries
       val ivfAvg = recalls.map(_._2).sum / nQueries
@@ -70,10 +78,11 @@ object Recall {
       val ivfP8Avg = recalls.map(_._5).sum / nQueries
       val pq4Avg = recalls.map(_._6).sum / nQueries
       val pq8Avg = recalls.map(_._7).sum / nQueries
+      val ivfpqAvg = recalls.map(_._8).sum / nQueries
       emb.unpersist()
       // Fmt.num: JSON stays valid on comma-decimal default locales
       def r3(v: Double): String = Fmt.num(v, 3)
-      println(s"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":${r3(lshAvg)},"ivf":${r3(ivfAvg)},"ivf_kmeans":${r3(ivfKAvg)},"ivf_kmeans_mp6p2":${r3(ivfMpAvg)},"ivf_kmeans_p8":${r3(ivfP8Avg)},"pq_adc_r4":${r3(pq4Avg)},"pq_adc_r8":${r3(pq8Avg)}}""")
+      println(s"""{"metric":"recall@$k","sf":"$dir","n_vectors":$n,"n_queries":$nQueries,"lsh":${r3(lshAvg)},"ivf":${r3(ivfAvg)},"ivf_kmeans":${r3(ivfKAvg)},"ivf_kmeans_mp6p2":${r3(ivfMpAvg)},"ivf_kmeans_p8":${r3(ivfP8Avg)},"pq_adc_r4":${r3(pq4Avg)},"pq_adc_r8":${r3(pq8Avg)},"ivfpq":${r3(ivfpqAvg)}}""")
     }
     spark.stop()
   }

@@ -710,6 +710,28 @@ object ScaleBench {
         }
         val ivfAuto = report("ivf_auto", npAuto)
         val ivfP8 = report("ivf_p8", 8)
+        // PQ arms: codebook train + corpus encode are the index build
+        // (encode streams the vectors ONCE and writes the 16×-smaller
+        // codes table); the per-query ADC scan then reads pqM bytes per
+        // vector instead of 256 B of floats — full-corpus scan (pq) and
+        // probe-pruned scan (ivfpq, the composed production shape)
+        val t2 = System.nanoTime()
+        val cb = Similarity.pqCodebooks(emb)
+        val pqTrainSec = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val codes = Similarity.pqEncode(emb, cb).localCheckpoint()
+        val pqEncodeSec = (System.nanoTime() - t3) / 1e9
+        def pqArm(name: String, mk: Long => DataFrame): String = {
+          val (sec, res) = arm(mk)
+          val recall = queryIds.map(q =>
+            res(q).intersect(truth(q)).size.toDouble / truth(q).size).sum / queryIds.size
+          s""""$name":{"sec_per_q":${num(sec)},"recall":${num(recall)}}"""
+        }
+        val pqFull = pqArm("pq", q => Similarity.pqTopK(emb, q, k,
+          codebooks = Some(cb), codes = Some(codes)))
+        val ivfPq = pqArm("ivfpq", q => Similarity.ivfPqTopK(emb, q, k,
+          centroids = Some(cent), assigned = Some(assigned),
+          codebooks = Some(cb), codes = Some(codes)))
         // batch join: the WHOLE query panel (every 40th vector, so the
         // panel grows with the corpus like a real leakage/dedup scan) in
         // ONE job via sim_ann_join's engine — index build amortizes over
@@ -728,8 +750,9 @@ object ScaleBench {
             s""""sec_per_q":${num(bjSec / nPanel)},"rows":$bjRows}"""
         println(s"""{"op":"ann","factor":$f,"n_vectors":$n,"nlist":$nl,""" +
           s""""train_sec":${num(trainSec)},"assign_sec":${num(assignSec)},""" +
+          s""""pq_train_sec":${num(pqTrainSec)},"pq_encode_sec":${num(pqEncodeSec)},""" +
           s""""brute_sec_per_q":${num(bruteSec)},""" +
-          ivfAuto + "," + ivfP8 + "," + batchJoin + "}")
+          ivfAuto + "," + ivfP8 + "," + pqFull + "," + ivfPq + "," + batchJoin + "}")
       }
       spark.stop()
       return

