@@ -576,12 +576,14 @@ object Similarity {
         .as(Seq("m", "sub")))
   }
 
-  /** Nearest-code assignment for every (vec_id, m) slice: exact integer
-    * squared-L2 argmin against the broadcast per-subspace codebook, ties to
-    * the lower code — the same broadcast-argmax shape as `assignByDot`, so
-    * training never shuffles the corpus (the only exchanges per Lloyd round
-    * are the (m, code, d) partial-sum aggregates, ≤ pqM·pqKsub·dim rows). */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+  /** HOF baseline of the per-slice nearest-code assignment: exact integer
+    * squared-L2 argmin against the broadcast per-subspace codebook, ties
+    * to the lower code. Kept ONLY as the spec cross-check proving the
+    * native `PqNearestCodes` expression's distance and tie-break parity
+    * (the shipped training/encode paths below use the native form — the
+    * HOF is CodegenFallback, measured 195 s to encode 128k vectors,
+    * PERF.md §ANN). */
+  private[graft] def pqAssignHof(subs: DataFrame, cb: DataFrame): DataFrame = {
     val packed = cb.groupBy(col("m"))
       .agg(collect_list(struct(col("code"), col("ce6"))).as("cbs"))
     subs.join(broadcast(packed), Seq("m"))
@@ -591,6 +593,30 @@ object Similarity {
           |                     CAST(0 AS BIGINT), (acc, v) -> acc + v),
           |  'ncode', -c.code))).ncode""".stripMargin))
       .drop("cbs")
+  }
+
+  /** One packed broadcast row of the whole codebook — the build side of
+    * every native-assignment stage (training, encode). */
+  private def pqPacked(cb: DataFrame): DataFrame =
+    cb.agg(collect_list(struct(col("m"), col("code"), col("ce6"))).as("cbs"))
+
+  /** Per-(m, code, sub) assigned slices of the whole corpus via ONE
+    * native-codegen argmin per vector (`PqNearestCodes` — no per-subspace
+    * row fan-out during the argmin, no interpreted lambda dispatch), then
+    * an m-way explode of the already-assigned codes for the recenter
+    * aggregate. Same output contract as `pqAssignHof(pqSubs(...), cb)`
+    * minus vec_id (the recenter never needs it). */
+  private def pqAssignedSubs(normed: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val ds = pqDim / m
+    normed.crossJoin(broadcast(pqPacked(cb)))
+      .withColumn("codes",
+        graft.functions.VectorFunctions.pqCodes(col("ne6"), col("cbs"), m))
+      .select(posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}), mi -> named_struct(
+           |  'code', element_at(codes, mi + 1),
+           |  'sub', slice(ne6, mi * $ds + 1, $ds)))""".stripMargin))
+        .as(Seq("m", "cs")))
+      .select(col("m"), col("cs.code").as("code"), col("cs.sub").as("sub"))
   }
 
   /** Train the PQ codebooks: stride-initialized codes per subspace, then
@@ -606,9 +632,10 @@ object Similarity {
   def pqCodebooks(embeddings: DataFrame, m: Int = pqM, ksub: Int = pqKsub,
                   iters: Int = pqKmeansIters): DataFrame = {
     val subs = pqSubs(embeddings, m)
+    val normed = pqNormed(embeddings)
     val nDf = embeddings.agg(count(lit(1)).as("n"))
     def recenter(cb: DataFrame): DataFrame =
-      pqAssign(subs, cb)
+      pqAssignedSubs(normed, cb, m)
         .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("d", "v")))
         .groupBy(col("m"), col("code"), col("d"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
@@ -640,13 +667,27 @@ object Similarity {
   }
 
   /** Encode the corpus against trained codebooks: (vec_id, codes[pqM]) in
-    * ONE map-only pass — all codebooks ride a single broadcast row and each
-    * vector's m codes are a nested-HOF argmin over ≤ m·ksub tiny slices (no
-    * per-subspace fan-out, no shuffle). At 100 TB this pass streams the
-    * vector table once and writes the 32×-smaller codes table; it is the
-    * production index build (`pqTopK` takes it as the train-once handle). */
+    * ONE map-only pass — all codebooks ride a single broadcast row and
+    * each vector's m codes come from ONE native-codegen argmin
+    * (`PqNearestCodes`: m·ksub·ds compiled integer ops per vector; no
+    * per-subspace fan-out, no shuffle, no interpreted lambda dispatch —
+    * the HOF form below was measured at 195 s for 128k vectors, PERF.md
+    * §ANN). At 100 TB this pass streams the vector table once and writes
+    * the 16×-smaller codes table; it is the production index build
+    * (`pqTopK` takes it as the train-once handle). */
   def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
-               m: Int = pqM): DataFrame = {
+               m: Int = pqM): DataFrame =
+    pqNormed(embeddings)
+      .crossJoin(broadcast(pqPacked(codebooks)))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqCodes(col("ne6"), col("cbs"), m)
+          .as("codes"))
+
+  /** HOF baseline of pqEncode — semantically identical nested-HOF argmin
+    * (CodegenFallback); kept ONLY as the spec cross-check pinning the
+    * native expression's distance and tie-break parity row-for-row. */
+  private[graft] def pqEncodeHof(embeddings: DataFrame, codebooks: DataFrame,
+                                 m: Int = pqM): DataFrame = {
     val ds = pqDim / m
     val all = codebooks
       .agg(collect_list(struct(col("m"), col("code"), col("ce6"))).as("cb"))
@@ -684,14 +725,54 @@ object Similarity {
     pqExactRerank(embeddings, cand, queryVecId, k)
   }
 
+  /** The query's (m, code) → squared-L2 table as ONE broadcastable row:
+    * a DENSE array of m·ksub longs laid out as index = m·ksub + code (the
+    * native `PqAdcSum` reads it by position — no hash probe). Codes
+    * dropped during training leave holes that encode can never reference;
+    * they're filled with a large-but-overflow-safe sentinel so that even
+    * a hypothetical stray reference ranks WORST, never best. */
+  private def pqDistTable(cb: DataFrame, embeddings: DataFrame,
+                          queryVecId: Long, m: Int, ksub: Int): DataFrame = {
+    val ds = pqDim / m
+    val qv = pqNormed(embeddings.filter(col("vec_id") === queryVecId))
+      .select(col("ne6").as("qe6"))
+    cb.crossJoin(broadcast(qv))
+      .withColumn("dist", expr(
+        s"""aggregate(zip_with(slice(qe6, m * $ds + 1, $ds), ce6,
+           |                   (x, y) -> (x - y) * (x - y)),
+           |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .agg(map_from_entries(collect_list(
+        struct(col("m") * ksub + col("code"), col("dist")))).as("dtm"))
+      .select(expr(
+        s"""transform(sequence(0, ${m * ksub - 1}),
+           |          i -> coalesce(dtm[i], CAST(1000000000000000 AS BIGINT)))"""
+          .stripMargin).as("dt"))
+  }
+
   /** The ADC scan stage shared by pqTopK (full-corpus scan) and ivfPqTopK
-    * (probed-lists scan): broadcast the query's (m, code) → squared-L2
-    * table as ONE map row, score each encoded vector by the m-term lookup
-    * sum, keep the `nCand` best (integer ADC asc, vec_id asc — fully
+    * (probed-lists scan): broadcast the query's dense distance table as
+    * ONE row, score each encoded vector by the native m-term lookup sum
+    * (`PqAdcSum` — m array reads + m adds in whole-stage codegen; the
+    * HOF+map form was measured at 5.9 s/query over 128k codes, PERF.md
+    * §ANN), keep the `nCand` best (integer ADC asc, vec_id asc — fully
     * deterministic, so both callers stay oracle-replayable). */
-  private def pqAdcCandidates(enc: DataFrame, cb: DataFrame,
-                              embeddings: DataFrame, queryVecId: Long,
-                              m: Int, ksub: Int, nCand: Int): DataFrame = {
+  private[graft] def pqAdcCandidates(enc: DataFrame, cb: DataFrame,
+                                     embeddings: DataFrame, queryVecId: Long,
+                                     m: Int, ksub: Int, nCand: Int): DataFrame =
+    enc.crossJoin(broadcast(pqDistTable(cb, embeddings, queryVecId, m, ksub)))
+      .withColumn("adc",
+        graft.functions.VectorFunctions.pqAdcSum(col("codes"), col("dt"), ksub))
+      .filter(col("vec_id") =!= queryVecId)
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(nCand)
+      .select(col("vec_id"))
+
+  /** HOF+map baseline of pqAdcCandidates (CodegenFallback lambda + hash
+    * probe per subspace); kept ONLY as the spec cross-check pinning the
+    * native ADC sum's scores and candidate order. */
+  private[graft] def pqAdcCandidatesHof(enc: DataFrame, cb: DataFrame,
+                                        embeddings: DataFrame, queryVecId: Long,
+                                        m: Int, ksub: Int, nCand: Int): DataFrame = {
     val ds = pqDim / m
     val qv = pqNormed(embeddings.filter(col("vec_id") === queryVecId))
       .select(col("ne6").as("qe6"))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, Shims, SimHashSignature, VectorArgmaxDotLong, VectorArgmaxE9Cosine, VectorLshSignature}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, PqAdcSum, PqNearestCodes, Shims, SimHashSignature, VectorArgmaxDotLong, VectorArgmaxE9Cosine, VectorLshSignature}
 
 /** Public surface for the native vector expressions (implementations:
   * org.apache.spark.sql.graftshim.FloatVectorDot / VectorLshSignature —
@@ -37,6 +37,16 @@ object VectorFunctions {
     * training assignment; cents = array of (centroid_id, ce6) structs). */
   def vecArgmaxDotI64(vec: Column, cents: Column): Column =
     Shims.column(VectorArgmaxDotLong(Shims.expression(vec), Shims.expression(cents)))
+
+  /** Column API for the native per-subspace PQ code assignment (encode +
+    * training; cbs = packed array of (m, code, ce6) structs). */
+  def pqCodes(vec: Column, cbs: Column, m: Int): Column =
+    Shims.column(PqNearestCodes(Shims.expression(vec), Shims.expression(cbs), m))
+
+  /** Column API for the native ADC score (dt = dense m·ksub distance
+    * table indexed mi·ksub + code). */
+  def pqAdcSum(codes: Column, dt: Column, ksub: Int): Column =
+    Shims.column(PqAdcSum(Shims.expression(codes), Shims.expression(dt), ksub))
 
   val fnId: FunctionIdentifier = FunctionIdentifier("vec_dot")
 
@@ -115,6 +125,24 @@ object VectorFunctions {
         case Seq(v, c) => VectorArgmaxDotLong(v, c)
         case other => throw new IllegalArgumentException(
           s"vec_argmax_dot_i64 expects 2 arguments, got ${other.size}")
+      }),
+    (FunctionIdentifier("pq_nearest_codes"),
+      info("pq_nearest_codes", classOf[PqNearestCodes],
+        "_FUNC_(vec, cbs, m) - per-subspace nearest PQ codes of an e6 vector against a packed (m, code, ce6) codebook."),
+      {
+        case Seq(v, c, m) =>
+          PqNearestCodes(v, c, intLit(m, "pq_nearest_codes", "m"))
+        case other => throw new IllegalArgumentException(
+          s"pq_nearest_codes expects 3 arguments, got ${other.size}")
+      }),
+    (FunctionIdentifier("pq_adc_sum"),
+      info("pq_adc_sum", classOf[PqAdcSum],
+        "_FUNC_(codes, dt, ksub) - ADC distance: sum of dt[mi*ksub + codes[mi]] over subspaces."),
+      {
+        case Seq(c, d, k) =>
+          PqAdcSum(c, d, intLit(k, "pq_adc_sum", "ksub"))
+        case other => throw new IllegalArgumentException(
+          s"pq_adc_sum expects 3 arguments, got ${other.size}")
       }))
 
   /** Imperative registration (safe under any externally-created session —
@@ -126,8 +154,9 @@ object VectorFunctions {
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the full native-function family (`vec_dot`, `minhash_sig`,
   * `simhash_sig`, `vec_lsh_sig`, `vec_argmax_cos_e9`,
-  * `vec_argmax_dot_i64`) available as SQL functions and installs the
-  * edit-distance prefilter optimizer rule in any session. */
+  * `vec_argmax_dot_i64`, `pq_nearest_codes`, `pq_adc_sum`) available as
+  * SQL functions and installs the edit-distance prefilter optimizer rule
+  * in any session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.all.foreach(ext.injectFunction)

@@ -220,4 +220,50 @@ class VectorExprSpec extends SparkSpec {
           VectorFunctions.vecArgmaxDotI64(col("ve6"), col("cents")).as("cid")),
       "vec_argmax_dot_i64")
   }
+
+  test("native PQ encode == HOF nested-argmin, row-for-row, on real embeddings") {
+    val e = t(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(e).localCheckpoint()
+    val native = Similarity.pqEncode(e, cb)
+      .select(col("vec_id"), col("codes").cast("array<int>").as("codes"))
+    val hof = Similarity.pqEncodeHof(e, cb)
+      .select(col("vec_id"), col("codes").cast("array<int>").as("codes"))
+    assert(native.exceptAll(hof).count() === 0 &&
+      hof.exceptAll(native).count() === 0,
+      "native PQ codes diverged from the HOF argmin")
+    // sanity: non-degenerate codes (more than one distinct code word used)
+    assert(Similarity.pqEncode(e, cb)
+      .select(explode(col("codes")).as("c")).distinct().count() > 1)
+  }
+
+  test("native ADC sum == HOF+map scoring: identical ordered candidate sets") {
+    val e = t(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(e).localCheckpoint()
+    val codes = Similarity.pqEncode(e, cb).localCheckpoint()
+    for (q <- Seq(0L, 7L, 42L)) {
+      val nat = Similarity.pqAdcCandidates(codes, cb, e, q,
+        Similarity.pqM, Similarity.pqKsub, 80).collect().map(_.getLong(0)).toSeq
+      val hof = Similarity.pqAdcCandidatesHof(codes, cb, e, q,
+        Similarity.pqM, Similarity.pqKsub, 80).collect().map(_.getLong(0)).toSeq
+      assert(nat === hof, s"ADC candidate order diverged for query $q")
+      assert(nat.size === 80)
+    }
+  }
+
+  test("PQ expressions stay in whole-stage codegen") {
+    def exprLineCodegend(df: org.apache.spark.sql.DataFrame, fn: String): Unit = {
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.filter(_.contains(fn)).toSeq
+      assert(lines.nonEmpty, s"$fn not found in plan:\n" + plan)
+      assert(lines.exists(_.contains("*(")),
+        s"$fn's stage fell out of codegen:\n" + plan)
+    }
+    val e = t(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(e).localCheckpoint()
+    exprLineCodegend(Similarity.pqEncode(e, cb), "pq_nearest_codes")
+    val codes = Similarity.pqEncode(e, cb).localCheckpoint()
+    exprLineCodegend(Similarity.pqAdcCandidates(codes, cb, e, 0L,
+      Similarity.pqM, Similarity.pqKsub, 80), "pq_adc_sum")
+  }
 }
