@@ -748,11 +748,25 @@ object ScaleBench {
         val batchJoin =
           s""""batch_join":{"panel":$nPanel,"sec":${num(bjSec)},""" +
             s""""sec_per_q":${num(bjSec / nPanel)},"rows":$bjRows}"""
+        // the same panel through the COMPOSED compressed index in one job
+        // (probe-pruned ADC over codes, exact re-rank of survivors only)
+        val (pjSec, pjRows) = (1 to 2).map { _ =>
+          val t4 = System.nanoTime()
+          val rows = Similarity.ivfPqAnnJoin(emb, panelMod, k,
+              centroids = Some(cent), assigned = Some(assigned),
+              codebooks = Some(cb), codes = Some(codes))
+            .queryExecution.toRdd.count()
+          ((System.nanoTime() - t4) / 1e9, rows)
+        }.minBy(_._1)
+        val batchJoinPq =
+          s""""batch_join_ivfpq":{"panel":$nPanel,"sec":${num(pjSec)},""" +
+            s""""sec_per_q":${num(pjSec / nPanel)},"rows":$pjRows}"""
         println(s"""{"op":"ann","factor":$f,"n_vectors":$n,"nlist":$nl,""" +
           s""""train_sec":${num(trainSec)},"assign_sec":${num(assignSec)},""" +
           s""""pq_train_sec":${num(pqTrainSec)},"pq_encode_sec":${num(pqEncodeSec)},""" +
           s""""brute_sec_per_q":${num(bruteSec)},""" +
-          ivfAuto + "," + ivfP8 + "," + pqFull + "," + ivfPq + "," + batchJoin + "}")
+          ivfAuto + "," + ivfP8 + "," + pqFull + "," + ivfPq + "," +
+          batchJoin + "," + batchJoinPq + "}")
       }
       spark.stop()
       return

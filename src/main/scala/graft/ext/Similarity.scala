@@ -847,6 +847,93 @@ object Similarity {
       m, ksub, k * refine)
     pqExactRerank(embeddings, cand, queryVecId, k)
   }
+
+  /** Batch ANN join over the COMPOSED IVF×PQ index: every panel member
+    * (vec_id % queryMod == 0) gets its approximate top-k in ONE job — the
+    * scalable batch shape of `ivfPqTopK`, and the compressed-corpus
+    * counterpart of `ivfAnnJoin` (the semantic-decontamination /
+    * leakage-scan shape). Per query the probe keeps nprobe lists (exact
+    * integer dot, WindowGroupLimit-bounded per-query window), the ADC
+    * stage scores ONLY codes in that query's probed lists (native
+    * `PqAdcSum` against the query's broadcast dense distance table —
+    * panel × m·ksub longs, a few hundred KB for any real panel), and only
+    * the k·refine ADC survivors per query fetch full vectors for the
+    * exact re-rank. At 100 TB: one scan of the codes⋈assignment index
+    * table joined against a broadcast panel — never query×corpus on full
+    * vectors, and the per-query corpus fraction is nprobe/nlist of a
+    * 16×-compressed table. All-integer through the candidate set, so the
+    * whole panel replays verbatim in the oracle. */
+  def ivfPqAnnJoin(embeddings: DataFrame, queryMod: Long, k: Int,
+                   nlist: Int = 0, nprobe: Int = 0,
+                   m: Int = pqM, ksub: Int = pqKsub, refine: Int = 8,
+                   centroids: Option[DataFrame] = None,
+                   assigned: Option[DataFrame] = None,
+                   codebooks: Option[DataFrame] = None,
+                   codes: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = pqDim / m
+    val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
+    val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nl))
+    val assignedDf = assigned.getOrElse(ivfTrainedAssign(embeddings, cent))
+    val cb = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
+    val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+    val panel = embeddings.filter(col("vec_id") % queryMod === 0)
+    // per-query probed lists — same exact-integer ranking as ivfPqTopK,
+    // batched through one per-query window over panel × nlist rows
+    val qiv = panel.select(col("vec_id").as("query_id"),
+      e6Vec("embedding").as("qe6"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dotv").desc, col("centroid_id").asc)
+    val probes = qiv.crossJoin(broadcast(cent))
+      .withColumn("dotv", expr(intDot("ce6", "qe6")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= np)
+      .select(col("query_id"), col("centroid_id"))
+    // per-query DENSE ADC distance tables (the pqDistTable layout, one
+    // row per panel member)
+    val dt = pqNormed(panel)
+      .select(col("vec_id").as("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> slice(ne6, mi * $ds + 1, $ds))"))
+        .as(Seq("m", "qsub")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(qsub, ce6, (x, y) -> (x - y) * (x - y)),
+          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("m") * ksub + col("code"), col("dist")))).as("dtm"))
+      .select(col("query_id"), expr(
+        s"""transform(sequence(0, ${m * ksub - 1}),
+           |          i -> coalesce(dtm[i], CAST(1000000000000000 AS BIGINT)))"""
+          .stripMargin).as("dt"))
+    // list-restricted ADC scan + per-query candidate cut
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = enc
+      .join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dt), Seq("query_id"))
+      .withColumn("adc",
+        graft.functions.VectorFunctions.pqAdcSum(col("codes"), col("dt"), ksub))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= k * refine)
+      .select(col("query_id"), col("vec_id"))
+    // exact e9-cosine re-rank of each query's k·refine survivors
+    val qemb = panel.select(col("vec_id").as("query_id"),
+      col("embedding").as("q"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_e9").desc, col("vec_id").asc)
+    cand.join(embeddings, Seq("vec_id"))
+      .join(broadcast(qemb), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineE9(cosine("embedding", "q")).as("cosine_e9"))
+      .withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine_e9"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }
 
 object SimilarityQueries extends QModule {
@@ -1346,6 +1433,116 @@ object SimilarityQueries extends QModule {
         FROM embeddings b JOIN cand USING (vec_id)
         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
+    """)),
+
+    // Batch ANN join over the composed IVF×PQ index: every 20th vector is
+    // a held-out query; each gets its approximate top-5 through the SAME
+    // trained coarse quantizer + trained codebooks as sim_ann_ivfpq — the
+    // compressed-corpus counterpart of sim_ann_join, and the one-job
+    // batch shape a semantic decontamination scan runs at 100 TB. The
+    // oracle replays both trainings once and then every per-query probe,
+    // list-restricted ADC scan and re-rank through partitioned windows.
+    Q("sim_ann_ivfpq_join", (s, dir) =>
+      ivfPqAnnJoin(t(s, dir, "embeddings"), 20L, 5), sql = Some(s"""
+      WITH base AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings) t0),
+      iprm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings) t),
+      c0 AS (
+        SELECT vec_id AS centroid_id, ve6 AS ce6
+        FROM base, iprm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      ${duckLloydRounds(ivfKmeansIters)}
+      aF AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT b.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base b CROSS JOIN c$ivfKmeansIters c) t
+        WHERE rk = 1),
+      probes AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.vec_id AS query_id, c.centroid_id, p.np,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(c.ce6, q.ve6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base q CROSS JOIN c$ivfKmeansIters c CROSS JOIN iprm p
+          WHERE q.vec_id % 20 = 0) t
+        WHERE rk <= np),
+      nbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM base),
+      subs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pprm AS (
+        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
+        FROM embeddings),
+      p0 AS (
+        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        FROM subs, pprm
+        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+      ${duckPqRounds(pqKmeansIters)}
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_sum(list_transform(list_zip(s.sub, c.ce6),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   c.code ASC) AS rk
+          FROM subs s JOIN p${pqKmeansIters} c ON s.m = c.m) t
+        WHERE rk = 1),
+      qdt AS (
+        SELECT s.vec_id AS query_id, c.m, c.code,
+               CAST(list_sum(list_transform(list_zip(s.sub, c.ce6),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM subs s JOIN p${pqKmeansIters} c ON s.m = c.m
+        WHERE s.vec_id % 20 = 0),
+      adc AS (
+        SELECT d.query_id, e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
+        FROM enc e
+        JOIN qdt d ON e.m = d.m AND e.code = d.code
+        JOIN aF a ON a.vec_id = e.vec_id
+        JOIN probes pr ON pr.query_id = d.query_id
+                      AND pr.centroid_id = a.centroid_id
+        WHERE e.vec_id <> d.query_id
+        GROUP BY d.query_id, e.vec_id),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   adc ASC, vec_id ASC) AS ark
+          FROM adc) t
+        WHERE ark <= ${5 * 8})
+      SELECT query_id, rk, vec_id, cosine_e9 FROM (
+        SELECT c.query_id, b.vec_id,
+               CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT)
+                 AS cosine_e9,
+               CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT) DESC,
+                 b.vec_id ASC) AS BIGINT) AS rk
+        FROM cand c
+        JOIN embeddings b ON b.vec_id = c.vec_id
+        JOIN embeddings q ON q.vec_id = c.query_id) t
+      WHERE rk <= 5
+      ORDER BY query_id, rk
     """)),
 
     // Per-language embedding centroid (mean pooling — the "cluster/domain

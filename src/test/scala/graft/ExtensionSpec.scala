@@ -305,6 +305,23 @@ class ExtensionSpec extends SparkSpec {
     // the probe prunes ~5/8 of the corpus, so the composed floor sits
     // below plain PQ's (0.95 here) — the IVF probe is the recall ceiling
     assert(rec >= 0.5, f"IVF×PQ recall@10 $rec%.2f < 0.5")
+    // the BATCH join must agree with the per-query form member-for-member:
+    // same index handles, same probe/ADC/re-rank rules, only the
+    // execution shape differs (one job, per-query windows)
+    val batch = Similarity.ivfPqAnnJoin(e, 20L, 5,
+      centroids = Some(cent), assigned = Some(assigned),
+      codebooks = Some(cb), codes = Some(codes))
+      .select(col("query_id"), col("rk"), col("vec_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    for (q <- Seq(0L, 20L, 40L)) {
+      val single = Similarity.ivfPqTopK(e, q, 5,
+        centroids = Some(cent), assigned = Some(assigned),
+        codebooks = Some(cb), codes = Some(codes))
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(q) === single,
+        s"batch ivfpq join diverged from the per-query form for query $q")
+    }
   }
 
   test("contamination check finds real planted overlap (never a vacuous empty pass)") {

@@ -504,7 +504,10 @@ class PlanHygieneSpec extends SparkSpec {
     // composed IVF×PQ: the same 1-row broadcasts as its two parents
     // (query vector against ≤nlist centroids, ADC map); the
     // codes⋈assignment⋈probed restriction is all equi-joins
-    "sim_ann_ivfpq")
+    "sim_ann_ivfpq",
+    // batch form: panel × ≤nlist-centroid broadcast under the probe
+    // ranking; corpus-side joins (codes⋈assignment⋈probes⋈dt) are equi
+    "sim_ann_ivfpq_join")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row
