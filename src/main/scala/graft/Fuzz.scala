@@ -1203,6 +1203,67 @@ object Fuzz {
     }, sql, "asof")
   }
 
+  /** T24: array lane over the embeddings vectors — slice / element_at /
+    * size / quantized-fold parity between Spark's array HOFs and DuckDB's
+    * list functions, the exact surface the similarity/PQ tier is built on
+    * (slice offsets, 1-based element indexing, fold order, zip
+    * truncation). Every cross-element op runs on the e6 integer grid
+    * (CAST(floor(x*1e6+0.5)) per element before any sum/min/max), so both
+    * engines fold identical integers; integer sums are CAST to BIGINT on
+    * the DuckDB side (list_sum widens to HUGEINT — the r4/r5 driver-hash
+    * class). vec_id is unique, so ORDER BY vec_id makes LIMIT exact. */
+  private def genArrayLane(r: Random, name: String): FuzzQuery = {
+    val dim = 64
+    val len = 2 + r.nextInt(7)
+    val o = r.nextInt(dim - len)
+    val o2 = r.nextInt(dim - len)
+    val idx = 1 + r.nextInt(dim)
+    val modK = 2 + r.nextInt(5)
+    def e6d(e: String): String =
+      s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    def e6s(e: String): String =
+      s"transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    val branch = r.nextInt(3)
+    val (outCols, sqlSel, sparkSel): (Seq[String], String, Seq[Column]) = branch match {
+      case 0 =>
+        // slice fold: exact integer sum + max + min of one e6 slice
+        val sd = e6d(s"list_slice(embedding, ${o + 1}, ${o + len})")
+        val ss = e6s(s"slice(embedding, ${o + 1}, $len)")
+        (Seq("vec_id", "s", "mx", "mn"),
+          s"vec_id, CAST(list_sum($sd) AS BIGINT) AS s, " +
+            s"list_max($sd) AS mx, list_min($sd) AS mn",
+          Seq(col("vec_id"),
+            expr(s"aggregate($ss, CAST(0 AS BIGINT), (a, x) -> a + x)").as("s"),
+            expr(s"array_max($ss)").as("mx"),
+            expr(s"array_min($ss)").as("mn")))
+      case 1 =>
+        // element pick + length (1-based indexing parity; len/size both
+        // rendered BIGINT)
+        (Seq("vec_id", "e", "n"),
+          s"vec_id, CAST(floor(CAST(embedding[$idx] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS e, " +
+            s"CAST(len(embedding) AS BIGINT) AS n",
+          Seq(col("vec_id"),
+            expr(s"CAST(floor(CAST(element_at(embedding, $idx) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("e"),
+            expr("CAST(size(embedding) AS BIGINT)").as("n")))
+      case _ =>
+        // zip dot of two same-length e6 slices (zip + fold-order parity)
+        val ad = e6d(s"list_slice(embedding, ${o + 1}, ${o + len})")
+        val bd = e6d(s"list_slice(embedding, ${o2 + 1}, ${o2 + len})")
+        val as0 = e6s(s"slice(embedding, ${o + 1}, $len)")
+        val bs0 = e6s(s"slice(embedding, ${o2 + 1}, $len)")
+        (Seq("vec_id", "dp"),
+          s"vec_id, CAST(list_sum(list_transform(list_zip($ad, $bd), p -> p[1] * p[2])) AS BIGINT) AS dp",
+          Seq(col("vec_id"),
+            expr(s"aggregate(zip_with($as0, $bs0, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)").as("dp")))
+    }
+    val sql = s"SELECT $sqlSel FROM embeddings WHERE vec_id % $modK = 0 " +
+      orderSql(Seq("vec_id")) + " LIMIT 500"
+    FuzzQuery(name, (s, dir) =>
+      read(s, dir, "embeddings").filter(col("vec_id") % modK === 0)
+        .select(sparkSel: _*)
+        .orderBy(orderCols(Seq("vec_id")): _*).limit(500), sql, "array_lane")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1211,7 +1272,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(23) match {
+      r.nextInt(24) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1234,7 +1295,8 @@ object Fuzz {
         case 19 => genTimeBucket(r, name)
         case 20 => genExistsProj(r, name)
         case 21 => genRecSpine(r, name)
-        case _ => genCteReuse(r, name)
+        case 22 => genCteReuse(r, name)
+        case _ => genArrayLane(r, name)
       }
     }
   }

@@ -15,8 +15,8 @@ class FuzzSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("same seed regenerates the identical corpus (names and SQL)") {
-    val a = Fuzz.corpus(42L, 190)
-    val b = Fuzz.corpus(42L, 190)
+    val a = Fuzz.corpus(42L, 200)
+    val b = Fuzz.corpus(42L, 200)
     assert(a.map(_.name) == b.map(_.name))
     assert(a.map(_.sql) == b.map(_.sql))
     // different seeds actually explore different queries
@@ -28,23 +28,23 @@ class FuzzSpec extends SparkSpec {
     val path = Paths.get("fuzz/corpus_seed42.json")
     assert(Files.exists(path),
       "fuzz/corpus_seed42.json missing — regenerate with " +
-        "`sbt \"runMain graft.Fuzz <sf> <out> 42 190\"` and commit")
+        "`sbt \"runMain graft.Fuzz <sf> <out> 42 200\"` and commit")
     val committed = Files.readString(path)
-    val regenerated = Fuzz.corpusJson(Fuzz.corpus(42L, 190))
+    val regenerated = Fuzz.corpusJson(Fuzz.corpus(42L, 200))
     assert(committed == regenerated,
       "generator drift: the committed corpus no longer matches seed 42 — " +
         "re-dump, re-run scripts/check.py green, and commit the new corpus")
   }
 
   test("every template and coin-flip branch executes on Spark (sf0.001)") {
-    val qs = Fuzz.corpus(42L, 190)
+    val qs = Fuzz.corpus(42L, 200)
     val byTemplate = qs.groupBy(_.template)
     // all 23 generator templates must be present in the pinned corpus...
     assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
       "window", "setop", "distinct", "semi_anti",
       "full_join", "join3", "case_str", "session", "hopping", "rollup",
       "asof", "scalar_sub", "lateral", "in_sub", "filter_agg",
-      "time_bucket", "exists_proj", "rec_spine", "cte_reuse"),
+      "time_bucket", "exists_proj", "rec_spine", "cte_reuse", "array_lane"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
     // ...and one query per (template, branch) must execute as a Spark
     // plan — a Spark-only planning regression in any generator surfaces
@@ -102,15 +102,17 @@ class FuzzSpec extends SparkSpec {
   }
 
   test("corpus SQL respects the exactness conventions") {
-    val qs = Fuzz.corpus(42L, 190)
+    val qs = Fuzz.corpus(42L, 200)
     qs.foreach { q =>
       val up = q.sql.toUpperCase
       // every query is fully ordered (deterministic rows for the hash)
       assert(up.contains("ORDER BY"), s"${q.name}: no ORDER BY")
       // no un-cast integer SUM reaches an output column (DuckDB widens
-      // SUM(BIGINT) to HUGEINT — the r4/r5 driver-hash bug class)
+      // SUM(BIGINT) and LIST_SUM(list<BIGINT>) to HUGEINT — the r4/r5
+      // driver-hash bug class). The 11-char lookback covers both
+      // CAST(SUM( and CAST(LIST_SUM( spellings.
       assert(!"""SUM\(""".r.findAllMatchIn(up).exists(m =>
-        !up.substring(math.max(0, m.start - 5), m.start).contains("CAST")),
+        !up.substring(math.max(0, m.start - 11), m.start).contains("CAST")),
         s"${q.name}: SUM without widening CAST: ${q.sql}")
       // no floating-point SUM/AVG: doubles only appear raw or under
       // MIN/MAX; AVG is restricted to integer columns by the catalog
