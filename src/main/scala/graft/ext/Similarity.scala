@@ -215,7 +215,7 @@ object Similarity {
   def ivfTrainedCentroids(embeddings: DataFrame, nlist: Int = 0,
                           iters: Int = ivfKmeansIters): DataFrame = {
     val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
-    val base = embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
+    val base = spread(embeddings).select(col("vec_id"), e6Vec("embedding").as("ve6"))
     def recenter(cent: DataFrame): DataFrame =
       assignByDot(base, cent)
         .select(col("centroid_id"), posexplode(col("ve6")).as(Seq("d", "v")))
@@ -326,7 +326,7 @@ object Similarity {
     * per-query recompute. Assignment itself is the map-only broadcast
     * argmax of `assignByDot`. */
   def ivfTrainedAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
-    assignByDot(embeddings.select(col("vec_id"), col("embedding"),
+    assignByDot(spread(embeddings).select(col("vec_id"), col("embedding"),
       e6Vec("embedding").as("ve6")), centroids)
 
   /** Assign each vector to its nearest centroid — genuinely map-only AND
@@ -341,7 +341,7 @@ object Similarity {
     * e9-quantized cosine so the argmax is engine-independent; ties to
     * the lower centroid id. */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
-    embeddings.crossJoin(broadcast(packedCents(centroids)))
+    spread(embeddings).crossJoin(broadcast(packedCents(centroids)))
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.vecArgmaxCosE9(col("embedding"),
           col("cents")).as("centroid_id"))
@@ -556,6 +556,23 @@ object Similarity {
     * integer L2 table and still approximate the cosine truth (unnormalized
     * ADC measured recall@10 0.40–0.54; normalized 0.7+ — Recall.scala).
     * The 1e-12 floor only guards an all-zero vector against NaN codes. */
+  /** Dev-harness view of pqNormed (graft.EncodeProbe stage timing). */
+  private[graft] def pqNormedProbe(embeddings: DataFrame): DataFrame =
+    pqNormed(embeddings)
+
+  /** Spread a corpus-wide heavy map stage across all cores when the
+    * source arrives under-partitioned (single parquet file, coalesced
+    * upstream): encode/assignment burn ~1-2k integer ops per row, so the
+    * partition count IS the parallelism ceiling — the same guard the
+    * minhash/simhash signature builders carry, applied to the vector
+    * tier. Measured (graft.EncodeProbe, 128k vectors ×32 cores): the
+    * same encode is 1.8 s well-partitioned vs 37 s on the single
+    * inherited partition. No-op when the input is already parallel. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def pqNormed(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
       .withColumn("nrm", expr(
@@ -631,8 +648,9 @@ object Similarity {
     * (m, code, ce6) localCheckpoint'd — train once, pass the handle. */
   def pqCodebooks(embeddings: DataFrame, m: Int = pqM, ksub: Int = pqKsub,
                   iters: Int = pqKmeansIters): DataFrame = {
-    val subs = pqSubs(embeddings, m)
-    val normed = pqNormed(embeddings)
+    val wide = spread(embeddings)
+    val subs = pqSubs(wide, m)
+    val normed = pqNormed(wide)
     val nDf = embeddings.agg(count(lit(1)).as("n"))
     def recenter(cb: DataFrame): DataFrame =
       pqAssignedSubs(normed, cb, m)
@@ -677,7 +695,7 @@ object Similarity {
     * (`pqTopK` takes it as the train-once handle). */
   def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
                m: Int = pqM): DataFrame =
-    pqNormed(embeddings)
+    pqNormed(spread(embeddings))
       .crossJoin(broadcast(pqPacked(codebooks)))
       .select(col("vec_id"),
         graft.functions.VectorFunctions.pqCodes(col("ne6"), col("cbs"), m)
