@@ -43,7 +43,10 @@ object CorpusPipeline {
     * CPU-heaviest map). On a real cluster a persisted table / reliable
     * checkpoint plays this role (same plan, durable). */
   private def qualityGate(docs: DataFrame): DataFrame = {
-    val q = docs
+    // the regex/tokenize scan below is the pipeline's CPU-heaviest map —
+    // spread an under-partitioned (single-file) source first so it runs
+    // on all cores, not one (Tables.spread: no-op on a real corpus)
+    val q = graft.Tables.spread(docs)
       .withColumn("n_tok", size(tokens(col("text"))))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tok"),
         (hits(col("text"), enPat).cast("double") / col("n_tok")).as("r"))

@@ -560,18 +560,9 @@ object Similarity {
   private[graft] def pqNormedProbe(embeddings: DataFrame): DataFrame =
     pqNormed(embeddings)
 
-  /** Spread a corpus-wide heavy map stage across all cores when the
-    * source arrives under-partitioned (single parquet file, coalesced
-    * upstream): encode/assignment burn ~1-2k integer ops per row, so the
-    * partition count IS the parallelism ceiling — the same guard the
-    * minhash/simhash signature builders carry, applied to the vector
-    * tier. Measured (graft.EncodeProbe, 128k vectors ×32 cores): the
-    * same encode is 1.8 s well-partitioned vs 37 s on the single
-    * inherited partition. No-op when the input is already parallel. */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  /** Vector-tier alias of the shared under-partitioned-source guard
+    * (see Tables.spread — the EncodeProbe measurement lives there). */
+  private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
 
   private def pqNormed(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), e6Vec("embedding").as("ve6"))
