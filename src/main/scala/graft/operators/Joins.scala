@@ -420,6 +420,29 @@ object Joins extends QModule {
       ORDER BY user_id, s_start, w_start
     """)),
 
+    // J12: hybrid skew join — hot keys (fact frequency >= 600; the
+    // testdata's per-suppkey counts straddle that at every SF, so BOTH
+    // branches carry rows) join map-side against a broadcast dim slice,
+    // the skew-free remainder takes the ordinary shuffle join. Exact:
+    // the branch split is a partition of the fact by key, so the union
+    // equals the plain join the oracle runs — for any threshold.
+    Q("j12_hybrid_skew_join", (s, dir) => {
+      import s.implicits._
+      Skew.hybridSkewJoin(t(s, dir, "lineitem"), t(s, dir, "supplier"),
+          "l_suppkey", "s_suppkey", hotThreshold = 600L)
+        .groupBy($"s_nationkey")
+        .agg(
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"s_nationkey")
+    }, sql = Some("""
+      SELECT s_nationkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey
+    """)),
+
     // Cross join (small×small only — at scale a guarded operation).
     Q("j6_cross_join", (s, dir) => {
       import s.implicits._

@@ -43,4 +43,59 @@ object Skew {
       .agg(countDistinct(col("v")).as("partial"))
       .groupBy(col("k"))
       .agg(sum(col("partial")).as("n_distinct"))
+
+  /** Hybrid skew JOIN: hot keys never enter the exchange.
+    *
+    * AQE's OptimizeSkewedJoin splits an oversized shuffle partition into
+    * several tasks, but every hot row is still written to and read from the
+    * shuffle. This operator removes the hot rows from the exchange
+    * entirely: fact keys whose frequency reaches `hotThreshold` join
+    * map-side against a broadcast of the dim slice restricted to those
+    * keys, while the (now skew-free) remainder takes the ordinary shuffle
+    * join. The union of the two branches equals the plain inner join
+    * `fact ⋈ dim` for ANY threshold — the threshold only moves rows
+    * between branches, so correctness is oracle-checkable against the
+    * plain SQL join (j12).
+    *
+    * Detection is one partially-aggregated count of the fact keys (map-side
+    * combine ⇒ the detection shuffle moves |distinct key| partial rows, not
+    * the raw fact). A caller that already knows its hot keys (yesterday's
+    * stats, a domain blocklist) passes `knownHot` and skips the scan. The
+    * hot set is hard-capped at `maxHot` rows — loud fail beyond, because an
+    * unbounded broadcast slice is the exact OOM this operator exists to
+    * avoid.
+    *
+    * At 100 TB: the cold branch's post-split key histogram is bounded by
+    * `hotThreshold`, so no shuffle partition exceeds threshold × row-width
+    * regardless of how pathological the original skew was; the hot branch
+    * is map-only (no exchange on either input — the dim slice is ≤ maxHot
+    * rows by construction).
+    */
+  def hybridSkewJoin(fact: DataFrame, dim: DataFrame,
+                     factKey: String, dimKey: String,
+                     hotThreshold: Long,
+                     maxHot: Int = 10000,
+                     knownHot: Option[Seq[Any]] = None): DataFrame = {
+    val hot: Seq[Any] = knownHot.getOrElse {
+      val rows = fact.groupBy(col(factKey)).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= hotThreshold && col(factKey).isNotNull)
+        .limit(maxHot + 1).collect()
+      require(rows.length <= maxHot,
+        s"hybridSkewJoin: more than $maxHot keys at frequency >= " +
+          s"$hotThreshold — raise hotThreshold or maxHot (a broadcast " +
+          "slice this wide defeats the purpose)")
+      rows.map(_.get(0)).toSeq
+    }
+    if (hot.isEmpty) fact.join(dim, col(factKey) === col(dimKey))
+    else {
+      // Null fact keys can never match an inner equi-join, so it is exact
+      // to let the cold filter drop them with the hot ones excluded.
+      val hotJoin = fact.filter(col(factKey).isin(hot: _*))
+        .join(broadcast(dim.filter(col(dimKey).isin(hot: _*))),
+          col(factKey) === col(dimKey))
+      val coldJoin = fact.filter(!col(factKey).isin(hot: _*))
+        .join(dim, col(factKey) === col(dimKey))
+      hotJoin.unionByName(coldJoin)
+    }
+  }
 }

@@ -460,6 +460,49 @@ object EventQueries extends QModule {
       ORDER BY user_id, session_start_us
     """)),
 
+    // E13: behavior-graph matrix product — the event-type transition
+    // counts C[f,t] (per-user LEAD over time) squared via the join-
+    // aggregate form: paths2[f,t] = Σ_m C[f,m]·C[m,t], the number of
+    // length-2 walks f→m→t in the transition multigraph (edge
+    // multiplicity = observed transition count; the two hops need not
+    // come from the same user). This is distributed sparse
+    // matrix multiplication (SpGEMM): equi-join the two operands on the
+    // shared dimension m, partial-aggregate the products — the shuffle
+    // moves nnz(A)+nnz(B) rows keyed by m and the output is bounded by
+    // nnz of the product, never a dense |types|² blow-up. Integer-exact
+    // (counts of counts), so it hash-matches the oracle's replay.
+    // At 100 TB the same plan runs with m as any high-cardinality
+    // vertex id (page→page, domain→domain): the join is the canonical
+    // 1-shuffle SpGEMM and the partial agg bounds the exchange.
+    Q("e13_transition_matmul", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val c = t(s, dir, "events")
+        .withColumn("nt", lead($"event_type", 1).over(w))
+        .filter($"nt".isNotNull)
+        .groupBy($"event_type".as("f"), $"nt".as("t2"))
+        .agg(count(lit(1)).as("c"))
+      val a = c.select($"f".as("a_f"), $"t2".as("a_t"), $"c".as("a_c"))
+      val b = c.select($"f".as("b_f"), $"t2".as("b_t"), $"c".as("b_c"))
+      a.join(b, $"a_t" === $"b_f")
+        .groupBy($"a_f".as("from_type"), $"b_t".as("to_type"))
+        .agg(sum($"a_c" * $"b_c").as("paths2"))
+        .orderBy($"from_type", $"to_type")
+    }, sql = Some("""
+      WITH tr AS (
+        SELECT event_type AS f,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events),
+      c AS (SELECT f, t, COUNT(*) AS c FROM tr WHERE t IS NOT NULL
+            GROUP BY f, t)
+      SELECT a.f AS from_type, b.t AS to_type,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS paths2
+      FROM c a JOIN c b ON a.t = b.f
+      GROUP BY 1, 2 ORDER BY from_type, to_type
+    """)),
+
     // Gap-based sessionization (30 min), integer-nanos exact.
     Q("e2_sessionize", (s, dir) =>
       sessionStats(t(s, dir, "events")),

@@ -524,4 +524,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(viaLag === viaBuiltin)
   }
+
+  test("e13: join-aggregate SpGEMM equals a dense driver-side C² reference") {
+    // Independent reference: collect the raw events (1k rows at sf0.001),
+    // order each user's stream by (ts, event_id) in plain Scala, count
+    // transitions, square the dense matrix, and compare against the
+    // distributed join-aggregate form the query runs.
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val c = scala.collection.mutable.Map[(String, String), Long]()
+    ev.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4)
+        .sliding(2).filter(_.size == 2)
+        .foreach { p => c((p(0), p(1))) = c.getOrElse((p(0), p(1)), 0L) + 1 }
+    }
+    val expected = (for {
+      ((f, m1), c1) <- c.toSeq
+      ((m2, t2), c2) <- c.toSeq if m1 == m2
+    } yield ((f, t2), c1 * c2))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val got = SparkEntry.queries("e13_transition_matmul")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"SpGEMM mismatch: got $got expected $expected")
+  }
 }
