@@ -19,6 +19,7 @@ object SparkEntry {
     operators.SetOps,
     operators.Reshape,
     operators.Analytics,
+    operators.Graph,
     operators.Functions,
     sources.UpsertQueries,
     sources.HtmlQueries,
