@@ -291,11 +291,13 @@ object ScaleBench {
     val rankMode = args.contains("rank")
     val layoutMode = args.contains("layout")
     val overlapMode = args.contains("overlap")
+    val graphMode = args.contains("graph")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
-          a == "frame" || a == "rank" || a == "layout" || a == "overlap")
+          a == "frame" || a == "rank" || a == "layout" || a == "overlap" ||
+          a == "graph")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -429,6 +431,76 @@ object ScaleBench {
             s""""n_rows":$n,"files_hit":$hit,"files_total":${files.length},""" +
             s""""sec":${num(passes.min)},"passes":[${passes.map(num).mkString(",")}]}""")
         }
+      }
+      spark.stop()
+      return
+    }
+
+    // "graph" mode: the gr1/gr2 curves. Node-shifted ×factor copies of
+    // the part-supplier bipartite graph (PageRank: per-iteration cost is
+    // one dst-keyed shuffle of |E| contribs — linear is the claim) and of
+    // the supplier co-order graph (triangles: disjoint copies grow edges
+    // AND triangles linearly). Then the orientation contrast: a planted
+    // low-id hub (star over N nodes + a path tail), where id-ordering
+    // anchors C(N,2) wedges at the hub and degree-ordering bounds the
+    // hub's fan-out to ~0 — the skew blow-up the orientation prevents,
+    // measured, not argued. Run at sf0.01 (the co-order graph at sf0.1
+    // is near-complete on 1000 suppliers — 1.2e8 wedges at ×1 is a
+    // stress shape, not a curve).
+    if (graphMode) {
+      import graft.operators.Graph
+      val li = Tables.t(spark, dir, "lineitem")
+      val pairs = li.select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("sp")).distinct().localCheckpoint()
+      val span = pairs.agg(greatest(max(col("p")), max(col("sp"))))
+        .collect()(0).getLong(0) / 2 * 2 + 2 // even: copies keep parity
+      val os0 = li.select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct().localCheckpoint()
+      val oSpan = os0.agg(max(col("o"))).collect()(0).getLong(0) + 1L
+      val sSpan = os0.agg(max(col("sk"))).collect()(0).getLong(0) + 1L
+      factors.foreach { f =>
+        val pf = (0 until f).map(k => pairs.select(
+            (col("p") + lit(k * span)).as("p"),
+            (col("sp") + lit(k * span)).as("sp")))
+          .reduce(_.unionByName(_))
+        val edges = pf.select(col("p").as("src"), col("sp").as("dst"))
+          .unionAll(pf.select(col("sp").as("src"), col("p").as("dst")))
+          .localCheckpoint()
+        val nE = edges.count()
+        emit("gr1_pagerank_3it", f, nE,
+          () => Graph.pagerankFixedPoint(edges, 3),
+          () => Graph.pagerankFixedPoint(edges, 3).count())
+        val os = (0 until f).map(k => os0.select(
+            (col("o") + lit(k * oSpan)).as("o"),
+            (col("sk") + lit(k * sSpan)).as("sk")))
+          .reduce(_.unionByName(_))
+        val coEdges = os.join(os.select(col("o"), col("sk").as("sk2")), "o")
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("u"), col("sk2").as("v")).distinct()
+          .localCheckpoint()
+        val nCo = coEdges.count()
+        emit("gr2_triangles_degree_ordered", f, nCo,
+          () => Graph.triangleCount(coEdges),
+          () => Graph.triangleCount(coEdges).collect()(0).getLong(0))
+        edges.unpersist(); coEdges.unpersist()
+      }
+      // hub plant: star center at id 0 (max degree AND min id) + path tail
+      factors.foreach { f =>
+        val n = 2000L * f
+        val star = spark.range(1, n + 1)
+          .select(lit(0L).as("u"), col("id").as("v"))
+        val path = spark.range(1, n)
+          .select(col("id").as("u"), (col("id") + 1).as("v"))
+        val hubEdges = star.unionAll(path).localCheckpoint()
+        val nH = hubEdges.count()
+        emit("gr2_hub_degree_ordered", f, nH,
+          () => Graph.triangleCount(hubEdges),
+          () => Graph.triangleCount(hubEdges).collect()(0).getLong(0))
+        emit("gr2_hub_id_ordered", f, nH,
+          () => Graph.triangleCount(hubEdges, byDegree = false),
+          () => Graph.triangleCount(hubEdges, byDegree = false)
+            .collect()(0).getLong(0))
+        hubEdges.unpersist()
       }
       spark.stop()
       return

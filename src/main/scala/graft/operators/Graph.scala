@@ -58,8 +58,12 @@ object Graph extends QModule {
     * (u, v) with u < v. Degree-ordered orientation, then wedge-join +
     * closing-edge semi-join — two equi-shuffles, no per-vertex adjacency
     * materialization. Returns one row: (triangles BIGINT).
+    *
+    * `byDegree = false` orients by node id instead — same count, but a
+    * low-id hub anchors C(deg,2) wedges, the blow-up degree-ordering
+    * exists to prevent (ScaleBench graph mode measures the contrast).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame, byDegree: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // undirected degree (each edge touches both endpoints)
@@ -68,7 +72,9 @@ object Graph extends QModule {
     // total order: (deg, id) — orient low -> high; ord packs it into one
     // comparable long (degree dominates, id breaks ties; ids here are
     // bounded table keys, << 2^20)
-    val ord = deg.select($"n", ($"d" * 2097152L + $"n").as("o"))
+    val ord =
+      if (byDegree) deg.select($"n", ($"d" * 2097152L + $"n").as("o"))
+      else deg.select($"n", $"n".as("o"))
     val oriented = edges
       .join(ord.select($"n".as("u"), $"o".as("ou")), "u")
       .join(ord.select($"n".as("v"), $"o".as("ov")), "v")
