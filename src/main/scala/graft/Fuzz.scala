@@ -1264,6 +1264,188 @@ object Fuzz {
         .orderBy(orderCols(Seq("vec_id")): _*).limit(500), sql, "array_lane")
   }
 
+  /** T25: SpGEMM — sparse count-matrix products through the 1-shuffle
+    * join-aggregate form (the e13 pattern, randomized). Branch (a) squares
+    * the event-type transition matrix (per-user LEAD over the micro-grid
+    * ts, random user slice, random nnz threshold on the counts); branch
+    * (b) multiplies the supplier×part incidence counts by their transpose
+    * (supplier co-occurrence weights, upper triangle). All integer
+    * arithmetic — counts of counts — so the hash compare is exact; the
+    * product SUM is CAST BIGINT on the DuckDB side (HUGEINT widening). */
+  private def genSpGemm(r: Random, name: String): FuzzQuery = {
+    if (r.nextBoolean()) {
+      val k = 2 + r.nextInt(4)
+      val j = r.nextInt(k)
+      val h = 1 + r.nextInt(3)
+      val outCols = Seq("from_type", "to_type", "paths2")
+      val sql =
+        s"""WITH tr AS (
+           |  SELECT event_type AS f,
+           |         LEAD(event_type) OVER (PARTITION BY user_id
+           |                                ORDER BY ts, event_id) AS t
+           |  FROM ${ref("events")} WHERE user_id % $k = $j),
+           |c AS (SELECT f, t, COUNT(*) AS c FROM tr WHERE t IS NOT NULL
+           |      GROUP BY f, t HAVING COUNT(*) >= $h)
+           |SELECT a.f AS from_type, b.t AS to_type,
+           |       CAST(SUM(a.c * b.c) AS BIGINT) AS paths2
+           |FROM c a JOIN c b ON a.t = b.f
+           |GROUP BY a.f, b.t ${orderSql(outCols)} LIMIT 500""".stripMargin
+      FuzzQuery(name, (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val c = read(s, dir, "events").filter(col("user_id") % k === j)
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .filter(col("t2").isNotNull)
+          .groupBy(col("event_type").as("f"), col("t2").as("t"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= h)
+        val a = c.select(col("f").as("a_f"), col("t").as("a_t"),
+          col("c").as("a_c"))
+        val b = c.select(col("f").as("b_f"), col("t").as("b_t"),
+          col("c").as("b_c"))
+        a.join(b, col("a_t") === col("b_f"))
+          .groupBy(col("a_f").as("from_type"), col("b_t").as("to_type"))
+          .agg(sum(col("a_c") * col("b_c")).cast("long").as("paths2"))
+          .orderBy(orderCols(outCols): _*).limit(500)
+      }, sql, "spgemm")
+    } else {
+      val p = preds(r, tbl("lineitem"))
+      val outCols = Seq("u", "v", "w")
+      val sql =
+        s"""WITH ps AS (
+           |  SELECT l_suppkey AS s2, l_partkey AS p2, COUNT(*) AS c
+           |  FROM lineitem WHERE ${p.sql} GROUP BY l_suppkey, l_partkey)
+           |SELECT a.s2 AS u, b.s2 AS v, CAST(SUM(a.c * b.c) AS BIGINT) AS w
+           |FROM ps a JOIN ps b ON a.p2 = b.p2 AND a.s2 < b.s2
+           |GROUP BY a.s2, b.s2 ${orderSql(outCols)} LIMIT 500""".stripMargin
+      FuzzQuery(name, (s, dir) => {
+        val ps = read(s, dir, "lineitem").filter(p.c)
+          .groupBy(col("l_suppkey").as("s2"), col("l_partkey").as("p2"))
+          .agg(count(lit(1)).as("c"))
+        val a = ps.select(col("s2").as("u"), col("p2").as("ap"),
+          col("c").as("ac"))
+        val b = ps.select(col("s2").as("v"), col("p2").as("bp"),
+          col("c").as("bc"))
+        a.join(b, col("ap") === col("bp") && col("u") < col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("ac") * col("bc")).cast("long").as("w"))
+          .orderBy(orderCols(outCols): _*).limit(500)
+      }, sql, "spgemm")
+    }
+  }
+
+  /** T26: iterative graph tier, differential against the LIBRARY functions
+    * (`Graph.pagerankFixedPoint` / `Graph.triangleCount`) rather than a
+    * re-derivation — a generator bug and a library bug cannot cancel.
+    * Branch (a): fixed-point PageRank, random 1-3 iterations, over the
+    * part↔supplier bipartite graph of a random lineitem slice (parity-
+    * disjoint node ids; symmetric edges so outdeg >= 1 holds by
+    * construction); oracle = the same iteration unrolled as chained CTEs
+    * (K is small and fixed). Integer exactness: both engines divide
+    * non-negative longs (Spark `div` truncates, DuckDB `//` floors — equal
+    * on non-negatives; ranks stay positive from the +150000 floor).
+    * Branch (b): triangle count of the supplier co-occurrence graph with
+    * the orientation coin-flipped (byDegree true/false must agree — the
+    * count is orientation-invariant); oracle = the canonical id-ordered
+    * 3-way self-join. */
+  private def genGraphIter(r: Random, name: String): FuzzQuery = {
+    val p = preds(r, tbl("lineitem"))
+    if (r.nextBoolean()) {
+      val iters = 1 + r.nextInt(3)
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |         150000 + (85 * CAST(SUM(p.r // d.outdeg) AS BIGINT)) // 100 AS r
+           |  FROM r${i - 1} p
+           |  JOIN deg d ON p.node = d.src
+           |  JOIN edges e ON p.node = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      val outCols = Seq("node", "rank_fp")
+      val sql =
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem WHERE ${p.sql}),
+           |edges AS (SELECT src, dst FROM e0
+           |          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |$iterCtes
+           |SELECT node, r AS rank_fp FROM r$iters
+           |${orderSql(outCols)} LIMIT 500""".stripMargin
+      FuzzQuery(name, (s, dir) => {
+        val e0 = read(s, dir, "lineitem").filter(p.c)
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        operators.Graph.pagerankFixedPoint(edges, iters)
+          .orderBy(orderCols(outCols): _*).limit(500)
+      }, sql, "graph_iter")
+    } else {
+      val byDeg = r.nextBoolean()
+      val sql =
+        s"""WITH ps AS (
+           |  SELECT DISTINCT l_partkey AS p2, l_suppkey AS s2
+           |  FROM lineitem WHERE ${p.sql}),
+           |e AS (SELECT DISTINCT a.s2 AS u, b.s2 AS v
+           |      FROM ps a JOIN ps b ON a.p2 = b.p2 AND a.s2 < b.s2)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+           |FROM e e1
+           |JOIN e e2 ON e2.u = e1.v
+           |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+           |ORDER BY triangles ASC NULLS FIRST""".stripMargin
+      FuzzQuery(name, (s, dir) => {
+        val ps = read(s, dir, "lineitem").filter(p.c)
+          .select(col("l_partkey").as("p2"), col("l_suppkey").as("s2"))
+          .distinct()
+        val e = ps.as("a").join(ps.as("b"),
+            col("a.p2") === col("b.p2") && col("a.s2") < col("b.s2"))
+          .select(col("a.s2").as("u"), col("b.s2").as("v")).distinct()
+        operators.Graph.triangleCount(e, byDegree = byDeg)
+          .orderBy(col("triangles").asc)
+      }, sql, "graph_iter")
+    }
+  }
+
+  /** T27: hybrid skew join, differential on the EXACTNESS-FOR-ANY-THRESHOLD
+    * claim (`Skew.hybridSkewJoin` scaladoc): the hot/cold branch split is a
+    * partition of the fact by key, so the union must equal the plain join
+    * the oracle runs — for every threshold, including all-hot (1) and
+    * none-hot (10^9). Fact-side keys are bounded dims (suppkey/partkey/
+    * custkey, <= ~2000 distinct), so even all-hot stays inside the maxHot
+    * broadcast guard. Aggregated through the exact menu: COUNT, BIGINT-cast
+    * integer SUM, decimal-quantized dsum. */
+  private def genHybridSkew(r: Random, name: String): FuzzQuery = {
+    val pairs = Seq(
+      ("lineitem", "supplier", "l_suppkey", "s_suppkey", "s_nationkey"),
+      ("lineitem", "part", "l_partkey", "p_partkey", "p_brand"),
+      ("orders", "customer", "o_custkey", "c_custkey", "c_mktsegment"))
+    val (ft, dt, fk, dk, g) = pick(r, pairs)
+    val thr = pick(r, Seq(1L, 4L, 16L, 64L, 256L, 1024L, 1000000000L))
+    val factTbl = tbl(ft)
+    val p = preds(r, factTbl)
+    val intC = pick(r, factTbl.cols.filter(_.kind == IntK)).name
+    val dblC = pick(r, factTbl.cols.filter(_.kind == DblK)).name
+    val outCols = Seq(g, "cnt", s"sum_$intC", s"dsum_$dblC")
+    val sql =
+      s"""SELECT $g, COUNT(*) AS cnt,
+         |       CAST(SUM($intC) AS BIGINT) AS sum_$intC,
+         |       CAST(SUM(CAST($dblC AS DECIMAL(18,2))) AS DOUBLE) AS dsum_$dblC
+         |FROM $ft JOIN $dt ON $fk = $dk
+         |WHERE ${p.sql}
+         |GROUP BY $g ${orderSql(outCols)} LIMIT 500""".stripMargin
+    FuzzQuery(name, (s, dir) => {
+      val joined = operators.Skew.hybridSkewJoin(
+        read(s, dir, ft).filter(p.c), read(s, dir, dt), fk, dk,
+        hotThreshold = thr)
+      joined.groupBy(col(g))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(intC)).cast("long").as(s"sum_$intC"),
+          Tables.dsum(col(dblC), 2).as(s"dsum_$dblC"))
+        .orderBy(orderCols(outCols): _*).limit(500)
+    }, sql, "hybrid_skew")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1272,7 +1454,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(24) match {
+      r.nextInt(27) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1296,7 +1478,10 @@ object Fuzz {
         case 20 => genExistsProj(r, name)
         case 21 => genRecSpine(r, name)
         case 22 => genCteReuse(r, name)
-        case _ => genArrayLane(r, name)
+        case 23 => genArrayLane(r, name)
+        case 24 => genSpGemm(r, name)
+        case 25 => genGraphIter(r, name)
+        case _ => genHybridSkew(r, name)
       }
     }
   }
