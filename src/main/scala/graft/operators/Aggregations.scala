@@ -398,6 +398,66 @@ object Aggregations extends QModule {
       ORDER BY o_custkey
     """)),
 
+    // G27: PERSISTABLE distinct sketches — Datasketches HLL via
+    // hll_sketch_agg / hll_union_agg. The difference from g11b's
+    // approx_count_distinct is the lifecycle: the sketch is a BINARY
+    // column a caller writes to parquet per shard/day and re-merges later
+    // WITHOUT touching raw data — the canonical incremental-distinct
+    // pattern at 100 TB (exact per-key distinct state is the thing you
+    // can't hold; re-scanning history is the thing you can't afford).
+    // Build is one hash agg per shard, merge is register-max (order- and
+    // partitioning-independent), so shard-merged == direct-built exactly
+    // (ExtensionSpec pins that equality plus the parquet round-trip).
+    // Oracled like the other sketch rows: the ESTIMATE is engine-specific,
+    // the accuracy contract is not — the output carries exact cardinality
+    // + a within-bound boolean both engines agree on.
+    Q("g27_hll_sketch_merge", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val shards = li.groupBy(($"l_orderkey" % 8).as("shard"))
+        .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      val merged = shards.agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("approx"),
+        count(lit(1)).as("n_shards"))
+      val exact = li.agg(countDistinct($"l_partkey").as("exact_parts"))
+      exact.crossJoin(broadcast(merged))
+        .select($"exact_parts", $"n_shards",
+          (abs($"approx" - $"exact_parts").cast("double")
+            <= $"exact_parts" * 0.06).as("within_bound"))
+    }, sql = Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+             CAST(8 AS BIGINT) AS n_shards, TRUE AS within_bound
+      FROM lineitem
+    """)),
+
+    // G28: sketch ROLLUP — the grouped sibling of g27, proving partial
+    // reaggregation: fine-grain (nation × ship-quarter) sketches merge up
+    // to per-nation distinct-part estimates, the way a cluster rolls a
+    // daily sketch table up to monthly/production grain. Per-group bound
+    // (a rollup can silently degrade on small groups while the global
+    // merge stays fine — same rationale as g21).
+    Q("g28_hll_sketch_rollup", (s, dir) => {
+      import s.implicits._
+      val j = t(s, dir, "lineitem").join(broadcast(t(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      val cells = j.groupBy($"s_nationkey", quarter($"l_shipdate").as("qtr"))
+        .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      val perNation = cells.groupBy($"s_nationkey")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx"))
+      val exact = j.groupBy($"s_nationkey")
+        .agg(countDistinct($"l_partkey").as("exact_parts"))
+      exact.join(perNation, Seq("s_nationkey"))
+        .select($"s_nationkey", $"exact_parts",
+          (abs($"approx" - $"exact_parts").cast("double")
+            <= $"exact_parts" * 0.08).as("within_bound"))
+        .orderBy($"s_nationkey")
+    }, sql = Some("""
+      SELECT s_nationkey, COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS within_bound
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey
+    """)),
+
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {
       import s.implicits._

@@ -464,4 +464,35 @@ class ExtensionSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
       === ((1L, 2L, 1L, 2L, 0.5)))
   }
+
+  test("hll sketch lifecycle: parquet round-trip, merge == direct build, incremental union") {
+    // the g27 contract made concrete: the sketch column survives a
+    // parquet round-trip, register-max merging of disjoint shards yields
+    // EXACTLY the direct-build estimate (same hash, max per register),
+    // and a late-arriving shard unions in without rebuilding the others —
+    // the incremental-distinct lifecycle a 100 TB caller runs daily.
+    val li = t(spark, dir, "lineitem")
+    def estOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .head.getLong(0)
+    val shards = li.groupBy((col("l_orderkey") % 8).as("shard"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val skDir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    shards.write.parquet(skDir + "/shards")
+    val back = spark.read.parquet(skDir + "/shards")
+    val direct = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("e"))
+      .head.getLong(0)
+    assert(estOf(shards) === direct,
+      "shard-merged estimate != direct build — merge is not register-max")
+    assert(estOf(back) === direct, "estimate drifted through parquet")
+    // incremental: merge 7 persisted shards with one fresh late shard
+    val seven = back.filter(col("shard") =!= 3)
+    val late = li.filter(col("l_orderkey") % 8 === 3)
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    assert(estOf(seven.select("sk").unionByName(late)) === direct)
+    // the accuracy contract the oracled bound row rides on
+    val exact = li.agg(countDistinct(col("l_partkey"))).head.getLong(0)
+    assert(math.abs(direct - exact).toDouble <= exact * 0.06)
+  }
 }
