@@ -35,6 +35,45 @@ final case class Event(event_id: Long, ts: Long, user_id: Long,
 /** Per-user running state for the custom-state operator. */
 final case class UserAgg(n_events: Long, n_purchases: Long, last_ts: Long)
 
+/** StatefulProcessor for [[EventStream.userProfileTws]]: two independent
+  * state variables per user key — see the method scaladoc for why that is
+  * the v2 API's scale win. Values fold in exact cents (the 2-decimal
+  * testdata contract, same quantization as Tables.dsum) so replays are
+  * bit-stable. */
+final class UserProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, (Long, String, Long, Long)] {
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+  @transient private var perType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState("totals",
+      E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    perType = getHandle.getMapState("perType",
+      E.STRING, E.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    val touched = scala.collection.mutable.LinkedHashSet[String]()
+    rows.foreach { e =>
+      n += 1
+      cents += math.floor(e.value * 100 + 0.5).toLong
+      val prev = if (perType.containsKey(e.event_type))
+        perType.getValue(e.event_type) else 0L
+      perType.updateValue(e.event_type, prev + 1)
+      touched += e.event_type
+    }
+    totals.update((n, cents))
+    touched.iterator.map(t => (key, t, perType.getValue(t), n))
+  }
+}
+
 object EventStream {
 
   /** ts (long nanos) → timestamp at microsecond precision. */
@@ -64,6 +103,27 @@ object EventStream {
           state.update(next)
           (uid, next)
       }
+  }
+
+  /** Per-user running profile on Spark 4's transformWithState — the
+    * arbitrary-state v2 API that supersedes mapGroupsWithState. The
+    * upgrade that matters at scale is INDEPENDENT state variables under
+    * one key: `totals` (ValueState, O(1) running counters) and `perType`
+    * (MapState, one entry per event type) evolve separately, where the
+    * v1 API packs everything into one value the store rewrites wholesale
+    * on every update — with RocksDB each variable is its own column
+    * family, so the hot counter path no longer rewrites the cold map.
+    * Emits one refreshed (user, type, n_type, n_total) row per type
+    * touched in the batch (update semantics). Requires the RocksDB state
+    * store provider (an API requirement, set by the streaming caller);
+    * StreamingSpec replays two micro-batches against the batch oracle. */
+  def userProfileTws(ds: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** An existing `tss` column is used AS-IS: re-deriving it from `ts`

@@ -445,6 +445,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: two independent state vars per user survive micro-batches") {
+    // the v2 arbitrary-state API (supersedes mapGroupsWithState): the
+    // ValueState counters and the MapState per-type counts are separate
+    // state variables under one key — asserted here by replaying two
+    // micro-batches and checking BOTH against the plain batch oracle.
+    // RocksDB provider is an API requirement for transformWithState.
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Event].take(200)
+      val stream = MemoryStream[Event]
+      val q = EventStream.userProfileTws(stream.toDS())
+        .toDF("user_id", "event_type", "n_type", "n_total")
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      try {
+        val (b1, b2) = evs.splitAt(100)
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+        // latest emission per (user, type) carries the final MapState
+        // count; the max n_total per user carries the final ValueState
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("n_type").desc)
+        val gotTypes = spark.table("tws")
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select("user_id", "event_type", "n_type")
+          .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        val gotTotals = spark.table("tws").groupBy(col("user_id"))
+          .agg(max(col("n_total")).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expTypes = evs.groupBy(e => (e.user_id, e.event_type))
+          .map { case (k, es) => k -> es.length.toLong }
+        val expTotals = evs.groupBy(_.user_id)
+          .map { case (u, es) => u -> es.length.toLong }
+        assert(gotTypes === expTypes)
+        assert(gotTotals === expTotals)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow: stream drains the backlog as batches then STOPS on its own") {
     // the batch-catchup mode a scheduled pipeline uses: process
     // everything available (respecting maxFilesPerTrigger batching +
