@@ -74,6 +74,69 @@ final class UserProfileProcessor
   }
 }
 
+/** StatefulProcessor for [[EventStream.sessionCloseTws]]: gap-based
+  * sessions closed by EVENT-TIME TIMERS — the v2 capability
+  * mapGroupsWithState's coarse GroupStateTimeout cannot express (one
+  * timeout per key vs arbitrary re-registerable timers; here the timer is
+  * re-armed to last_event + gap on every event, and `handleExpiredTimer`
+  * emits the closed session when the WATERMARK passes it, not when a new
+  * event happens to arrive). Sessions that demonstrably close inside a
+  * batch (a later event for the same user beyond the gap) emit inline;
+  * the final open session per user emits only via its timer — so state is
+  * bounded by live-session count, evicted by watermark progress, never by
+  * key-arrival luck. All arithmetic in long millis (exact). */
+final class SessionCloseProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+
+  // (session_start_ms, last_event_ms, n_events)
+  @transient private var sess: ValueState[(Long, Long, Long)] = _
+  @transient private var timerAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sess = getHandle.getValueState("sess",
+      E.tuple(E.scalaLong, E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    timerAt = getHandle.getValueState("timerAt", E.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    // rows within a micro-batch arrive unordered; fold in event order
+    val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var st = if (sess.exists()) Option(sess.get()) else None
+    sorted.foreach { e =>
+      val ms = e.ts / 1000000L
+      st match {
+        case None => st = Some((ms, ms, 1L))
+        case Some((s, l, n)) if ms - l > gapMs =>
+          closed += ((key, s, l, n)); st = Some((ms, ms, 1L))
+        case Some((s, l, n)) =>
+          st = Some((s, math.max(l, ms), n + 1))
+      }
+    }
+    st.foreach { case st2 @ (_, last, _) =>
+      sess.update(st2)
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val at = last + gapMs
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+    if (sess.exists()) {
+      val (s, l, n) = sess.get()
+      sess.clear(); timerAt.clear()
+      Iterator.single((key, s, l, n))
+    } else Iterator.empty
+}
+
 object EventStream {
 
   /** ts (long nanos) → timestamp at microsecond precision. */
@@ -124,6 +187,24 @@ object EventStream {
     ds.groupByKey(_.user_id)
       .transformWithState(new UserProfileProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Watermark-closed gap sessions on transformWithState event-time
+    * timers ([[SessionCloseProcessor]]). `ds` must carry a watermark
+    * (TimeMode.EventTime is rejected without one); emits
+    * (user_id, session_start_ms, session_end_ms, n_events) as sessions
+    * close. Scale posture: one shuffle on user_id; state = live sessions
+    * only, each evicted the moment the watermark passes its gap — the
+    * shape that holds at 100 TB/day where sessionize-then-groupBy over
+    * history cannot. */
+  def sessionCloseTws(ds: org.apache.spark.sql.Dataset[Event],
+                      gapMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** An existing `tss` column is used AS-IS: re-deriving it from `ts`

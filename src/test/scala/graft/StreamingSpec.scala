@@ -493,6 +493,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: watermark closes sessions, not key-arrival luck") {
+    // deterministic fixture in long millis (ts carried as exact nanos):
+    //   user 1: 0:00, 0:10 | 1:00, 1:05  -> two sessions at a 30-min gap
+    //   user 2: 0:00 | 2:00              -> two single-event sessions
+    // batch 1 ends at 1:00; batch 2 carries the rest plus a far-future
+    // sentinel (user 99) that drives the watermark past every real
+    // timer. Expected: ALL four real sessions emitted — the first three
+    // close inline (a later same-user event proves the gap), user 2's
+    // last closes ONLY because its timer fired on watermark progress;
+    // the sentinel's own session stays open (watermark never passes it).
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1704067200000L // 2024-01-01 00:00 UTC, ms
+      def ev(id: Long, user: Long, offMin: Long) =
+        Event(id, (t0 + offMin * 60000L) * 1000000L, user, "view", 1.0, "{}")
+      val b1 = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 0), ev(4, 1, 60))
+      val b2 = Seq(ev(5, 1, 65), ev(6, 2, 120),
+        ev(99, 99, 100L * 60)) // sentinel: +100 h
+      val stream = MemoryStream[Event]
+      val input = stream.toDS()
+        .withColumn("tss", EventStream.tsCol)
+        .withWatermark("tss", "2 hours").as[Event]
+      val q = EventStream.sessionCloseTws(input)
+        .toDF("user_id", "s_start", "s_end", "n_events")
+        .writeStream.format("memory").queryName("twstimer")
+        .outputMode("update").start()
+      try {
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+        val got = spark.table("twstimer").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        def m(off: Long) = t0 + off * 60000L
+        val expected = Set(
+          (1L, m(0), m(10), 2L),   // inline close (0:10 -> 1:00 gap)
+          (1L, m(60), m(65), 2L),  // timer close
+          (2L, m(0), m(0), 1L),    // inline close (0:00 -> 2:00 gap)
+          (2L, m(120), m(120), 1L)) // timer close
+        assert(got === expected)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow: stream drains the backlog as batches then STOPS on its own") {
     // the batch-catchup mode a scheduled pipeline uses: process
     // everything available (respecting maxFilesPerTrigger batching +
