@@ -40,6 +40,32 @@ final case class UserAgg(n_events: Long, n_purchases: Long, last_ts: Long)
   * the v2 API's scale win. Values fold in exact cents (the 2-decimal
   * testdata contract, same quantization as Tables.dsum) so replays are
   * bit-stable. */
+private[streaming] object UserProfileFold {
+  import org.apache.spark.sql.streaming.{MapState, ValueState}
+
+  /** The shared per-batch fold over a user's events: bump the ValueState
+    * counters and the MapState per-type counts, emit a refreshed row per
+    * type touched. Values fold in exact cents (the 2-decimal testdata
+    * contract, same quantization as Tables.dsum) so replays are
+    * bit-stable. */
+  def apply(key: Long, rows: Iterator[Event],
+            totals: ValueState[(Long, Long)],
+            perType: MapState[String, Long]): Iterator[(Long, String, Long, Long)] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    val touched = scala.collection.mutable.LinkedHashSet[String]()
+    rows.foreach { e =>
+      n += 1
+      cents += math.floor(e.value * 100 + 0.5).toLong
+      val prev = if (perType.containsKey(e.event_type))
+        perType.getValue(e.event_type) else 0L
+      perType.updateValue(e.event_type, prev + 1)
+      touched += e.event_type
+    }
+    totals.update((n, cents))
+    touched.iterator.map(t => (key, t, perType.getValue(t), n))
+  }
+}
+
 final class UserProfileProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, Event, (Long, String, Long, Long)] {
@@ -58,20 +84,47 @@ final class UserProfileProcessor
   }
 
   override def handleInputRows(key: Long, rows: Iterator[Event],
-      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
-    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
-    val touched = scala.collection.mutable.LinkedHashSet[String]()
-    rows.foreach { e =>
-      n += 1
-      cents += math.floor(e.value * 100 + 0.5).toLong
-      val prev = if (perType.containsKey(e.event_type))
-        perType.getValue(e.event_type) else 0L
-      perType.updateValue(e.event_type, prev + 1)
-      touched += e.event_type
-    }
-    totals.update((n, cents))
-    touched.iterator.map(t => (key, t, perType.getValue(t), n))
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] =
+    UserProfileFold(key, rows, totals, perType)
+}
+
+/** Batch-computed profile row used to WARM-START the streaming state
+  * ([[EventStream.userProfileFromBackfill]]). */
+final case class UserProfileInit(user_id: Long, n_events: Long,
+                                 value_cents: Long, per_type: Map[String, Long])
+
+/** [[UserProfileProcessor]] with initial state: `handleInitialState` seeds
+  * both state variables from a batch backfill row before the first
+  * micro-batch touches the key — the restart-from-backfill pattern (a
+  * daily batch job owns history; the streaming job starts TODAY without
+  * replaying it). Only keys present in the stream OR the initial state
+  * get state; the two fold identically afterwards. */
+final class UserProfileBackfillProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Event, (Long, String, Long, Long), UserProfileInit] {
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+  @transient private var perType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState("totals",
+      E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    perType = getHandle.getMapState("perType",
+      E.STRING, E.scalaLong, TTLConfig.NONE)
   }
+
+  override def handleInitialState(key: Long, initialState: UserProfileInit,
+      timerValues: TimerValues): Unit = {
+    totals.update((initialState.n_events, initialState.value_cents))
+    initialState.per_type.foreach { case (t, c) => perType.updateValue(t, c) }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] =
+    UserProfileFold(key, rows, totals, perType)
 }
 
 /** StatefulProcessor for [[EventStream.sessionCloseTws]]: gap-based
@@ -187,6 +240,38 @@ object EventStream {
     ds.groupByKey(_.user_id)
       .transformWithState(new UserProfileProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** [[userProfileTws]] warm-started from a batch backfill: `backfill` is
+    * the profile table a daily batch job materialized over history; the
+    * stream resumes from it instead of replaying history. Computes the
+    * backfill itself from a batch Dataset via [[profileBackfill]]. */
+  def userProfileFromBackfill(ds: org.apache.spark.sql.Dataset[Event],
+      backfill: org.apache.spark.sql.Dataset[UserProfileInit])
+      : org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.user_id)
+      .transformWithState(new UserProfileBackfillProcessor, TimeMode.None(),
+        OutputMode.Update(), backfill.groupByKey(_.user_id))
+  }
+
+  /** The batch half of the warm-start: one hash agg over history produces
+    * the initial-state table (persistable as parquet between the batch
+    * and streaming jobs). */
+  def profileBackfill(history: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[UserProfileInit] = {
+    import history.sparkSession.implicits._
+    history.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      .join(history.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("user_id"))
+          .agg(map_from_entries(collect_list(struct(col("event_type"), col("c"))))
+            .as("per_type")),
+        Seq("user_id"))
+      .as[UserProfileInit]
   }
 
   /** Watermark-closed gap sessions on transformWithState event-time

@@ -493,6 +493,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState initial state: stream warm-starts from the batch backfill") {
+    // restart-from-backfill: a batch agg over the FIRST 100 events seeds
+    // the state store; the stream replays ONLY the last 100; final state
+    // must equal the batch oracle over all 200 — history was never
+    // re-streamed. Users absent from the backfill (new today) and users
+    // absent from the stream (quiet today) both have to come out right.
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").orderBy("ts", "event_id")
+        .as[Event].take(200)
+      val (hist, live) = evs.splitAt(100)
+      val backfill = EventStream.profileBackfill(hist.toSeq.toDS())
+      val stream = MemoryStream[Event]
+      val q = EventStream.userProfileFromBackfill(stream.toDS(), backfill)
+        .toDF("user_id", "event_type", "n_type", "n_total")
+        .writeStream.format("memory").queryName("twsinit")
+        .outputMode("update").start()
+      try {
+        stream.addData(live.toSeq); q.processAllAvailable()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("n_type").desc)
+        val gotTypes = spark.table("twsinit")
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select("user_id", "event_type", "n_type")
+          .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        // emissions only happen for (user, type) touched by the stream;
+        // assert those reflect history + live combined
+        val expAll = evs.groupBy(e => (e.user_id, e.event_type))
+          .map { case (k, es) => k -> es.length.toLong }
+        val touched = live.map(e => (e.user_id, e.event_type)).toSet
+        assert(gotTypes.keySet === touched)
+        gotTypes.foreach { case (k, n) =>
+          assert(n === expAll(k), s"warm-started count wrong for $k")
+        }
+        val gotTotals = spark.table("twsinit").groupBy(col("user_id"))
+          .agg(max(col("n_total")).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expTotals = evs.groupBy(_.user_id)
+          .map { case (u, es) => u -> es.length.toLong }
+        gotTotals.foreach { case (u, n) =>
+          assert(n === expTotals(u), s"warm-started total wrong for user $u")
+        }
+        // at least one user must genuinely straddle the split, or the
+        // warm-start asserted nothing
+        assert(live.map(_.user_id).toSet.intersect(hist.map(_.user_id).toSet)
+          .nonEmpty, "fixture degenerated: no user straddles the split")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState event-time timers: watermark closes sessions, not key-arrival luck") {
     // deterministic fixture in long millis (ts carried as exact nanos):
     //   user 1: 0:00, 0:10 | 1:00, 1:05  -> two sessions at a 30-min gap
