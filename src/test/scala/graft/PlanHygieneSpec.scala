@@ -490,6 +490,8 @@ class PlanHygieneSpec extends SparkSpec {
     "g23_histogram",
     // 1-row total-count broadcast under the count-min bound column
     "g26_countmin_bound",
+    // 1-row merged-sketch-estimate broadcast under the HLL bound column
+    "g27_hll_sketch_merge",
     // statistic's three 1-row dashboard scalars composed by cross join
     // over the checkpointed ≤100-row mart
     "serve_statistic",
