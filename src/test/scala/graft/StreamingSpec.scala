@@ -552,6 +552,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state data source: tws state variables are inspectable offline from the checkpoint") {
+    // the ops half of arbitrary state: after the job stops, the
+    // checkpoint IS a table — spark.read.format(\"statestore\") with
+    // stateVarName reads one named state variable without rerunning the
+    // stream (debugging / auditing / state migration at 100 TB, where
+    // \"rerun and printf\" is not a tool). Asserts the offline read of
+    // the `totals` ValueState equals the batch oracle.
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Event].take(200)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      val stream = MemoryStream[Event]
+      val q = EventStream.userProfileTws(stream.toDS())
+        .toDF("user_id", "event_type", "n_type", "n_total")
+        .writeStream.format("memory").queryName("twsstate")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try {
+        stream.addData(evs.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val totals = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "totals").load()
+      val got = totals.selectExpr("key.value AS user_id", "value.*")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expected = evs.groupBy(_.user_id).map { case (u, es) =>
+        u -> ((es.length.toLong,
+          es.map(e => math.floor(e.value * 100 + 0.5).toLong).sum))
+      }
+      assert(got === expected)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState event-time timers: watermark closes sessions, not key-arrival luck") {
     // deterministic fixture in long millis (ts carried as exact nanos):
     //   user 1: 0:00, 0:10 | 1:00, 1:05  -> two sessions at a 30-min gap
