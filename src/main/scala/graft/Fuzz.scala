@@ -1435,9 +1435,13 @@ object Fuzz {
          |WHERE ${p.sql}
          |GROUP BY $g ${orderSql(outCols)} LIMIT 500""".stripMargin
     FuzzQuery(name, (s, dir) => {
+      // overflowToCold: at sf0.1 the key domains are 10x the catalog's
+      // sf0.01 ranges, so a low threshold can pass more than maxHot keys —
+      // the heaviest-maxHot degradation keeps the split exact AND bounded
+      // (and the fuzzer differentials exactly that claim).
       val joined = operators.Skew.hybridSkewJoin(
         read(s, dir, ft).filter(p.c), read(s, dir, dt), fk, dk,
-        hotThreshold = thr)
+        hotThreshold = thr, overflowToCold = true)
       joined.groupBy(col(g))
         .agg(count(lit(1)).as("cnt"),
           sum(col(intC)).cast("long").as(s"sum_$intC"),

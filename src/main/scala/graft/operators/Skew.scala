@@ -63,7 +63,10 @@ object Skew {
     * stats, a domain blocklist) passes `knownHot` and skips the scan. The
     * hot set is hard-capped at `maxHot` rows — loud fail beyond, because an
     * unbounded broadcast slice is the exact OOM this operator exists to
-    * avoid.
+    * avoid; `overflowToCold = true` instead keeps the HEAVIEST `maxHot`
+    * keys hot and degrades the rest to the shuffle branch (exact for any
+    * subset — the branches partition the fact by key — and the broadcast
+    * stays bounded even when the threshold was misestimated).
     *
     * At 100 TB: the cold branch's post-split key histogram is bounded by
     * `hotThreshold`, so no shuffle partition exceeds threshold × row-width
@@ -75,16 +78,29 @@ object Skew {
                      factKey: String, dimKey: String,
                      hotThreshold: Long,
                      maxHot: Int = 10000,
-                     knownHot: Option[Seq[Any]] = None): DataFrame = {
+                     knownHot: Option[Seq[Any]] = None,
+                     overflowToCold: Boolean = false): DataFrame = {
     val hot: Seq[Any] = knownHot.getOrElse {
-      val rows = fact.groupBy(col(factKey)).agg(count(lit(1)).as("c"))
+      val counted = fact.groupBy(col(factKey)).agg(count(lit(1)).as("c"))
         .filter(col("c") >= hotThreshold && col(factKey).isNotNull)
-        .limit(maxHot + 1).collect()
-      require(rows.length <= maxHot,
-        s"hybridSkewJoin: more than $maxHot keys at frequency >= " +
-          s"$hotThreshold — raise hotThreshold or maxHot (a broadcast " +
-          "slice this wide defeats the purpose)")
-      rows.map(_.get(0)).toSeq
+      if (overflowToCold) {
+        // A misestimated threshold must not fail the job: ANY subset of
+        // keys is an exact split (the branches partition the fact), so
+        // keep the HEAVIEST maxHot keys hot — they carry the skew the
+        // operator exists to remove — and let the overflow degrade to
+        // the shuffle branch, where AQE skew-splitting still applies.
+        // Deterministic tie-break so replays pick the same set.
+        counted.orderBy(col("c").desc, col(factKey).asc)
+          .limit(maxHot).collect().map(_.get(0)).toSeq
+      } else {
+        val rows = counted.limit(maxHot + 1).collect()
+        require(rows.length <= maxHot,
+          s"hybridSkewJoin: more than $maxHot keys at frequency >= " +
+            s"$hotThreshold — raise hotThreshold or maxHot, or pass " +
+            "overflowToCold=true to keep only the heaviest maxHot keys " +
+            "hot (a broadcast slice this wide defeats the purpose)")
+        rows.map(_.get(0)).toSeq
+      }
     }
     if (hot.isEmpty) fact.join(dim, col(factKey) === col(dimKey))
     else {

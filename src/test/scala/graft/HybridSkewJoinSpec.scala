@@ -114,6 +114,20 @@ class HybridSkewJoinSpec extends SparkSpec {
       ex.getMessage.contains("hotThreshold"), ex.getMessage)
   }
 
+  test("overflowToCold: overflow keys degrade to the shuffle branch, result stays exact") {
+    // the misestimated-threshold case the loud-fail refuses: more keys
+    // pass the threshold than maxHot allows. With overflowToCold the
+    // heaviest maxHot keys stay hot, the rest join through the ordinary
+    // exchange — and the union must STILL equal the plain join, because
+    // any hot subset partitions the fact by key.
+    val (fact, dim) = planted()
+    val capped = Skew.hybridSkewJoin(fact, dim, "k", "dk",
+      hotThreshold = 1L, maxHot = 3, overflowToCold = true)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assert(rows(capped.groupBy(col("k")).agg(count(lit(1)).as("n"))) ==
+           rows(plain.groupBy(col("k")).agg(count(lit(1)).as("n"))))
+  }
+
   private def withAutoBroadcastOff[A](body: => A): A = {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
