@@ -55,6 +55,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (data skipping: random vs range vs z-order files)
   *        runMain graft.ScaleBench [sfDir] overlap [factors...]
   *                        (interval overlap: grid join vs inequality join)
+  *        runMain graft.ScaleBench [sfDir] skew [factors...]
+  *                        (j12: plain AQE join vs hybrid on planted skew)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -292,12 +294,13 @@ object ScaleBench {
     val layoutMode = args.contains("layout")
     val overlapMode = args.contains("overlap")
     val graphMode = args.contains("graph")
+    val skewMode = args.contains("skew")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
           a == "frame" || a == "rank" || a == "layout" || a == "overlap" ||
-          a == "graph")
+          a == "graph" || a == "skew")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -447,6 +450,48 @@ object ScaleBench {
     // measured, not argued. Run at sf0.01 (the co-order graph at sf0.1
     // is near-complete on 1000 suppliers — 1.2e8 wedges at ×1 is a
     // stress shape, not a curve).
+    // "skew" mode: the j12 contrast — a planted 90%-one-key fact joined
+    // to a dim with auto-broadcast DISABLED (emulating the operator's
+    // stated regime: a dim too big to broadcast whole, so the plain join
+    // is a sort-merge exchange that AQE can only split AFTER writing the
+    // hot rows to shuffle). AQE stays ON in both arms — the claim under
+    // measurement is that removing hot rows from the exchange beats
+    // splitting the exchange, not that AQE is off. The hybrid's own
+    // broadcast() hint on the ≤maxHot dim slice overrides the threshold,
+    // as in production. Identical results (j12 pins exactness).
+    if (skewMode) {
+      import graft.operators.Skew
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.t(spark, dir, "lineitem")
+      val dim = Tables.t(spark, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("dk"), col("s_nationkey"))
+        .localCheckpoint()
+      val base0 = li.select(
+        when(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(10)) < 9,
+          lit(0L))
+          .otherwise(pmod(col("l_partkey"), lit(100)).cast("long")).as("fk"),
+        col("l_extendedprice").as("v"))
+      def agg(j: DataFrame): DataFrame = j.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * 100 + 0.5).cast("long")).as("cents"))
+      factors.foreach { f =>
+        val fact = (0 until f).map(_ => base0).reduce(_.unionByName(_))
+          .localCheckpoint()
+        val n = fact.count()
+        emit("j12_plain_aqe_join", f, n,
+          () => agg(fact.join(dim, col("fk") === col("dk"))),
+          () => fact.join(dim, col("fk") === col("dk")).count())
+        emit("j12_hybrid_skew_join", f, n,
+          () => agg(Skew.hybridSkewJoin(fact, dim, "fk", "dk",
+            hotThreshold = 100000L)),
+          () => Skew.hybridSkewJoin(fact, dim, "fk", "dk",
+            hotThreshold = 100000L).count())
+        fact.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     if (graphMode) {
       import graft.operators.Graph
       val li = Tables.t(spark, dir, "lineitem")
