@@ -1450,6 +1450,73 @@ object Fuzz {
     }, sql, "hybrid_skew")
   }
 
+  /** T28: sketch accuracy-bound differential — the bound-row pattern of
+    * the fixed suite (g11b/g21/g27) randomized over columns, filters, and
+    * groupings. The ESTIMATE is engine-specific, so what's differentialed
+    * is the CONTRACT: Spark computes estimate + exact and emits exact +
+    * a within-bound boolean; the oracle recomputes exact and asserts
+    * literal TRUE. Branches: (a) global approx_count_distinct at rsd 0.01
+    * (bound 5% with absolute slack 3 — small-cardinality sketches are
+    * exact-ish, relative bound alone would be vacuous at 0); (b) grouped,
+    * same bound per group; (c) Datasketches HLL built per random int
+    * shard and union-merged (the g27 lifecycle, bound 6%). Deterministic:
+    * both sketch families are hash-based, so a bound that holds once
+    * holds every run on fixed data. */
+  private def genSketchBound(r: Random, name: String): FuzzQuery = {
+    val t = pick(r, tables)
+    val p = preds(r, t)
+    def bound(approx: Column, exact: Column, rel: Double, slack: Double): Column =
+      (abs(coalesce(approx, lit(0L)) - exact).cast("double")
+        <= greatest(exact * rel, lit(slack))).as("within_bound")
+    r.nextInt(3) match {
+      case 0 =>
+        val c = pick(r, t.cols).name
+        val sql = s"SELECT COUNT(DISTINCT $c) AS exact_c, TRUE AS within_bound " +
+          s"FROM ${ref(t.name)} WHERE ${p.sql} " + orderSql(Seq("exact_c"))
+        FuzzQuery(name, (s, dir) =>
+          read(s, dir, t.name).filter(p.c)
+            .agg(approx_count_distinct(col(c), 0.01).as("approx"),
+              countDistinct(col(c)).as("exact_c"))
+            .select(col("exact_c"), bound(col("approx"), col("exact_c"), 0.05, 3.0))
+            .orderBy(col("exact_c").asc),
+          sql, "sketch_bound")
+      case 1 =>
+        val groupable = t.cols.filter(c => c.kind == StrK && c.lits.nonEmpty)
+        if (groupable.isEmpty) return genSketchBound(r, name)
+        val g = pick(r, groupable).name
+        val c = pick(r, t.cols.filterNot(_.name == g)).name
+        val sql = s"SELECT $g, COUNT(DISTINCT $c) AS exact_c, TRUE AS within_bound " +
+          s"FROM ${ref(t.name)} WHERE ${p.sql} GROUP BY $g " +
+          orderSql(Seq(g, "exact_c", "within_bound"))
+        FuzzQuery(name, (s, dir) =>
+          read(s, dir, t.name).filter(p.c).groupBy(col(g))
+            .agg(approx_count_distinct(col(c), 0.01).as("approx"),
+              countDistinct(col(c)).as("exact_c"))
+            .select(col(g), col("exact_c"),
+              bound(col("approx"), col("exact_c"), 0.05, 3.0))
+            .orderBy(orderCols(Seq(g, "exact_c", "within_bound")): _*),
+          sql, "sketch_bound")
+      case _ =>
+        val ints = t.cols.filter(_.kind == IntK)
+        if (ints.size < 2) return genSketchBound(r, name)
+        val c = pick(r, ints).name
+        val sh = pick(r, ints.filterNot(_.name == c)).name
+        val m = 2 + r.nextInt(7)
+        val sql = s"SELECT COUNT(DISTINCT $c) AS exact_c, TRUE AS within_bound " +
+          s"FROM ${ref(t.name)} WHERE ${p.sql} " + orderSql(Seq("exact_c"))
+        FuzzQuery(name, (s, dir) => {
+          val base = read(s, dir, t.name).filter(p.c)
+          val merged = base.groupBy(pmod(col(sh), lit(m)).as("shard"))
+            .agg(hll_sketch_agg(col(c)).as("sk"))
+            .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+          base.agg(countDistinct(col(c)).as("exact_c"))
+            .crossJoin(broadcast(merged))
+            .select(col("exact_c"), bound(col("approx"), col("exact_c"), 0.06, 3.0))
+            .orderBy(col("exact_c").asc)
+        }, sql, "sketch_bound")
+    }
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1458,7 +1525,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(27) match {
+      r.nextInt(28) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1485,7 +1552,8 @@ object Fuzz {
         case 23 => genArrayLane(r, name)
         case 24 => genSpGemm(r, name)
         case 25 => genGraphIter(r, name)
-        case _ => genHybridSkew(r, name)
+        case 26 => genHybridSkew(r, name)
+        case _ => genSketchBound(r, name)
       }
     }
   }
