@@ -57,6 +57,8 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        (interval overlap: grid join vs inequality join)
   *        runMain graft.ScaleBench [sfDir] skew [factors...]
   *                        (j12: plain AQE join vs hybrid on planted skew)
+  *        runMain graft.ScaleBench [sfDir] sketch [factors...]
+  *                        (g27: exact distinct vs persisted-sketch requery)
   *
   * NB at ×64 the UNCAPPED hot arms OOM a single 128 GiB host by design
   * (~3,200²/2 pairs per hot shingle key) — that IS the measurement: the
@@ -295,12 +297,13 @@ object ScaleBench {
     val overlapMode = args.contains("overlap")
     val graphMode = args.contains("graph")
     val skewMode = args.contains("skew")
+    val sketchMode = args.contains("sketch")
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
           a == "frame" || a == "rank" || a == "layout" || a == "overlap" ||
-          a == "graph" || a == "skew")
+          a == "graph" || a == "skew" || a == "sketch")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -450,6 +453,45 @@ object ScaleBench {
     // measured, not argued. Run at sf0.01 (the co-order graph at sf0.1
     // is near-complete on 1000 suppliers — 1.2e8 wedges at ×1 is a
     // stress shape, not a curve).
+    // "sketch" mode: the g27 lifecycle in wall-time form. Re-asking an
+    // exact COUNT(DISTINCT) re-shuffles every distinct value of the raw
+    // corpus, every time; the sketch answer re-reads only the persisted
+    // per-shard sketch table (f·shards binary rows, KBs). Measured: (a)
+    // exact distinct over the ×f fact, (b) the one-time sketch build at
+    // ×f, (c) the re-query from the persisted sketches — (c) is the cost
+    // a daily dashboard pays after (b) amortizes across days. Estimate
+    // accuracy is spec-pinned (ExtensionSpec); this measures cost only.
+    if (sketchMode) {
+      val li = Tables.t(spark, dir, "lineitem")
+      val base0 = li.select(col("l_orderkey"), col("l_partkey"))
+      factors.foreach { f =>
+        val fact = (0 until f).map(k => base0.select(
+            (col("l_orderkey") + lit(k.toLong * 100000000L)).as("l_orderkey"),
+            col("l_partkey")))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        val n = fact.count()
+        emit("g27_exact_distinct", f, n,
+          () => fact.agg(countDistinct(col("l_partkey")).as("exact")),
+          () => fact.agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0))
+        val skDir = java.nio.file.Files
+          .createTempDirectory(s"graft_sk_$f").toString + "/shards"
+        def buildSketches(): DataFrame = fact
+          .groupBy(pmod(col("l_orderkey"), lit(64)).as("shard"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        emit("g27_sketch_build", f, n,
+          () => buildSketches(),
+          () => { buildSketches().write.mode("overwrite").parquet(skDir)
+                  spark.read.parquet(skDir).count() })
+        emit("g27_sketch_requery", f, n,
+          () => spark.read.parquet(skDir)
+            .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx")),
+          () => spark.read.parquet(skDir).count())
+        fact.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     // "skew" mode: the j12 contrast — a planted 90%-one-key fact joined
     // to a dim with auto-broadcast DISABLED (emulating the operator's
     // stated regime: a dim too big to broadcast whole, so the plain join
