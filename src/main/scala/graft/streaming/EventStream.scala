@@ -398,6 +398,29 @@ object EventQueries extends QModule {
   import EventStream._
 
   def qs: Seq[Q] = Seq(
+    // E14: the transformWithState operator run as a BATCH query (Spark 4
+    // supports tws over batch Datasets: one transient state pass, each
+    // key's group handled once) — which puts the v2 stateful processor
+    // under the driver's hash oracle, not just the streaming specs. In a
+    // single batch the emitted rows are the final per-(user, type)
+    // profile, so the oracle is the plain grouped count with the per-user
+    // total windowed over it. The `streams` touch initializes the
+    // StateStoreCoordinator RPC endpoint, which a pure-batch session
+    // never creates (loading state fails with CANNOT_LOAD_STATE_STORE
+    // otherwise — a lazy-init quirk, not a config).
+    Q("e14_user_profile_tws", (s, dir) => {
+      s.streams.active
+      import s.implicits._
+      userProfileTws(t(s, dir, "events").as[Event])
+        .toDF("user_id", "event_type", "n_type", "n_total")
+        .orderBy(col("user_id"), col("event_type"))
+    }, sql = Some("""
+      SELECT user_id, event_type, COUNT(*) AS n_type,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type
+    """)),
+
     // Tumbling 1h windowed aggregation (streaming-equivalent batch form).
     Q("e1_window_counts", (s, dir) =>
       windowedCounts(t(s, dir, "events"))
