@@ -458,6 +458,49 @@ object Aggregations extends QModule {
       GROUP BY s_nationkey ORDER BY s_nationkey
     """)),
 
+    // G29: the quantile analog of g27 — PERSISTABLE KLL quantile sketches
+    // (graftshim.KllSketchAgg/KllMergeAgg, Column API
+    // functions.SketchFunctions): per-shard binary sketches merged
+    // without touching raw data, quantiles read from the merged bytes.
+    // Spark 4.1 ships no storable quantile sketch (approx_percentile's
+    // state is not a column) — this is the gap the tier closes. Oracled
+    // like g17b: the returned p50/p90/p99 must have exact rank within
+    // eps of the target (rank interval check against a counting pass);
+    // KLL k=200 two-sided normalized rank error ≈ 1.33%, eps = 0.03
+    // gives deterministic headroom on fixed data. The sketch's stream
+    // length must equal the exact row count (merge loses nothing).
+    Q("g29_kll_quantile_bound", (s, dir) => {
+      import s.implicits._
+      import graft.functions.SketchFunctions._
+      val li = t(s, dir, "lineitem")
+      val shards = li.groupBy(($"l_orderkey" % 8).as("shard"))
+        .agg(kllSketchAgg($"l_extendedprice").as("sk"))
+      val merged = shards.agg(kllMergeAgg($"sk").as("sk"))
+        .select(kllQuantile($"sk", 0.5).as("p50"),
+          kllQuantile($"sk", 0.9).as("p90"),
+          kllQuantile($"sk", 0.99).as("p99"),
+          kllN($"sk").as("n_sk"))
+      val eps = 0.03
+      def ok(q: Double, v: org.apache.spark.sql.Column,
+             name: String): org.apache.spark.sql.Column = {
+        val lt = sum(when($"l_extendedprice" < v, 1L).otherwise(0L))
+        val le = sum(when($"l_extendedprice" <= v, 1L).otherwise(0L))
+        (lt < (lit(q) + eps) * count(lit(1)) &&
+          le >= (lit(q) - eps) * count(lit(1))).as(name)
+      }
+      li.crossJoin(broadcast(merged))
+        .agg(count(lit(1)).as("n_rows"),
+          ok(0.5, $"p50", "p50_within_bound"),
+          ok(0.9, $"p90", "p90_within_bound"),
+          ok(0.99, $"p99", "p99_within_bound"),
+          (max($"n_sk") === count(lit(1))).as("n_matches"))
+    }, sql = Some("""
+      SELECT COUNT(*) AS n_rows, TRUE AS p50_within_bound,
+             TRUE AS p90_within_bound, TRUE AS p99_within_bound,
+             TRUE AS n_matches
+      FROM lineitem
+    """)),
+
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {
       import s.implicits._

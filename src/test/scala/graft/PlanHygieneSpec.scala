@@ -492,6 +492,8 @@ class PlanHygieneSpec extends SparkSpec {
     "g26_countmin_bound",
     // 1-row merged-sketch-estimate broadcast under the HLL bound column
     "g27_hll_sketch_merge",
+    // 1-row merged-KLL-quantiles broadcast under the rank-interval check
+    "g29_kll_quantile_bound",
     // statistic's three 1-row dashboard scalars composed by cross join
     // over the checkpointed ≤100-row mart
     "serve_statistic",
