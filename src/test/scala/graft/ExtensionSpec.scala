@@ -497,17 +497,21 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("kll sketch lifecycle: parquet round-trip, lossless merge, rank bound") {
-    // quantile analog of the hll test. KLL merge is SAMPLING (compactors),
-    // so unlike HLL the merged bytes need not equal a direct build — the
-    // pinned contract is (a) the stream length is exactly preserved
-    // through shard/merge/parquet, (b) merged quantiles obey the rank
-    // bound against a full sort, (c) a persisted shard re-merges to the
-    // same bytes as its in-memory twin (serialization is canonical).
+    // quantile analog of the hll test — with a weaker equality claim,
+    // deliberately: KLL compaction is randomized (unlike HLL's
+    // register-max), so two independent builds/merges may retain
+    // different samples. The pinned contract is therefore (a) the stream
+    // length is EXACTLY preserved through shard/merge/parquet (counting
+    // is not sampled), and (b) quantiles read from BOTH the in-memory
+    // merge and the parquet-round-tripped merge obey the rank bound
+    // against exact counting. Sketches are built once (localCheckpoint)
+    // so both merge paths consume identical shard bytes.
     import graft.functions.SketchFunctions._
     val li = t(spark, dir, "lineitem")
     val n = li.count()
     val shards = li.groupBy((col("l_orderkey") % 8).as("shard"))
       .agg(kllSketchAgg(col("l_quantity")).as("sk"))
+      .localCheckpoint()
     val skDir = java.nio.file.Files.createTempDirectory("graft_kll").toString
     shards.write.parquet(skDir + "/shards")
     val back = spark.read.parquet(skDir + "/shards")
@@ -517,17 +521,15 @@ class ExtensionSpec extends SparkSpec {
           kllQuantile(col("sk"), 0.5).as("p50"),
           kllQuantile(col("sk"), 0.9).as("p90"))
         .head
-    val (m1, m2) = (merged(shards), merged(back))
-    assert(m1.getLong(0) === n, "merge lost stream length")
-    assert(m2.getLong(0) === n, "parquet round-trip lost stream length")
-    assert(m1.getDouble(1) === m2.getDouble(1) && m1.getDouble(2) === m2.getDouble(2),
-      "persisted shards merged to different quantiles than in-memory shards")
-    // rank bound vs exact counting (eps = 0.03, the g29 contract)
-    for ((q, v) <- Seq((0.5, m1.getDouble(1)), (0.9, m1.getDouble(2)))) {
-      val lt = li.filter(col("l_quantity") < v).count()
-      val le = li.filter(col("l_quantity") <= v).count()
-      assert(lt < (q + 0.03) * n && le >= (q - 0.03) * n,
-        s"q=$q returned $v with rank interval [$lt, $le] of $n")
+    for ((m, src) <- Seq((merged(shards), "in-memory"), (merged(back), "parquet"))) {
+      assert(m.getLong(0) === n, s"$src merge lost stream length")
+      // rank bound vs exact counting (eps = 0.03, the g29 contract)
+      for ((q, v) <- Seq((0.5, m.getDouble(1)), (0.9, m.getDouble(2)))) {
+        val lt = li.filter(col("l_quantity") < v).count()
+        val le = li.filter(col("l_quantity") <= v).count()
+        assert(lt < (q + 0.03) * n && le >= (q - 0.03) * n,
+          s"$src q=$q returned $v with rank interval [$lt, $le] of $n")
+      }
     }
   }
 }
