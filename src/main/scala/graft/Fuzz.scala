@@ -1468,7 +1468,7 @@ object Fuzz {
     def bound(approx: Column, exact: Column, rel: Double, slack: Double): Column =
       (abs(coalesce(approx, lit(0L)) - exact).cast("double")
         <= greatest(exact * rel, lit(slack))).as("within_bound")
-    r.nextInt(3) match {
+    r.nextInt(4) match {
       case 0 =>
         val c = pick(r, t.cols).name
         val sql = s"SELECT COUNT(DISTINCT $c) AS exact_c, TRUE AS within_bound " +
@@ -1496,6 +1496,38 @@ object Fuzz {
               bound(col("approx"), col("exact_c"), 0.05, 3.0))
             .orderBy(orderCols(Seq(g, "exact_c", "within_bound")): _*),
           sql, "sketch_bound")
+      case 3 =>
+        // KLL quantile sketch: per-shard build over a random double
+        // column, merge, rank-interval check of a random quantile vs
+        // exact counting (the g29 contract; eps 0.03 ≈ 3.7σ of the
+        // k=200 rank error, deterministic headroom on fixed data even
+        // though KLL compaction is internally randomized — the BOUND is
+        // what's pinned, not the sampled value).
+        val dbls = t.cols.filter(_.kind == DblK)
+        val ints0 = t.cols.filter(_.kind == IntK)
+        if (dbls.isEmpty || ints0.isEmpty) return genSketchBound(r, name)
+        val c = pick(r, dbls).name
+        val sh = pick(r, ints0).name
+        val m = 2 + r.nextInt(7)
+        val q = Seq(0.25, 0.5, 0.75, 0.9)(r.nextInt(4))
+        val sql = s"SELECT COUNT(*) AS n_rows, TRUE AS within_bound " +
+          s"FROM ${ref(t.name)} WHERE ${p.sql} " + orderSql(Seq("n_rows"))
+        FuzzQuery(name, (s, dir) => {
+          import graft.functions.SketchFunctions._
+          val base = read(s, dir, t.name).filter(p.c)
+          val merged = base.groupBy(pmod(col(sh), lit(m)).as("shard"))
+            .agg(kllSketchAgg(col(c)).as("sk"))
+            .agg(kllMergeAgg(col("sk")).as("sk"))
+            .select(kllQuantile(col("sk"), q).as("qv"))
+          base.crossJoin(broadcast(merged))
+            .agg(count(lit(1)).as("n_rows"),
+              (coalesce(sum(when(col(c) < col("qv"), 1L).otherwise(0L)), lit(0L))
+                 < (lit(q) + 0.03) * count(lit(1)) &&
+               coalesce(sum(when(col(c) <= col("qv"), 1L).otherwise(0L)), lit(0L))
+                 >= (lit(q) - 0.03) * count(lit(1)) ||
+               count(lit(1)) === 0).as("within_bound"))
+            .orderBy(col("n_rows").asc)
+        }, sql, "sketch_bound")
       case _ =>
         val ints = t.cols.filter(_.kind == IntK)
         if (ints.size < 2) return genSketchBound(r, name)

@@ -501,6 +501,40 @@ object Aggregations extends QModule {
       FROM lineitem
     """)),
 
+    // G30: KLL rollup — g28's shape for quantiles: fine-grain
+    // (nation × ship-quarter) sketches merge up to per-nation medians,
+    // each read from merged bytes and rank-bounded per group against an
+    // exact per-group counting pass (the bound must hold on every group,
+    // not just globally — same rationale as g21/g28). Stream length per
+    // nation must equal the group's exact row count.
+    Q("g30_kll_rollup", (s, dir) => {
+      import s.implicits._
+      import graft.functions.SketchFunctions._
+      val j = t(s, dir, "lineitem").join(broadcast(t(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      val cells = j.groupBy($"s_nationkey", quarter($"l_shipdate").as("qtr"))
+        .agg(kllSketchAgg($"l_extendedprice").as("sk"))
+      val perNation = cells.groupBy($"s_nationkey")
+        .agg(kllMergeAgg($"sk").as("sk"))
+        .select($"s_nationkey", kllQuantile($"sk", 0.5).as("p50"),
+          kllN($"sk").as("n_sk"))
+      val eps = 0.03
+      j.join(perNation, Seq("s_nationkey"))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(when($"l_extendedprice" < $"p50", 1L).otherwise(0L))
+            < (lit(0.5) + eps) * count(lit(1)) &&
+           sum(when($"l_extendedprice" <= $"p50", 1L).otherwise(0L))
+            >= (lit(0.5) - eps) * count(lit(1))).as("p50_within_bound"),
+          (max($"n_sk") === count(lit(1))).as("n_matches"))
+        .orderBy($"s_nationkey")
+    }, sql = Some("""
+      SELECT s_nationkey, COUNT(*) AS n_rows, TRUE AS p50_within_bound,
+             TRUE AS n_matches
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey
+    """)),
+
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {
       import s.implicits._
