@@ -535,6 +535,62 @@ object Aggregations extends QModule {
       GROUP BY s_nationkey ORDER BY s_nationkey
     """)),
 
+    // G31: theta SET sketches — the algebra HLL cannot do: intersection
+    // and difference cardinalities from persisted sketch bytes
+    // (graftshim.ThetaSketch / functions.SketchFunctions). The corpus
+    // question this answers at 100 TB: "how much of corpus A overlaps
+    // corpus B / how many keys are new" with NO join over raw keys —
+    // two KB-sized sketches, built per shard and unioned per corpus.
+    // Here A/B = partkeys of even/odd orderkeys; bound 10% (+5 absolute
+    // slack: theta is EXACT below 4096 retained hashes, so sf0.001/0.01
+    // measure zero error, and the difference has no false positives by
+    // the min-theta rule — A's retained hashes below theta are retained
+    // by B too if shared).
+    Q("g31_theta_overlap_bound", (s, dir) => {
+      import s.implicits._
+      import graft.functions.SketchFunctions._
+      val li = t(s, dir, "lineitem").select($"l_partkey",
+        ($"l_orderkey" % 2).as("corpus"), ($"l_orderkey" % 8).as("shard"))
+      val sk = li.groupBy($"corpus", $"shard")
+        .agg(thetaSketchAgg($"l_partkey").as("sk"))
+        .groupBy($"corpus").agg(thetaUnionAgg($"sk").as("sk"))
+      val ests = sk.filter($"corpus" === 0).select($"sk".as("ska"))
+        .crossJoin(sk.filter($"corpus" === 1).select($"sk".as("skb")))
+        .select(
+          round(thetaEstimate(thetaIntersect($"ska", $"skb"))).cast("long")
+            .as("est_overlap"),
+          round(thetaEstimate(thetaANotB($"ska", $"skb"))).cast("long")
+            .as("est_only_a"))
+      val exact = li.groupBy($"l_partkey").agg(
+          max(when($"corpus" === 0, 1).otherwise(0)).as("in_a"),
+          max(when($"corpus" === 1, 1).otherwise(0)).as("in_b"))
+        .agg(
+          sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L))
+            .as("exact_overlap"),
+          sum(when($"in_a" === 1 && $"in_b" === 0, 1L).otherwise(0L))
+            .as("exact_only_a"))
+      exact.crossJoin(broadcast(ests)).select(
+        $"exact_overlap", $"exact_only_a",
+        (abs($"est_overlap" - $"exact_overlap").cast("double")
+          <= greatest($"exact_overlap" * 0.1, lit(5.0)))
+          .as("overlap_within_bound"),
+        (abs($"est_only_a" - $"exact_only_a").cast("double")
+          <= greatest($"exact_only_a" * 0.1, lit(5.0)))
+          .as("only_a_within_bound"))
+    }, sql = Some("""
+      WITH f AS (
+        SELECT l_partkey,
+               MAX(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+        FROM lineitem GROUP BY l_partkey)
+      SELECT CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_overlap,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_only_a,
+             TRUE AS overlap_within_bound, TRUE AS only_a_within_bound
+      FROM f
+    """)),
+
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {
       import s.implicits._

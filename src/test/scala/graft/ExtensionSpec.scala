@@ -532,4 +532,43 @@ class ExtensionSpec extends SparkSpec {
       }
     }
   }
+
+  test("theta sketch lifecycle: exact below 4096, set algebra, parquet round-trip") {
+    // sf0.001 cardinalities sit below theta's 4096-retained-hash
+    // threshold, so every estimate here must be EXACT — the equalities
+    // are strict, not bounded. Verifies the full persisted path: shard
+    // build → parquet → union → intersect/aNotB against exact set math.
+    import graft.functions.SketchFunctions._
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), (col("l_orderkey") % 2).as("corpus"),
+        (col("l_orderkey") % 8).as("shard"))
+    val skDir = java.nio.file.Files.createTempDirectory("graft_theta").toString
+    li.groupBy(col("corpus"), col("shard"))
+      .agg(thetaSketchAgg(col("l_partkey")).as("sk"))
+      .write.parquet(skDir + "/shards")
+    val sk = spark.read.parquet(skDir + "/shards")
+      .groupBy(col("corpus")).agg(thetaUnionAgg(col("sk")).as("sk"))
+    val row = sk.filter(col("corpus") === 0).select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("corpus") === 1).select(col("sk").as("skb")))
+      .select(
+        round(thetaEstimate(col("ska"))).cast("long").as("a"),
+        round(thetaEstimate(col("skb"))).cast("long").as("b"),
+        round(thetaEstimate(thetaIntersect(col("ska"), col("skb"))))
+          .cast("long").as("both"),
+        round(thetaEstimate(thetaANotB(col("ska"), col("skb"))))
+          .cast("long").as("onlyA"))
+      .head
+    val flags = li.groupBy(col("l_partkey")).agg(
+      max(when(col("corpus") === 0, 1).otherwise(0)).as("in_a"),
+      max(when(col("corpus") === 1, 1).otherwise(0)).as("in_b"))
+    val exactA = flags.filter(col("in_a") === 1).count()
+    val exactB = flags.filter(col("in_b") === 1).count()
+    val exactBoth = flags.filter(col("in_a") === 1 && col("in_b") === 1).count()
+    val exactOnlyA = flags.filter(col("in_a") === 1 && col("in_b") === 0).count()
+    assert(exactA < 4096, "fixture grew past theta exact mode — revisit asserts")
+    assert(row.getLong(0) === exactA)
+    assert(row.getLong(1) === exactB)
+    assert(row.getLong(2) === exactBoth)
+    assert(row.getLong(3) === exactOnlyA)
+  }
 }

@@ -494,6 +494,8 @@ class PlanHygieneSpec extends SparkSpec {
     "g27_hll_sketch_merge",
     // 1-row merged-KLL-quantiles broadcast under the rank-interval check
     "g29_kll_quantile_bound",
+    // 1-row×1-row theta sketch algebra (corpus A sketch × corpus B sketch)
+    "g31_theta_overlap_bound",
     // statistic's three 1-row dashboard scalars composed by cross join
     // over the checkpointed ≤100-row mart
     "serve_statistic",
