@@ -23,7 +23,7 @@ import java.util.Random
   *   sbt "runMain graft.Fuzz <sfDir> <outDir> [seed] [n]"
   *   python3 scripts/check.py <sfDir> <outDir>
   *
-  * The committed corpus (`fuzz/corpus_seed42.json`) pins seed 42 / n 190:
+  * The committed corpus (`fuzz/corpus_seed42.json`) pins seed 42 / n 200:
   * FuzzSpec asserts the generator still reproduces it byte-for-byte, so
   * the reviewed corpus cannot drift silently under generator edits.
   *

@@ -160,6 +160,21 @@ object Tables {
     * (The reference survives its own schema drift only by accident of
     * stringly-typed staging — SURVEY §1.2, StagingDW Util.java:11-19 vs
     * transform_staging LotteryTransform.java:113; here it's by design.) */
+  /** Loud guard for code whose arithmetic is only correct under a UTC
+    * session time zone (naive-timestamp normalization, epoch-micros band
+    * keys over wall-clock timestamps): a DST session zone would shift or
+    * warp values SILENTLY — the exact drift class the conform layer
+    * exists to catch. Callers name what breaks in `what`. */
+  def requireUtc(spark: SparkSession, what: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val isUtc = try {
+      java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    } catch { case _: Exception => false }
+    if (!isUtc) throw new IllegalStateException(
+      s"$what, but spark.sql.session.timeZone=$tz — pin the session time " +
+        "zone to UTC in the entry point")
+  }
+
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df // already nanos (or no ts column)
@@ -171,14 +186,9 @@ object Tables {
         // forgot the pin would silently shift every ts by the local offset
         // — the exact drift class this layer exists to prevent. Fail loudly
         // instead of normalizing to garbage.
-        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        val isUtc = try {
-          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
-        } catch { case _: Exception => false }
-        if (!isUtc) throw new IllegalStateException(
-          s"events.ts arrived as TIMESTAMP_NTZ but spark.sql.session.timeZone" +
-            s"=$tz — naive wall-clock can only be normalized under UTC; pin " +
-            "the session time zone to UTC in the entry point")
+        requireUtc(df.sparkSession,
+          "events.ts arrived as TIMESTAMP_NTZ — naive wall-clock can only " +
+            "be normalized under UTC")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case Some(other) =>
         throw new IllegalStateException(

@@ -69,12 +69,15 @@ object Graph extends QModule {
     // undirected degree (each edge touches both endpoints)
     val deg = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
-    // total order: (deg, id) — orient low -> high; ord packs it into one
-    // comparable long (degree dominates, id breaks ties; ids here are
-    // bounded table keys, << 2^20)
+    // total order: (deg, id) — orient low -> high. A STRUCT comparison
+    // (field-wise: degree dominates, id breaks ties) instead of a packed
+    // long: packing d*2^k + n silently corrupts the order the moment ids
+    // reach 2^k (the id bleeds into the degree field, wedges get dropped,
+    // triangles undercounted) — and node ids here grow with SF. Struct
+    // ordering is codegen'd and domain-independent.
     val ord =
-      if (byDegree) deg.select($"n", ($"d" * 2097152L + $"n").as("o"))
-      else deg.select($"n", $"n".as("o"))
+      if (byDegree) deg.select($"n", struct($"d", $"n".cast("long")).as("o"))
+      else deg.select($"n", struct(lit(0L).as("d"), $"n".cast("long")).as("o"))
     val oriented = edges
       .join(ord.select($"n".as("u"), $"o".as("ou")), "u")
       .join(ord.select($"n".as("v"), $"o".as("ov")), "v")

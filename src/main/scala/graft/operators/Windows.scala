@@ -503,8 +503,17 @@ object Windows extends QModule {
     // the band width equals the frame reach so a frame spans at most
     // the own band plus one neighbor. Same oracle TEXT as w11: the
     // single-window SQL is the ground truth for both forms.
+    //
+    // REQUIRES a UTC session: the micros derivation casts the (naive)
+    // order timestamp through the session zone, so under a DST zone a
+    // date pair straddling a transition would differ from 7*86400 s and
+    // band membership could diverge from the oracle's INTERVAL frame at
+    // the boundary — asserted loudly rather than assumed.
     Q("w11b_time_band_frame", (s, dir) => {
       import s.implicits._
+      graft.Tables.requireUtc(s, "w11b derives its band key via " +
+        "unix_micros(cast(o_orderdate as timestamp)) — naive wall-clock " +
+        "to epoch micros is only DST-free under UTC")
       val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority",
         unix_micros($"o_orderdate".cast("timestamp")).as("tus"),
         floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))

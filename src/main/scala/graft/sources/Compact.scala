@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{call_function, col}
 
 /** Small-files compaction — the table-maintenance pass every streaming or
   * micro-batch ingest needs (each trigger writes a file; a day of
@@ -38,9 +38,11 @@ object Compact {
     * `bits` bits of each, interleaved (a even positions, b odd). Built
     * from shift/mask column arithmetic — codegen'd, no UDF. Keys ≥ 2^bits
     * have their high bits ignored (distant keys alias into the same
-    * curve position and file bounding boxes quietly widen), so `bits`
-    * must cover the key domain — zorder() below derives it from the
-    * actual column maxima rather than trusting a fixed default. */
+    * curve position and file bounding boxes quietly widen), so inputs
+    * must already fit in `bits` — zorder() below guarantees that by
+    * NORMALIZING each key into [0, 2^bits - 1] against its measured
+    * min/max (normalize-then-interleave), rather than widening `bits`
+    * to the raw domain. */
   def mortonCode(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                  bits: Int = 16): org.apache.spark.sql.Column =
     (0 until bits).map { i =>
@@ -77,8 +79,13 @@ object Compact {
       .collect()(0)
     val (aLo, aHi, bLo, bHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val scale = (1L << bits) - 1
+    // integer `div`, same as s11's SQL form: the normalized value is a
+    // bucket id in [0, scale], computed in exact long arithmetic (no
+    // double division + downstream cast-truncation, whose rounding could
+    // in principle disagree with integer div near representation limits)
     def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-      (c.cast("long") - lit(lo)) * lit(scale) / lit(math.max(hi - lo, 1L))
+      call_function("div",
+        (c.cast("long") - lit(lo)) * lit(scale), lit(math.max(hi - lo, 1L)))
     df.withColumn("__z", mortonCode(norm(col(colA), aLo, aHi),
         norm(col(colB), bLo, bHi), bits))
       .repartitionByRange(nFiles, col("__z"))

@@ -150,8 +150,10 @@ case class PqNearestCodes(left: Expression, right: Expression, m: Int)
   * assigns surviving codes). Returns the exact BIGINT sum of the per-
   * subspace table entries — the engine-exact ranking key of the PQ scan.
   * Tight inline codegen: m array reads + m adds per row, no lambda
-  * dispatch, no hash probe. Null codes element or an out-of-range index
-  * yields NULL. */
+  * dispatch, no hash probe. Null codes element or an out-of-range code
+  * yields NULL — the range check is PER SUBSPACE (0 <= code < ksub), not
+  * just the flat table index: a corrupt persisted code >= ksub must not
+  * silently read a neighboring subspace's distance entry. */
 case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
 
@@ -180,8 +182,10 @@ case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
     var mi = 0
     while (mi < mM) {
       if (codes.isNullAt(mi)) return null
-      val idx = mi * ksub + codes.getInt(mi)
-      if (idx < 0 || idx >= n || dt.isNullAt(idx)) return null
+      val code = codes.getInt(mi)
+      if (code < 0 || code >= ksub) return null
+      val idx = mi * ksub + code
+      if (idx >= n || dt.isNullAt(idx)) return null
       sum += dt.getLong(idx)
       mi += 1
     }
@@ -193,6 +197,7 @@ case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
       val mM = ctx.freshName("mM"); val n = ctx.freshName("n")
       val sum = ctx.freshName("sum"); val mi = ctx.freshName("mi")
       val idx = ctx.freshName("idx"); val bad = ctx.freshName("bad")
+      val code = ctx.freshName("code")
       s"""
          |int $mM = $a.numElements();
          |int $n = $b.numElements();
@@ -200,8 +205,10 @@ case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
          |boolean $bad = false;
          |for (int $mi = 0; !$bad && $mi < $mM; $mi++) {
          |  if ($a.isNullAt($mi)) { $bad = true; break; }
-         |  int $idx = $mi * $ksub + $a.getInt($mi);
-         |  if ($idx < 0 || $idx >= $n || $b.isNullAt($idx)) { $bad = true; break; }
+         |  int $code = $a.getInt($mi);
+         |  if ($code < 0 || $code >= $ksub) { $bad = true; break; }
+         |  int $idx = $mi * $ksub + $code;
+         |  if ($idx >= $n || $b.isNullAt($idx)) { $bad = true; break; }
          |  $sum += $b.getLong($idx);
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }

@@ -56,6 +56,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(edges).collect().head.getLong(0) == 4L)
   }
 
+  test("gr2 core: node ids beyond 2^21 count exactly (struct order, no packing overflow)") {
+    // The r9 packed-long order (d * 2^21 + n) silently corrupted the
+    // orientation for ids >= 2^21 — the id bled into the degree field and
+    // wedges were dropped. Plant K4 at huge ids (> 2^21, > 2^31) plus a
+    // hub over them to make degrees unequal, and pin the exact count.
+    val base = 5_000_000_000L // > 2^32
+    val k4 = Seq((base + 1, base + 2), (base + 1, base + 3), (base + 1, base + 4),
+      (base + 2, base + 3), (base + 2, base + 4), (base + 3, base + 4))
+    // hub 3_000_000L (< K4 ids, higher degree) wired to all K4 nodes:
+    // adds C(4,2)=6 more triangles through the 6 K4 edges
+    val hub = (1 to 4).map(i => (3_000_000L, base + i))
+    val edges = (k4 ++ hub).toDF("u", "v")
+    assert(Graph.triangleCount(edges).collect().head.getLong(0) == 10L)
+    assert(Graph.triangleCount(edges, byDegree = false)
+      .collect().head.getLong(0) == 10L)
+  }
+
   test("gr2 core: triangle-free bipartite plant counts zero") {
     val edges = Seq((1L, 10L), (1L, 12L), (3L, 10L), (3L, 12L))
       .toDF("u", "v")

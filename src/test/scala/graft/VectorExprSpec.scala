@@ -250,6 +250,27 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("ADC sum: a code outside its OWN subspace range yields NULL, never a neighbor's entry") {
+    // ksub=4, m=2, dt = 8 entries. code=5 in subspace 0 gives flat index
+    // 5 — in range for the TABLE, but it belongs to subspace 1: a
+    // flat-index-only check would silently score with a neighboring
+    // subspace's distance. Encode never emits such codes; this pins the
+    // corrupt-persisted-input contract from the scaladoc.
+    import graft.functions.VectorFunctions.pqAdcSum
+    import spark.implicits._
+    val dt = typedLit((0 until 8).map(i => 100L + i))
+    val cases = Seq(
+      (Seq(1, 2), false), // valid: 101 + 106
+      (Seq(5, 2), true),  // subspace-0 code 5 >= ksub → NULL
+      (Seq(-1, 2), true), // negative code → NULL
+      (Seq(1, 4), true))  // subspace-1 code 4 >= ksub → NULL
+    val df = cases.map(_._1).toDF("codes")
+      .select(col("codes"), pqAdcSum(col("codes"), dt, 4).as("s"))
+    val got = df.collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(got.toSeq === Seq(Some(207L), None, None, None),
+      s"per-subspace range check drifted: ${got.toSeq}")
+  }
+
   test("PQ expressions stay in whole-stage codegen") {
     def exprLineCodegend(df: org.apache.spark.sql.DataFrame, fn: String): Unit = {
       df.queryExecution.toRdd.count()
