@@ -1459,16 +1459,42 @@ object Fuzz {
     * (bound 5% with absolute slack 3 — small-cardinality sketches are
     * exact-ish, relative bound alone would be vacuous at 0); (b) grouped,
     * same bound per group; (c) Datasketches HLL built per random int
-    * shard and union-merged (the g27 lifecycle, bound 6%). Deterministic:
-    * both sketch families are hash-based, so a bound that holds once
-    * holds every run on fixed data. */
+    * shard and union-merged (the g27 lifecycle, bound 6%); (d) KLL
+    * quantile rank-interval; (e) Datasketches THETA per-shard build +
+    * union (the g31/g32 lifecycle — same bound as HLL; theta is exact
+    * below 4096 retained so small filtered cardinalities measure zero
+    * error). Deterministic: every family here is hash-based (KLL's
+    * internal randomness is covered by the rank BOUND, not a value pin),
+    * so a bound that holds once holds every run on fixed data. */
   private def genSketchBound(r: Random, name: String): FuzzQuery = {
     val t = pick(r, tables)
     val p = preds(r, t)
     def bound(approx: Column, exact: Column, rel: Double, slack: Double): Column =
       (abs(coalesce(approx, lit(0L)) - exact).cast("double")
         <= greatest(exact * rel, lit(slack))).as("within_bound")
-    r.nextInt(4) match {
+    r.nextInt(5) match {
+      case 4 =>
+        // theta shard-merge: the HLL branch's lifecycle with set-sketch
+        // bytes (g31/g32's persistable tier) — per-shard thetaSketchAgg,
+        // thetaUnionAgg rollup, estimate vs exact
+        val ints = t.cols.filter(_.kind == IntK)
+        if (ints.size < 2) return genSketchBound(r, name)
+        val c = pick(r, ints).name
+        val sh = pick(r, ints.filterNot(_.name == c)).name
+        val m = 2 + r.nextInt(7)
+        val sql = s"SELECT COUNT(DISTINCT $c) AS exact_c, TRUE AS within_bound " +
+          s"FROM ${ref(t.name)} WHERE ${p.sql} " + orderSql(Seq("exact_c"))
+        FuzzQuery(name, (s, dir) => {
+          import graft.functions.SketchFunctions._
+          val base = read(s, dir, t.name).filter(p.c)
+          val merged = base.groupBy(pmod(col(sh), lit(m)).as("shard"))
+            .agg(thetaSketchAgg(col(c)).as("sk"))
+            .agg(round(thetaEstimate(thetaUnionAgg(col("sk")))).as("approx"))
+          base.agg(countDistinct(col(c)).as("exact_c"))
+            .crossJoin(broadcast(merged))
+            .select(col("exact_c"), bound(col("approx"), col("exact_c"), 0.06, 3.0))
+            .orderBy(col("exact_c").asc)
+        }, sql, "sketch_bound")
       case 0 =>
         val c = pick(r, t.cols).name
         val sql = s"SELECT COUNT(DISTINCT $c) AS exact_c, TRUE AS within_bound " +

@@ -169,6 +169,33 @@ object Aggregations extends QModule {
       FROM scalars CROSS JOIN most CROSS JOIN least
     """)),
 
+    // §2.9 GET /mart/all AS ONE ORACLED QUERY: the findAll endpoint's
+    // exact payload — every Mart entity field under its REST (camelCase)
+    // name (Backend/.../entity/Mart.java:14-34; MartRepository.findAll
+    // served by MartService.java:17-19). This is the DataFrame the
+    // serving layer snapshots for the /mart/all route, hash-checked
+    // wholesale. JPA findAll has no defined order; the oracle pins the
+    // entity @Id (number_value) for determinism.
+    Q("serve_mart_all", (s, dir) =>
+      reconstructedMart(s, dir).select(
+        col("number_value").as("numberValue"),
+        col("total_occurrences").as("totalOccurrences"),
+        col("total_draws").as("totalDraws"),
+        col("probability"),
+        col("last_appeared_date").as("lastAppearedDate"),
+        col("days_since_last").as("daysSinceLast"))
+        .orderBy(col("numberValue")),
+      sql = Some(s"""
+      $martCte
+      SELECT number_value AS "numberValue",
+             total_occurrences AS "totalOccurrences",
+             total_draws AS "totalDraws",
+             probability,
+             last_appeared_date AS "lastAppearedDate",
+             days_since_last AS "daysSinceLast"
+      FROM mart ORDER BY number_value
+    """)),
+
     // ROLLUP (absent in reference; SURVEY §2.5 last row). Null ordering
     // pinned explicitly: Spark sorts NULLS FIRST asc by default; DuckDB
     // defaults NULLS LAST, so the oracle says NULLS FIRST.
@@ -589,6 +616,38 @@ object Aggregations extends QModule {
                AS exact_only_a,
              TRUE AS overlap_within_bound, TRUE AS only_a_within_bound
       FROM f
+    """)),
+
+    // G32: theta GROUPED ROLLUP — the g28/g30 pattern for the theta tier:
+    // per-(nation, quarter) theta sketches of l_partkey, union-merged to
+    // per-nation distinct estimates WITHOUT re-touching raw data. This is
+    // the shape a 100 TB corpus ledger persists (one KB sketch per
+    // (corpus, shard) cell; any coarser rollup is a union over sketch
+    // rows). At sf0.1 per-nation distinct parts exceed theta's 4096
+    // retained hashes, so this oracles ESTIMATION mode, not the exact
+    // regime g31 lives in; bound 6% ≈ 3.8σ of the k=4096 RSE (~1.56%) —
+    // deterministic on fixed data (theta is hash-based, no RNG).
+    Q("g32_theta_rollup", (s, dir) => {
+      import s.implicits._
+      import graft.functions.SketchFunctions._
+      val j = t(s, dir, "lineitem").join(broadcast(t(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      val cells = j.groupBy($"s_nationkey", quarter($"l_shipdate").as("qtr"))
+        .agg(thetaSketchAgg($"l_partkey").as("sk"))
+      val perNation = cells.groupBy($"s_nationkey")
+        .agg(round(thetaEstimate(thetaUnionAgg($"sk"))).cast("long").as("approx"))
+      val exact = j.groupBy($"s_nationkey")
+        .agg(countDistinct($"l_partkey").as("exact_parts"))
+      exact.join(perNation, Seq("s_nationkey"))
+        .select($"s_nationkey", $"exact_parts",
+          (abs($"approx" - $"exact_parts").cast("double")
+            <= greatest($"exact_parts" * 0.06, lit(3.0))).as("within_bound"))
+        .orderBy($"s_nationkey")
+    }, sql = Some("""
+      SELECT s_nationkey, COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS within_bound
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey
     """)),
 
     // Exact percentiles (sort-based; both engines use linear interpolation).

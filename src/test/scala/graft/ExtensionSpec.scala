@@ -571,4 +571,41 @@ class ExtensionSpec extends SparkSpec {
     assert(row.getLong(2) === exactBoth)
     assert(row.getLong(3) === exactOnlyA)
   }
+
+  test("theta ESTIMATION mode: parquet round-trip is byte-stable, shard-merge tracks direct") {
+    // The exact-mode test above can't see estimation-regime behavior:
+    // push 30k distinct keys (≫ 4096 retained hashes) through the same
+    // persisted path. Pins: (1) sketch BYTES survive a parquet
+    // round-trip unchanged — re-read estimates are the written
+    // estimates; (2) the union of 8 shard sketches and a direct
+    // single-pass sketch agree with exact cardinality within 6%
+    // (≈ 3.8σ of the k=4096 RSE) — the merge loses no accuracy class;
+    // deterministic: theta is hash-based, no RNG.
+    import graft.functions.SketchFunctions._
+    val n = 30000L
+    val rows = spark.range(n).select(col("id"), pmod(col("id"), lit(8)).as("shard"))
+    val skDir = java.nio.file.Files.createTempDirectory("graft_theta_est").toString
+    val shards = rows.groupBy(col("shard")).agg(thetaSketchAgg(col("id")).as("sk"))
+    shards.write.parquet(skDir + "/shards")
+    val written = shards.select(col("shard"), col("sk")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val reread = spark.read.parquet(skDir + "/shards").collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Array[Byte]]("sk")).toMap
+    assert(written.keySet === reread.keySet)
+    written.foreach { case (s, bytes) =>
+      assert(java.util.Arrays.equals(bytes, reread(s)),
+        s"shard $s sketch bytes changed through parquet")
+    }
+    val merged = spark.read.parquet(skDir + "/shards")
+      .agg(thetaUnionAgg(col("sk")).as("sk"))
+      .select(thetaEstimate(col("sk"))).head.getDouble(0)
+    val direct = rows.agg(thetaSketchAgg(col("id")).as("sk"))
+      .select(thetaEstimate(col("sk"))).head.getDouble(0)
+    assert(math.abs(merged - n) <= 0.06 * n,
+      s"shard-merged estimate $merged off exact $n by > 6%")
+    assert(math.abs(direct - n) <= 0.06 * n,
+      s"direct estimate $direct off exact $n by > 6%")
+    assert(merged > 4096 && direct > 4096,
+      "fixture failed to reach estimation mode — asserts vacuous")
+  }
 }

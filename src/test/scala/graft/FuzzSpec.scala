@@ -114,6 +114,33 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("sketch_bound arms: all four sketch families execute (self-healing sweep)") {
+    // T28 dispatches over approx_count_distinct / HLL / KLL / theta, but
+    // the branch is invisible in the pinned SQL (every arm emits the same
+    // exact+TRUE oracle shape) — identify arms by the ANALYZED PLAN of
+    // the Spark side instead, and hunt missing arms in supplementary
+    // seeds rather than forcing a pin bump (the join3/case_str pattern).
+    val fams = Seq("approx_count_distinct", "hll_sketch_agg",
+      "kll_sketch_agg", "theta_sketch_agg")
+    def famsOf(q: Fuzz.FuzzQuery): Set[String] = {
+      val plan = q.df(spark, sf).queryExecution.analyzed.toString
+      fams.filter(plan.contains).toSet
+    }
+    val found = scala.collection.mutable.Map[String, Fuzz.FuzzQuery]()
+    var seed = 42L
+    while (found.size < fams.size && seed < 52L) {
+      Fuzz.corpus(seed, 200).filter(_.template == "sketch_bound")
+        .foreach(q => famsOf(q).foreach(f => found.getOrElseUpdate(f, q)))
+      seed += 1
+    }
+    fams.foreach { f =>
+      assert(found.contains(f),
+        s"no sketch_bound query exercises $f in seeds 42-51")
+      assert(found(f).df(spark, sf).count() >= 0,
+        s"${found(f).name} ($f) failed to execute")
+    }
+  }
+
   test("corpus SQL respects the exactness conventions") {
     val qs = Fuzz.corpus(42L, 200)
     qs.foreach { q =>
