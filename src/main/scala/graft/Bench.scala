@@ -42,9 +42,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // trailing args restrict the suite (solo adjudication series: run one
+    // query with the whole JVM to itself); the driver passes none
+    val only = args.toSet
     val suite = {
       val hs = SparkEntry.all.filter(_.headline)
-      if (hs.nonEmpty) hs else SparkEntry.all
+      val base = if (hs.nonEmpty) hs else SparkEntry.all
+      if (only.isEmpty) base else SparkEntry.all.filter(q => only(q.name))
     }
     // a crashing query must be VISIBLE in the output, not silently timed
     // as ~0 s (which would read as a speedup); force returns the failure

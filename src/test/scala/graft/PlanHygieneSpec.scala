@@ -499,6 +499,9 @@ class PlanHygieneSpec extends SparkSpec {
     // statistic's three 1-row dashboard scalars composed by cross join
     // over the checkpointed ≤100-row mart
     "serve_statistic",
+    // findAll payload over the same reconstructed mart: the identical
+    // 1-row global-totals broadcast as g7_mart_aggregate
+    "serve_mart_all",
     // 1-row global total broadcast under the percent render
     "x15_percent_render",
     // 1-row min-token-ratio scalar broadcast under the per-lang
