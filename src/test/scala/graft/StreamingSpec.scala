@@ -5,6 +5,8 @@ import graft.Tables.t
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming parity: the SAME transforms used by the oracled
   * batch queries (e1/e2) run over a MemoryStream with watermarks and give
   * the same results once the stream is drained (SURVEY §2.8 streaming
@@ -349,35 +351,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("RocksDB state store: stateful aggregation runs on the production state backend") {
+  test("RocksDB state store: identical output to the default backend, provider asserted in-progress") {
+    // The 100-TB posture claims RocksDB for large keyed state; pin the
+    // claim two ways: (a) the SAME stateful aggregation over the SAME
+    // two micro-batches produces IDENTICAL rows on both providers — the
+    // backend is a storage choice, never a semantics choice; (b) the
+    // RocksDB run's progress record carries rocksdb* custom metrics, so
+    // the provider was in effect, not silently defaulted.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val evs = t(spark, dir, "events").as[Ev].take(200)
-      val stream = MemoryStream[Ev]
-      val q = stream.toDF()
-        .withColumn("tss", EventStream.tsCol)
-        .withWatermark("tss", "1 hour")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName("rocks")
-        .outputMode("complete").start()
+    val evs = t(spark, dir, "events").as[Ev].take(200)
+
+    def run(provider: Option[String], sink: String): (Map[String, Long], Boolean) = {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      provider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
       try {
-        val (b1, b2) = evs.splitAt(100)
-        stream.addData(b1.toSeq); q.processAllAvailable()
-        stream.addData(b2.toSeq); q.processAllAvailable()
-        val got = spark.table("rocks").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val expected = evs.groupBy(_.event_type).map { case (k, v) => k -> v.length.toLong }
-        assert(got === expected)
-      } finally q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        val stream = MemoryStream[Ev]
+        val q = stream.toDF()
+          .withColumn("tss", EventStream.tsCol)
+          .withWatermark("tss", "1 hour")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try {
+          val (b1, b2) = evs.splitAt(100)
+          stream.addData(b1.toSeq); q.processAllAvailable()
+          stream.addData(b2.toSeq); q.processAllAvailable()
+          val got = spark.table(sink).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val rocksMetrics = q.lastProgress.stateOperators.headOption
+            .exists(_.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+          (got, rocksMetrics)
+        } finally q.stop()
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
+
+    val (gotDefault, defaultHasRocks) = run(None, "rocks_default")
+    val (gotRocks, rocksHasRocks) = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "rocks_rocksdb")
+    val expected = evs.groupBy(_.event_type).map { case (k, v) => k -> v.length.toLong }
+    assert(gotDefault === expected)
+    assert(gotRocks === gotDefault,
+      "state backend changed the query RESULT — providers must be semantics-free")
+    assert(rocksHasRocks, "RocksDB run has no rocksdb* custom metrics — provider not in effect")
+    assert(!defaultHasRocks, "default run unexpectedly reports rocksdb metrics — conf leaked")
   }
 
   test("foreachBatch idempotent sink: batch-id-keyed writes make replays no-ops") {
@@ -486,6 +509,13 @@ class StreamingSpec extends SparkSpec {
           .map { case (u, es) => u -> es.length.toLong }
         assert(gotTypes === expTypes)
         assert(gotTotals === expTotals)
+        // the provider must be IN EFFECT, not merely configured: the
+        // progress record's state-operator custom metrics are
+        // provider-specific, so a silently-ignored conf (wrong key, typo'd
+        // class) would fail here rather than pass on the default backend
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          s"no rocksdb* custom metric in progress — provider not in effect: ${metrics.keySet}")
       } finally q.stop()
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
