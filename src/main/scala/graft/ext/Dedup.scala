@@ -470,6 +470,12 @@ object DedupQueries extends QModule {
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
   import Dedup._
 
+  /** Registry convention: every tail `.orderBy` below is ORACLE
+    * PRESENTATION for the driver's hash compare — the library entry
+    * points these Qs delegate to ([[jaccardPairs]], [[minhashLshPairs]],
+    * [[simhashCandidates]], [[dupClusters]], [[admitIncremental]],
+    * [[leakageSafeSplit]]) all return UNORDERED frames; a production
+    * write calls them directly and never pays the global sort. */
   def qs: Seq[Q] = Seq(
     // Exact dedup by normalized-content hash (hash-groupBy; at scale this
     // is the one-shuffle `groupBy(fingerprint)` — never a self-join).

@@ -68,7 +68,9 @@ object TextAnalysis extends QModule {
     * SINGLE scan: one generator emits every unigram tagged 'u' and every
     * bigram tagged 'b' (tag is part of the gram-count key, so the two
     * vocabularies never collide), then per-doc stats fall out of ONE
-    * conditional aggregation — no second scan, no per-doc self-join. */
+    * conditional aggregation — no second scan, no per-doc self-join.
+    * Tail orderBy(doc_id) is ORACLE PRESENTATION — a production write
+    * drops it (the stats are map-shaped after the doc-level agg). */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
@@ -137,7 +139,8 @@ object TextAnalysis extends QModule {
     * of an earlier occurrence (lower doc_id, or earlier in the SAME doc).
     * Agg-only shape — hash-agg per segment with map-side combine, then
     * per-doc keeper counts — so a boilerplate segment in millions of docs
-    * never concentrates on one task (no window/self-join on the segment). */
+    * never concentrates on one task (no window/self-join on the segment).
+    * Tail orderBy(doc_id) is ORACLE PRESENTATION — drop for production. */
   def segmentDedupStats(docs: org.apache.spark.sql.DataFrame,
                         segLen: Int = 10): org.apache.spark.sql.DataFrame = {
     val segs = docs
@@ -159,7 +162,9 @@ object TextAnalysis extends QModule {
   /** t_tfidf's engine, composable (the Q below delegates; ScaleBench's
     * text mode reuses it over scaled corpora): two hash aggs (term
     * counts, doc frequencies), broadcast doc count, per-doc top-3 window
-    * keyed by doc_id — no global sort, no self-join. */
+    * keyed by doc_id — no global sort, no self-join. Tail
+    * orderBy(doc_id, rk) is ORACLE PRESENTATION — drop for production
+    * (rank order is already explicit in the rk column). */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
@@ -180,7 +185,9 @@ object TextAnalysis extends QModule {
   /** t_lm_perplexity's engine, composable (the Q below delegates;
     * ScaleBench's text mode reuses it): add-one-smoothed bigram model,
     * per-doc mean surprisal in exact whole bits — see the Q's scaladoc
-    * for the ln-free bit formula. */
+    * for the ln-free bit formula. Tail orderBy(doc_id) is ORACLE
+    * PRESENTATION — drop for production (per-doc rows, map-shaped
+    * after the doc agg). */
   def lmPerplexity(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bi = docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
@@ -276,7 +283,9 @@ object TextAnalysis extends QModule {
   /** The mixture-sampling admission shared by `t_mixture_sample` and
     * `t_mixture_interleave` (see the former's Q comment for the recipe
     * and exactness argument). Returns the admitted docs with their lang,
-    * exact token count, and the per-lang admission threshold. */
+    * exact token count, and the per-lang admission threshold — UNORDERED
+    * (map-shaped after the threshold join); the Qs' tail orderBys are
+    * oracle presentation only, a production write uses this directly. */
   private def mixtureAdmitted(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
