@@ -94,7 +94,15 @@ object Lottery {
     * last_digit (X9), last appearance (G6/W3 recompute — Spark has no point
     * updates, so the whole dim is a deterministic aggregate). Surrogate key
     * = row_number ordered by numeric value (SURVEY §7.2: deterministic,
-    * unlike the reference's insertion-order AUTO_INCREMENT). */
+    * unlike the reference's insertion-order AUTO_INCREMENT).
+    *
+    * The UNPARTITIONED Window.orderBy below funnels the dim through one
+    * task — acceptable HERE ONLY because the two-digit domain bounds this
+    * dim at ≤100 rows BY CONSTRUCTION (the groupBy key is a 0-99 number
+    * string), so the "single sort task" holds ≤100 rows at any corpus
+    * size. Do NOT copy this pattern to an unbounded dimension: there the
+    * surrogate key needs zipWithIndex-style per-partition offsets or a
+    * hash/natural key (the packShards two-level prefix-sum pattern). */
   def dimNumber(transformDf: DataFrame): DataFrame = {
     val norm = col("number_value").cast("string") // transform already int
     val byNum = transformDf
