@@ -88,6 +88,44 @@ final class UserProfileProcessor
     UserProfileFold(key, rows, totals, perType)
 }
 
+/** StatefulProcessor for [[EventStream.hourlyDistinctSketchTws]]: streaming
+  * cardinality with a SKETCH-VALUED state variable — per hour bucket, the
+  * ValueState holds the serialized theta sketch (graftshim's persistable
+  * set-sketch tier inside the state store) and each micro-batch folds its
+  * user_ids in and re-emits the refreshed estimate. This is the 100-TB
+  * shape for streaming distinct-counts: raw per-key ID SETS in state grow
+  * without bound (the thing `dropDuplicates` state does), a theta sketch
+  * is ≤~32 KB per key at ANY cardinality, survives restarts as bytes, and
+  * its estimate is EXACT below 4096 retained hashes — which is what makes
+  * the batch oracle (`e15_distinct_sketch_tws`) an equality, not a bound.
+  * Incremental fold across micro-batches == one-shot build (union
+  * associativity; StreamingSpec pins it against the batch run). */
+final class HourlyDistinctSketchProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, (Long, Long)] {
+  import org.apache.datasketches.memory.Memory
+  import org.apache.datasketches.theta.SetOperation
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var sk: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sk = getHandle.getValueState("theta", E.BINARY, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val u = SetOperation.builder().buildUnion()
+    if (sk.exists()) u.union(Memory.wrap(sk.get()))
+    rows.foreach(e => u.update(e.user_id))
+    val res = u.getResult
+    sk.update(res.toByteArray)
+    Iterator.single((key, math.round(res.getEstimate)))
+  }
+}
+
 /** Batch-computed profile row used to WARM-START the streaming state
   * ([[EventStream.userProfileFromBackfill]]). */
 final case class UserProfileInit(user_id: Long, n_events: Long,
@@ -239,6 +277,22 @@ object EventStream {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     ds.groupByKey(_.user_id)
       .transformWithState(new UserProfileProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Streaming distinct-users-per-hour with sketch-valued state
+    * ([[HourlyDistinctSketchProcessor]]): key = epoch-hour of the nanos
+    * ts (exact integer div — no timezone, no cast), emission =
+    * (hour_key, refreshed distinct estimate). One shuffle on the hour
+    * key; state is one ≤~32 KB sketch per live hour regardless of user
+    * cardinality. Runs identically over batch (oracled, e15) and a
+    * watermarked stream (StreamingSpec). */
+  def hourlyDistinctSketchTws(ds: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.ts / 3600000000000L)
+      .transformWithState(new HourlyDistinctSketchProcessor, TimeMode.None(),
         OutputMode.Update())
   }
 
@@ -419,6 +473,28 @@ object EventQueries extends QModule {
              CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
       FROM events GROUP BY user_id, event_type
       ORDER BY user_id, event_type
+    """)),
+
+    // E15: streaming cardinality via SKETCH-VALUED tws state, run as a
+    // batch query (the e14 pattern): per epoch-hour key the processor
+    // folds user_ids into a theta sketch held in ValueState and emits
+    // the refreshed estimate. The oracle is plain COUNT(DISTINCT) and
+    // the compare is EQUALITY, not a bound: every hour bucket holds far
+    // fewer than 4096 distinct users (sf0.1 max: 166), so the sketch is
+    // in its exact regime by the documented theta contract — a testdata
+    // regen that blows past 4096/hour fails HERE loudly, which is the
+    // correct signal to switch this oracle to the bound-row form. The
+    // hour key is exact integer division of the nanos ts on both sides.
+    Q("e15_distinct_sketch_tws", (s, dir) => {
+      s.streams.active
+      import s.implicits._
+      hourlyDistinctSketchTws(t(s, dir, "events").as[Event])
+        .toDF("hour_key", "n_users")
+        .orderBy(col("hour_key"))
+    }, sql = Some("""
+      SELECT epoch_us(ts) // 3600000000 AS hour_key,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY hour_key
     """)),
 
     // Tumbling 1h windowed aggregation (streaming-equivalent batch form).

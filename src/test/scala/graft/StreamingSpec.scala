@@ -523,6 +523,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sketch state: incremental fold across micro-batches == one-shot") {
+    // The sketch-valued-state processor (e15): user_ids fold into a theta
+    // sketch per hour key. Two micro-batches SPLIT WITHIN hours (odd/even
+    // event ids, so most hours receive rows in both batches) must end at
+    // the same per-hour estimates as the single-batch run — union
+    // associativity through the serialized state bytes — and both equal
+    // exact COUNT(DISTINCT) because every bucket is in theta's exact
+    // regime. RocksDB provider (tws API requirement).
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Event].take(300)
+      val stream = MemoryStream[Event]
+      val q = EventStream.hourlyDistinctSketchTws(stream.toDS())
+        .toDF("hour_key", "n_users")
+        .writeStream.format("memory").queryName("sk_tws")
+        .outputMode("update").start()
+      try {
+        val (b1, b2) = evs.partition(_.event_id % 2 == 0)
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+        // estimates only grow (union is monotone): latest == max per key
+        val streamed = spark.table("sk_tws").groupBy(col("hour_key"))
+          .agg(max(col("n_users")).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val exact = evs.groupBy(_.ts / 3600000000000L)
+          .map { case (h, es) => h -> es.map(_.user_id).distinct.length.toLong }
+        assert(streamed === exact,
+          "micro-batch sketch fold diverged from exact per-hour distincts")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState initial state: stream warm-starts from the batch backfill") {
     // restart-from-backfill: a batch agg over the FIRST 100 events seeds
     // the state store; the stream replays ONLY the last 100; final state
