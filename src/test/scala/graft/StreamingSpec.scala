@@ -662,6 +662,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state data source: e15's persisted sketch BYTES decode offline to exact estimates") {
+    // the sketch-state twin of the offline-read test above: after the
+    // stream stops, the theta ValueState read from the checkpoint is a
+    // column of STANDARD DataSketches bytes — decodable by any consumer
+    // (here: heapify on the driver), no stream rerun, no engine-private
+    // state format. That is the state-migration/audit contract that
+    // makes sketch-valued state usable as an ARTIFACT, not just an
+    // implementation detail.
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Event].take(300)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sk_ckpt").toString
+      val stream = MemoryStream[Event]
+      val q = EventStream.hourlyDistinctSketchTws(stream.toDS())
+        .toDF("hour_key", "n_users")
+        .writeStream.format("memory").queryName("sk_state")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try {
+        stream.addData(evs.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val state = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "theta").load()
+      val got = state.selectExpr("key.value AS hour_key", "value.value AS sk")
+        .collect().map { r =>
+          val est = org.apache.datasketches.theta.Sketches.heapifyCompactSketch(
+            org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]](1)))
+            .getEstimate
+          r.getLong(0) -> math.round(est)
+        }.toMap
+      val exact = evs.groupBy(_.ts / 3600000000000L)
+        .map { case (h, es) => h -> es.map(_.user_id).distinct.length.toLong }
+      assert(got === exact,
+        "offline-decoded sketch estimates diverged from exact per-hour distincts")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState event-time timers: watermark closes sessions, not key-arrival luck") {
     // deterministic fixture in long millis (ts carried as exact nanos):
     //   user 1: 0:00, 0:10 | 1:00, 1:05  -> two sessions at a 30-min gap
