@@ -34,14 +34,25 @@ import graft.streaming.{Event, EventStream}
   * max_state_rows ≪ n_input with removals ≈ closed windows/sessions,
   * and per-row cost flat-or-amortizing as volume grows.
   *
+  * A third mode (`runMain graft.StreamBench [sfDir] state [factors...]`)
+  * measures the DISTINCT-COUNT STATE contrast behind e15: per-hour
+  * distinct users kept exactly (streaming dropDuplicates — one state row
+  * per distinct (hour, user) pair, so the store grows with user
+  * cardinality) vs kept as sketch-valued tws state (one ~KB theta row
+  * per hour — CONSTANT in cardinality). Both arms must agree on every
+  * per-hour count (the ×16 per-hour cardinality still sits under theta's
+  * exact 4096); the reported `max_state_rows` curve is the 100-TB
+  * argument in one number.
+  *
   * Usage: runMain graft.StreamBench [sfDir] [factors...] (default 1 4 16)
   */
 object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val stateMode = args.contains("state")
     val factors = {
-      val fs = args.drop(1).toSeq.map(_.toInt)
+      val fs = args.drop(1).toSeq.filterNot(_ == "state").map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
     val chunks = 16
@@ -120,6 +131,73 @@ object StreamBench {
         query.stop()
         spark.sql(s"DROP VIEW IF EXISTS $name")
       }
+    }
+
+    // state mode: the exact-vs-sketch distinct state contrast (see
+    // object scaladoc). Chunked replay like run(); reports the state
+    // high-water mark and asserts the two arms' final per-hour counts
+    // agree exactly.
+    def runStateArm(f: Int): Unit = {
+      val evs = scaled(f)
+      val per = math.max(1, evs.length / chunks)
+
+      def drive(arm: String, mkQuery: MemoryStream[Event] =>
+          org.apache.spark.sql.streaming.StreamingQuery): (Double, Long, String) = {
+        val stream = MemoryStream[Event]
+        val q = mkQuery(stream)
+        try {
+          val t0 = System.nanoTime()
+          evs.grouped(per).foreach { c =>
+            stream.addData(c.toSeq); q.processAllAvailable()
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val maxState = q.recentProgress.toSeq
+            .map(_.stateOperators.map(_.numRowsTotal).sum).max
+          (wall, maxState, s"sb_state_${arm}_$f")
+        } finally q.stop()
+      }
+
+      // exact arm: dropDuplicates on (hour_key, user_id) — the state IS
+      // the distinct pair set — then per-hour counts (update mode; the
+      // last emission per hour is the final count)
+      val (wE, stE, tE) = drive("exact", st => st.toDF()
+        .withColumn("tss", EventStream.tsCol)
+        .withColumn("hour_key", expr("ts div 3600000000000"))
+        .dropDuplicates("hour_key", "user_id")
+        .groupBy(col("hour_key")).agg(count(lit(1)).as("n_users"))
+        .writeStream.format("memory").queryName(s"sb_state_exact_$f")
+        .outputMode("update").start())
+
+      // sketch arm: e15's processor — one theta row per hour in state
+      val (wS, stS, tS) = drive("sketch", st =>
+        EventStream.hourlyDistinctSketchTws(st.toDS())
+          .toDF("hour_key", "n_users")
+          .writeStream.format("memory").queryName(s"sb_state_sketch_$f")
+          .outputMode("update").start())
+
+      def finalCounts(table: String): Map[Long, Long] =
+        spark.table(table).groupBy(col("hour_key"))
+          .agg(max(col("n_users")).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agree = finalCounts(tE) == finalCounts(tS)
+      println(s"""{"op":"state_distinct_exact","factor":$f,""" +
+        s""""wall_sec":${Fmt.num(wE, 3)},"max_state_rows":$stE,"agree":$agree}""")
+      println(s"""{"op":"state_distinct_sketch","factor":$f,""" +
+        s""""wall_sec":${Fmt.num(wS, 3)},"max_state_rows":$stS,"agree":$agree}""")
+      spark.sql(s"DROP VIEW IF EXISTS $tE")
+      spark.sql(s"DROP VIEW IF EXISTS $tS")
+    }
+
+    if (stateMode) {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try factors.foreach(runStateArm)
+      finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.stop(); return
     }
 
     for (f <- factors) {
