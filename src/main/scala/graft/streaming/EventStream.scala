@@ -126,6 +126,41 @@ final class HourlyDistinctSketchProcessor
   }
 }
 
+/** The quantile twin of [[HourlyDistinctSketchProcessor]]: per hour bucket
+  * the ValueState holds serialized KLL(k=200) bytes; each micro-batch
+  * folds its event values in and re-emits (n, p50). Streaming percentiles
+  * with BOUNDED state (~3 KB/key at any volume) — the per-window latency
+  * p50/p99 query every streaming observability stack runs, impossible
+  * with exact state at 100 TB (exact percentile state is the raw value
+  * multiset). KLL's compaction is internally randomized, so the oracle
+  * (`e16_quantile_sketch_tws`) pins the RANK-INTERVAL contract (g29's
+  * pattern), not the sampled value; stream length n is exactly preserved
+  * through state and asserted row-for-row. */
+final class HourlyQuantileSketchProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, (Long, Long, Double)] {
+  import org.apache.datasketches.kll.KllDoublesSketch
+  import org.apache.datasketches.memory.Memory
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var sk: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sk = getHandle.getValueState("kll", E.BINARY, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val s = if (sk.exists()) KllDoublesSketch.heapify(Memory.wrap(sk.get()))
+      else KllDoublesSketch.newHeapInstance(200)
+    rows.foreach(e => s.update(e.value))
+    sk.update(s.toByteArray)
+    Iterator.single((key, s.getN, s.getQuantile(0.5)))
+  }
+}
+
 /** Batch-computed profile row used to WARM-START the streaming state
   * ([[EventStream.userProfileFromBackfill]]). */
 final case class UserProfileInit(user_id: Long, n_events: Long,
@@ -293,6 +328,18 @@ object EventStream {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     ds.groupByKey(_.ts / 3600000000000L)
       .transformWithState(new HourlyDistinctSketchProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Streaming per-hour value p50 with KLL-sketch-valued state
+    * ([[HourlyQuantileSketchProcessor]]); same key/shuffle shape as
+    * [[hourlyDistinctSketchTws]]. Emits (hour_key, n, p50). */
+  def hourlyQuantileSketchTws(ds: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.ts / 3600000000000L)
+      .transformWithState(new HourlyQuantileSketchProcessor, TimeMode.None(),
         OutputMode.Update())
   }
 
@@ -494,6 +541,36 @@ object EventQueries extends QModule {
     }, sql = Some("""
       SELECT epoch_us(ts) // 3600000000 AS hour_key,
              COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY hour_key
+    """)),
+
+    // E16: the quantile twin of e15 — per-hour value p50 from KLL bytes
+    // held in tws state, run as a batch query. KLL compaction is
+    // internally randomized so the oracle pins the RANK-INTERVAL
+    // contract (the g29 pattern: the returned p50's exact rank must sit
+    // within eps of 0.5 per hour — at ≤~140 rows/hour the k=200 sketch
+    // retains everything and the interval check is exact-deterministic)
+    // plus n preserved exactly through state (n_matches). eps 0.03.
+    Q("e16_quantile_sketch_tws", (s, dir) => {
+      s.streams.active
+      import s.implicits._
+      val sk = hourlyQuantileSketchTws(t(s, dir, "events").as[Event])
+        .toDF("hour_key", "n_sk", "p50")
+      val ev = t(s, dir, "events")
+        .withColumn("hour_key", expr("ts div 3600000000000"))
+      val eps = 0.03
+      ev.join(broadcast(sk), Seq("hour_key"))
+        .groupBy($"hour_key")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(when($"value" < $"p50", 1L).otherwise(0L))
+             < (lit(0.5) + eps) * count(lit(1)) &&
+           sum(when($"value" <= $"p50", 1L).otherwise(0L))
+             >= (lit(0.5) - eps) * count(lit(1))).as("p50_within_bound"),
+          (max($"n_sk") === count(lit(1))).as("n_matches"))
+        .orderBy($"hour_key")
+    }, sql = Some("""
+      SELECT epoch_us(ts) // 3600000000 AS hour_key, COUNT(*) AS n_rows,
+             TRUE AS p50_within_bound, TRUE AS n_matches
       FROM events GROUP BY 1 ORDER BY hour_key
     """)),
 

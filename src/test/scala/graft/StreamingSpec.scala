@@ -563,6 +563,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState KLL state: micro-batch p50 fold stays rank-bounded, n exact") {
+    // e16's processor across two micro-batches split within hours: the
+    // final per-hour p50 must have exact rank within eps of 0.5 (KLL is
+    // internally randomized — the BOUND is the contract, g29's pattern)
+    // and the sketch's n must equal the exact per-hour row count (state
+    // fold loses nothing). Final emission per hour = the row with max n
+    // (n is monotone across batches).
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Event].take(300)
+      val stream = MemoryStream[Event]
+      val q = EventStream.hourlyQuantileSketchTws(stream.toDS())
+        .toDF("hour_key", "n_sk", "p50")
+        .writeStream.format("memory").queryName("kll_tws")
+        .outputMode("update").start()
+      try {
+        val (b1, b2) = evs.partition(_.event_id % 2 == 0)
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+        val finals = spark.table("kll_tws")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("hour_key")).orderBy(col("n_sk").desc)))
+          .filter(col("rk") === 1)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        val byHour = evs.groupBy(_.ts / 3600000000000L)
+        assert(finals.keySet === byHour.keySet)
+        byHour.foreach { case (h, es) =>
+          val (n, p50) = finals(h)
+          assert(n === es.length.toLong, s"hour $h: sketch n=$n != ${es.length}")
+          val vals = es.map(_.value)
+          val lt = vals.count(_ < p50); val le = vals.count(_ <= p50)
+          assert(lt < (0.5 + 0.03) * vals.length && le >= (0.5 - 0.03) * vals.length,
+            s"hour $h: p50=$p50 rank interval [$lt,$le] of ${vals.length}")
+        }
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState initial state: stream warm-starts from the batch backfill") {
     // restart-from-backfill: a batch agg over the FIRST 100 events seeds
     // the state store; the stream replays ONLY the last 100; final state
