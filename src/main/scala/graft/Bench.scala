@@ -50,6 +50,9 @@ object Bench {
       val base = if (hs.nonEmpty) hs else SparkEntry.all
       if (only.isEmpty) base else SparkEntry.all.filter(q => only(q.name))
     }
+    // a typo'd name must not produce an empty (vacuously fast) record
+    val unknown = only -- SparkEntry.all.map(_.name).toSet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(",")}")
     // a crashing query must be VISIBLE in the output, not silently timed
     // as ~0 s (which would read as a speedup); force returns the failure
     def force(q: Q): Option[String] =
