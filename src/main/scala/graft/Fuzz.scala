@@ -1450,6 +1450,35 @@ object Fuzz {
     }, sql, "hybrid_skew")
   }
 
+  /** T29: sketch-valued tws STATE differential — e15's
+    * HourlyDistinctSketchProcessor (theta bytes in per-hour ValueState)
+    * run as a BATCH query over a random filter and an optional key
+    * transform (user_id % m — varies the per-bucket cardinality), vs
+    * plain per-hour COUNT(DISTINCT) in the oracle. The compare is
+    * EQUALITY, not a bound: the user domain (≤150 distinct, further
+    * reduced by % m) keeps every hour bucket deep inside theta's
+    * 4096-hash exact regime on any gated SF. The hour key is exact
+    * integer division of the micro-grid nanos ts on both sides. */
+  private def genSketchState(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val m = pick(r, Seq(0, 7, 13, 50)) // 0 = raw user_id
+    val keySql = if (m == 0) "user_id" else s"user_id % $m"
+    val sql = s"SELECT ts // 3600000000000 AS hour_key, " +
+      s"COUNT(DISTINCT $keySql) AS n_users FROM ${ref("events")} " +
+      s"WHERE ${p.sql} GROUP BY 1 " + orderSql(Seq("hour_key"))
+    FuzzQuery(name, (s, dir) => {
+      s.streams.active // StateStoreCoordinator lazy-init (see e14)
+      val enc = org.apache.spark.sql.Encoders.product[graft.streaming.Event]
+      val ds0 = read(s, dir, "events").filter(p.c).as(enc)
+      val ds = if (m == 0) ds0
+        else ds0.map(e => e.copy(user_id = e.user_id % m))(enc)
+      graft.streaming.EventStream.hourlyDistinctSketchTws(ds)
+        .toDF("hour_key", "n_users")
+        .orderBy(col("hour_key"))
+    }, sql, "sketch_state")
+  }
+
   /** T28: sketch accuracy-bound differential — the bound-row pattern of
     * the fixed suite (g11b/g21/g27) randomized over columns, filters, and
     * groupings. The ESTIMATE is engine-specific, so what's differentialed
@@ -1583,7 +1612,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(28) match {
+      r.nextInt(29) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1611,6 +1640,7 @@ object Fuzz {
         case 24 => genSpGemm(r, name)
         case 25 => genGraphIter(r, name)
         case 26 => genHybridSkew(r, name)
+        case 27 => genSketchState(r, name)
         case _ => genSketchBound(r, name)
       }
     }
