@@ -1450,33 +1450,62 @@ object Fuzz {
     }, sql, "hybrid_skew")
   }
 
-  /** T29: sketch-valued tws STATE differential — e15's
-    * HourlyDistinctSketchProcessor (theta bytes in per-hour ValueState)
-    * run as a BATCH query over a random filter and an optional key
-    * transform (user_id % m — varies the per-bucket cardinality), vs
-    * plain per-hour COUNT(DISTINCT) in the oracle. The compare is
-    * EQUALITY, not a bound: the user domain (≤150 distinct, further
-    * reduced by % m) keeps every hour bucket deep inside theta's
-    * 4096-hash exact regime on any gated SF. The hour key is exact
+  /** T29: sketch-valued tws STATE differential — the e15/e16 processors
+    * (theta / KLL bytes in per-hour ValueState) run as BATCH queries
+    * over a random filter. Theta arm: optional key transform
+    * (user_id % m — varies the per-bucket cardinality) vs plain per-hour
+    * COUNT(DISTINCT); EQUALITY compare (the user domain keeps every hour
+    * bucket deep inside theta's 4096-hash exact regime at any gated SF).
+    * KLL arm: the returned p50's exact rank must sit within eps of 0.5
+    * per hour AND the sketch's n must equal the exact row count (the
+    * g29 rank-interval pattern — KLL compaction is randomized, the
+    * BOUND is the deterministic contract). The hour key is exact
     * integer division of the micro-grid nanos ts on both sides. */
   private def genSketchState(r: Random, name: String): FuzzQuery = {
     val t = tbl("events")
     val p = preds(r, t)
-    val m = pick(r, Seq(0, 7, 13, 50)) // 0 = raw user_id
-    val keySql = if (m == 0) "user_id" else s"user_id % $m"
-    val sql = s"SELECT ts // 3600000000000 AS hour_key, " +
-      s"COUNT(DISTINCT $keySql) AS n_users FROM ${ref("events")} " +
-      s"WHERE ${p.sql} GROUP BY 1 " + orderSql(Seq("hour_key"))
-    FuzzQuery(name, (s, dir) => {
-      s.streams.active // StateStoreCoordinator lazy-init (see e14)
-      val enc = org.apache.spark.sql.Encoders.product[graft.streaming.Event]
-      val ds0 = read(s, dir, "events").filter(p.c).as(enc)
-      val ds = if (m == 0) ds0
-        else ds0.map(e => e.copy(user_id = e.user_id % m))(enc)
-      graft.streaming.EventStream.hourlyDistinctSketchTws(ds)
-        .toDF("hour_key", "n_users")
-        .orderBy(col("hour_key"))
-    }, sql, "sketch_state")
+    val useKll = r.nextBoolean()
+    if (useKll) {
+      val sql = s"SELECT ts // 3600000000000 AS hour_key, " +
+        s"COUNT(*) AS n_rows, TRUE AS p50_within_bound, TRUE AS n_matches " +
+        s"FROM ${ref("events")} WHERE ${p.sql} GROUP BY 1 " +
+        orderSql(Seq("hour_key"))
+      FuzzQuery(name, (s, dir) => {
+        s.streams.active // StateStoreCoordinator lazy-init (see e14)
+        val enc = org.apache.spark.sql.Encoders.product[graft.streaming.Event]
+        val base = read(s, dir, "events").filter(p.c)
+        val sk = graft.streaming.EventStream
+          .hourlyQuantileSketchTws(base.as(enc))
+          .toDF("hour_key", "n_sk", "p50")
+        val eps = 0.03
+        base.withColumn("hour_key", expr("ts div 3600000000000"))
+          .join(broadcast(sk), Seq("hour_key"))
+          .groupBy(col("hour_key"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(when(col("value") < col("p50"), 1L).otherwise(0L))
+               < (lit(0.5) + eps) * count(lit(1)) &&
+             sum(when(col("value") <= col("p50"), 1L).otherwise(0L))
+               >= (lit(0.5) - eps) * count(lit(1))).as("p50_within_bound"),
+            (max(col("n_sk")) === count(lit(1))).as("n_matches"))
+          .orderBy(col("hour_key"))
+      }, sql, "sketch_state")
+    } else {
+      val m = pick(r, Seq(0, 7, 13, 50)) // 0 = raw user_id
+      val keySql = if (m == 0) "user_id" else s"user_id % $m"
+      val sql = s"SELECT ts // 3600000000000 AS hour_key, " +
+        s"COUNT(DISTINCT $keySql) AS n_users FROM ${ref("events")} " +
+        s"WHERE ${p.sql} GROUP BY 1 " + orderSql(Seq("hour_key"))
+      FuzzQuery(name, (s, dir) => {
+        s.streams.active // StateStoreCoordinator lazy-init (see e14)
+        val enc = org.apache.spark.sql.Encoders.product[graft.streaming.Event]
+        val ds0 = read(s, dir, "events").filter(p.c).as(enc)
+        val ds = if (m == 0) ds0
+          else ds0.map(e => e.copy(user_id = e.user_id % m))(enc)
+        graft.streaming.EventStream.hourlyDistinctSketchTws(ds)
+          .toDF("hour_key", "n_users")
+          .orderBy(col("hour_key"))
+      }, sql, "sketch_state")
+    }
   }
 
   /** T28: sketch accuracy-bound differential — the bound-row pattern of

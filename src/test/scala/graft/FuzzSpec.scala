@@ -141,6 +141,32 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("sketch_state arms: both tws processors execute (self-healing sweep)") {
+    // T29 coin-flips between the theta (e15) and KLL (e16) sketch-state
+    // processors; the arm is invisible in the SQL shape, so identify it
+    // by the PROCESSOR CLASS NAME in the analyzed plan's
+    // TransformWithState node, hunting missing arms in supplementary
+    // seeds (the sketch_bound pattern).
+    val arms = Seq("HourlyDistinctSketchProcessor", "HourlyQuantileSketchProcessor")
+    def armsOf(q: Fuzz.FuzzQuery): Set[String] = {
+      val plan = q.df(spark, sf).queryExecution.analyzed.toString
+      arms.filter(plan.contains).toSet
+    }
+    val found = scala.collection.mutable.Map[String, Fuzz.FuzzQuery]()
+    var seed = 42L
+    while (found.size < arms.size && seed < 52L) {
+      Fuzz.corpus(seed, 200).filter(_.template == "sketch_state")
+        .foreach(q => armsOf(q).foreach(a => found.getOrElseUpdate(a, q)))
+      seed += 1
+    }
+    arms.foreach { a =>
+      assert(found.contains(a),
+        s"no sketch_state query exercises $a in seeds 42-51")
+      assert(found(a).df(spark, sf).count() >= 0,
+        s"${found(a).name} ($a) failed to execute")
+    }
+  }
+
   test("corpus SQL respects the exactness conventions") {
     val qs = Fuzz.corpus(42L, 200)
     qs.foreach { q =>
