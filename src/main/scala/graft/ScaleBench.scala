@@ -486,6 +486,38 @@ object ScaleBench {
           () => spark.read.parquet(skDir)
             .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx")),
           () => spark.read.parquet(skDir).count())
+        // theta: persisted set-ALGEBRA re-query (g31/g32's capability HLL
+        // lacks): per-(corpus, shard) sketches written once, then the
+        // overlap AND new-keys cardinalities answered from the bytes —
+        // wall-time must stay flat in f (the sketch table is 128 KB-ish
+        // rows regardless of fact volume once built)
+        locally {
+          import graft.functions.SketchFunctions._
+          val thDir = java.nio.file.Files
+            .createTempDirectory(s"graft_th_$f").toString + "/shards"
+          def buildTheta(): DataFrame = fact
+            .groupBy(pmod(col("l_orderkey"), lit(2)).as("corpus"),
+              pmod(col("l_orderkey"), lit(64)).as("shard"))
+            .agg(thetaSketchAgg(col("l_partkey")).as("sk"))
+          emit("g31_theta_build", f, n,
+            () => buildTheta(),
+            () => { buildTheta().write.mode("overwrite").parquet(thDir)
+                    spark.read.parquet(thDir).count() })
+          def overlapRequery(): DataFrame = {
+            val sk = spark.read.parquet(thDir)
+              .groupBy(col("corpus")).agg(thetaUnionAgg(col("sk")).as("sk"))
+            sk.filter(col("corpus") === 0).select(col("sk").as("ska"))
+              .crossJoin(sk.filter(col("corpus") === 1).select(col("sk").as("skb")))
+              .select(
+                round(thetaEstimate(thetaIntersect(col("ska"), col("skb"))))
+                  .cast("long").as("overlap"),
+                round(thetaEstimate(thetaANotB(col("ska"), col("skb"))))
+                  .cast("long").as("only_a"))
+          }
+          emit("g31_theta_overlap_requery", f, n,
+            () => overlapRequery(),
+            () => spark.read.parquet(thDir).count())
+        }
         fact.unpersist()
       }
       spark.stop()
