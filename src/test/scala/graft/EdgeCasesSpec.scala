@@ -19,6 +19,23 @@ class EdgeCasesSpec extends SparkSpec {
   private def emptyDocs = docsOf(Nil)
   private def oneDoc = docsOf(Seq((7L, "one lonely document with several words inside", "en")))
 
+  test("w11b refuses a non-UTC session zone — band key is only DST-free under UTC") {
+    // Tables.requireUtc guards the epoch-micros band derivation: under a
+    // DST zone a 7-day frame straddling a transition would silently
+    // diverge from the oracle's INTERVAL arithmetic. The guard must fire
+    // at QUERY BUILD time (before any job), with the pin named.
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalStateException](
+        SparkEntry.queries("w11b_time_band_frame")(spark, "/root/testdata/sf0.001"))
+      assert(e.getMessage.contains("UTC") && e.getMessage.contains("w11b"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    // and under the restored UTC session the same build succeeds
+    assert(SparkEntry.queries("w11b_time_band_frame")(spark, "/root/testdata/sf0.001")
+      .columns.nonEmpty)
+  }
+
   test("segment dedup: planted copies are counted as dups, first occurrence wins") {
     // seg length 3; doc 1 owns two segments, doc 2 copies doc 1's first
     // segment plus a fresh one, doc 3 repeats ONE segment internally

@@ -266,9 +266,19 @@ class VectorExprSpec extends SparkSpec {
       (Seq(1, 4), true))  // subspace-1 code 4 >= ksub → NULL
     val df = cases.map(_._1).toDF("codes")
       .select(col("codes"), pqAdcSum(col("codes"), dt, 4).as("s"))
-    val got = df.collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
-    assert(got.toSeq === Seq(Some(207L), None, None, None),
-      s"per-subspace range check drifted: ${got.toSeq}")
+    val expect = Seq(Some(207L), None, None, None)
+    def results(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    assert(results(df) === expect,
+      s"per-subspace range check drifted (codegen path)")
+    // the INTERPRETED path (nullSafeEval) must enforce the same contract —
+    // run with whole-stage codegen off so eval, not doGenCode, executes
+    val saved = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(results(df) === expect,
+        s"per-subspace range check drifted (interpreted path)")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", saved)
   }
 
   test("PQ expressions stay in whole-stage codegen") {
