@@ -454,7 +454,12 @@ class PlanHygieneSpec extends SparkSpec {
     "p1_curate_corpus"    -> (34, 19),
     "dedup_clusters"      -> (21, 10),
     "dedup_ngram_jaccard" -> (9, 5),
-    "t_tfidf"             -> (11, 6))
+    "t_tfidf"             -> (11, 6),
+    // the sketch-state tws pair: the whole point is ONE exchange on the
+    // hour key (e16 adds the broadcast-joined bound check's agg) — a
+    // second fact shuffle appearing here means the stateful shape broke
+    "e15_distinct_sketch_tws" -> (4, 2),
+    "e16_quantile_sketch_tws" -> (6, 4))
 
   footprintCeilings.foreach { case (name, (maxJobs, maxShuffles)) =>
     test(s"footprint: $name stays within $maxShuffles shuffles / $maxJobs jobs") {
