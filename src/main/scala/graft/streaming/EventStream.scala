@@ -487,6 +487,60 @@ object EventStream {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: [[viewClickJoin]] plus one
+    * row per view that attracted NO click within the gap (click columns
+    * null) — the "unconverted impressions" half an attribution pipeline
+    * needs, which the inner form silently drops. The SAME expression runs
+    * batch and streaming; in streaming Spark emits the null-padded row
+    * only once the watermark passes `view_ts + gap` (the point where no
+    * future click can match), so outer results are late by exactly the
+    * watermark delay and state stays bounded — identical eviction math to
+    * the inner join, plus the one extra emit on eviction. Each side
+    * pre-filters its event_type BEFORE the join, so state holds only the
+    * joining subset. */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame,
+                           gap: String = "30 minutes"): DataFrame = {
+    val l = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event"),
+        col("tss").as("view_ts"))
+    val r = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("event_id").as("click_event"),
+        col("tss").as("click_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("click_ts") >= col("view_ts") &&
+      col("click_ts") <= col("view_ts") + expr(s"INTERVAL $gap"),
+      "left_outer")
+      .select(col("user_id"), col("view_event"), col("click_event"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** Chained time-window aggregation (two stateful operators in ONE
+    * streaming query): fine-grained per-(cell, user) counts rolled up to
+    * a coarse window of active user-cells and total events — the
+    * multi-level dashboard rollup. Downstream grouping uses
+    * `window_time(w)` (the cell's event-time representative, end − 1 µs),
+    * which is what lets Spark chain stateful aggs in append mode: the
+    * first agg's watermark carries through, the second agg closes a
+    * coarse window once every fine cell inside it has closed. Without
+    * this, the rollup needs an intermediate sink + a second job — at
+    * 100 TB/day that is a full extra write/read of the fine aggregate.
+    * `coarse` must be a multiple of `fine` so end−1 µs and start truncate
+    * to the same coarse bucket. Scale: shuffle 1 keys (cell, user) with
+    * map-side partials; shuffle 2 moves only the already-aggregated
+    * cells, grouped by coarse window. */
+  def windowedRollup(df: DataFrame, fine: String = "15 minutes",
+                     coarse: String = "1 hour"): DataFrame = {
+    val perCell = withTss(df)
+      .groupBy(window(col("tss"), fine).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    perCell
+      .groupBy(window(window_time(col("w")), coarse).as("w2"))
+      .agg(count(lit(1)).as("n_active_cells"), sum(col("n")).as("n_events"))
+      .select(date_format(col("w2.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_active_cells"), col("n_events"))
+  }
+
   /** Per-user session stats from the sessionized frame. */
   def sessionStats(df: DataFrame): DataFrame =
     sessionize(df)
@@ -750,6 +804,48 @@ object EventQueries extends QModule {
        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
       ORDER BY v.user_id, view_event, click_event
+    """)),
+
+    // E17: the LEFT OUTER form of e8 (stream-stream outer join in
+    // StreamingSpec) in its batch form — every view row survives, clicks
+    // null where nothing landed in the gap. Null ordering is pinned
+    // explicitly on BOTH sides (Spark asc = nulls first; DuckDB default
+    // is nulls last) because the driver compare is row-order sensitive.
+    Q("e17_view_click_outer", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      viewClickAttribution(ev, ev)
+        .select(col("user_id"), col("view_event"), col("click_event"))
+        .orderBy(col("user_id"), col("view_event"),
+          col("click_event").asc_nulls_first)
+    }, sql = Some("""
+      SELECT v.user_id, v.event_id AS view_event, c.event_id AS click_event
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+       AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      ORDER BY v.user_id, view_event, click_event NULLS FIRST
+    """)),
+
+    // E18: the chained-stateful rollup (two window aggregations in one
+    // streaming query — StreamingSpec runs it with both aggs stateful in
+    // append mode) in its batch form. n_active_cells counts distinct
+    // (15-min cell, user) pairs per hour; n_events re-sums the fine
+    // counts, so a cell lost between the two aggs mismatches both
+    // columns. The oracle replays the two-level rollup as nested
+    // time_buckets.
+    Q("e18_windowed_rollup", (s, dir) =>
+      windowedRollup(t(s, dir, "events"))
+        .orderBy(col("window_start")),
+      sql = Some("""
+      WITH cell AS (
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS cs,
+               user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT strftime(time_bucket(INTERVAL '1 hour', cs),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             COUNT(*) AS n_active_cells, CAST(SUM(n) AS BIGINT) AS n_events
+      FROM cell GROUP BY 1 ORDER BY window_start
     """)),
 
     // E9: exactly-once dedupe semantics, oracle-checked — the input is

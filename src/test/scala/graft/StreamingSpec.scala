@@ -287,6 +287,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: null rows flush on watermark advance, == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events").withColumn("tss", EventStream.tsCol)
+    val evs = batchDf.drop("tss").as[Ev].collect()
+    val ordered = evs.sortBy(_.ts)
+    // Flush events advance the watermark past every view's gap so the
+    // unmatched (null-click) rows evict from state and emit — the outer
+    // join's defining behavior. They must SURVIVE each side's event_type
+    // filter: Catalyst pushes that filter BELOW the EventTimeWatermark
+    // node, so a row of any other type is discarded before event-time
+    // stats collection and advances NOTHING (each side's watermark only
+    // ever sees its own type — the global watermark is min(max view ts,
+    // max click ts) − delay). The operational lesson for production
+    // heartbeats is the same: punctuation rows must be of a type the
+    // pipeline doesn't discard pre-watermark. A sentinel user_id keeps
+    // them out of the compared output.
+    val flushTs = ordered.last.ts + 86400L * 1000000000L
+    val flushV = Ev(-1L, flushTs, -1L, "view", 0.0, "")
+    val flushC = Ev(-2L, flushTs, -1L, "click", 0.0, "")
+
+    val sv = MemoryStream[Ev]; val sc = MemoryStream[Ev]
+    def wm(s: MemoryStream[Ev]) = s.toDF()
+      .withColumn("tss", EventStream.tsCol).withWatermark("tss", "2 hours")
+    sv.addData(ordered.toSeq); sc.addData(ordered.toSeq)
+    val q = EventStream.viewClickAttribution(wm(sv), wm(sc))
+      .writeStream.format("memory").queryName("vco").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // views newer than the pre-flush watermark minus the gap are still
+      // pending in state: their null rows must NOT have emitted yet
+      val real = () => spark.table("vco").filter(col("user_id") =!= -1L)
+      val nullsBefore = real().filter(col("click_event").isNull).count()
+      sv.addData(flushV); sc.addData(flushC)
+      q.processAllAvailable()
+      val nullsAfter = real().filter(col("click_event").isNull).count()
+      assert(nullsAfter > nullsBefore,
+        "watermark advance flushed no additional unmatched views")
+      val streamed = rows(real())
+      val batch = rows(EventStream.viewClickAttribution(batchDf, batchDf))
+      assert(batch.exists(_.last == null), "fixture has no unmatched view")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("chained stateful aggs: fine window → coarse rollup in ONE append-mode query, == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect().sortBy(_.ts)
+    // flush advances the watermark so every fine cell closes, then (same
+    // cascade of no-data batches) every coarse window downstream closes.
+    // It is NOT filtered out (any filter would be pushed below the
+    // EventTimeWatermark node and drop it before stats collection — see
+    // the outer-join spec): instead its own fine cell sits a day past
+    // everything and never closes, so it never reaches the output.
+    val flush = Ev(-1L, evs.last.ts + 86400L * 1000000000L, -1L, "flush", 0.0, "")
+    val stream = MemoryStream[Ev]
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    stream.addData(b1.toSeq)
+    val sdf = stream.toDF()
+      .withColumn("tss", EventStream.tsCol).withWatermark("tss", "1 hour")
+    val q = EventStream.windowedRollup(sdf)
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      stream.addData(flush)
+      q.processAllAvailable()
+      val streamed = rows(spark.table("rollup"))
+      val batch = rows(EventStream.windowedRollup(batchDf))
+      assert(batch.size > 1)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("checkpoint restart: dedupe state and source offsets survive a query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
