@@ -1633,6 +1633,50 @@ object Fuzz {
     }
   }
 
+  /** T30: LEFT OUTER interval join — the e17 attribution shape
+    * randomized: every LEFT-type event joined to the same user's
+    * RIGHT-type events landing within [ts, ts+gap]; unmatched lefts
+    * SURVIVE the join. Folded per left event (match count + first match)
+    * so the outer rows are pinned by n_matched = 0 / first_match NULL
+    * instead of raw null-row ordering. The Spark side is the literal
+    * left-outer interval join (user_id equi-key + band residual — never
+    * a nested loop, the same plan family e8/e17 ship); both sides share
+    * one random predicate, and the interval arithmetic is exact integer
+    * nanos in both engines. */
+  private def genOuterInterval(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val li = r.nextInt(types.size)
+    val lt = types(li)
+    val rt = types((li + 1 + r.nextInt(types.size - 1)) % types.size)
+    val gapNs = pick(r, Seq(5, 30, 120, 720)) * 60L * 1000000000L
+    val sql = s"SELECT v.event_id AS left_id, COUNT(p.event_id) AS n_matched, " +
+      s"MIN(p.event_id) AS first_match " +
+      s"FROM (SELECT * FROM ${ref("events")} WHERE (${p.sql}) " +
+      s"AND event_type = '$lt') v " +
+      s"LEFT JOIN (SELECT * FROM ${ref("events")} WHERE (${p.sql}) " +
+      s"AND event_type = '$rt') p " +
+      s"ON p.user_id = v.user_id AND p.ts >= v.ts AND p.ts <= v.ts + $gapNs " +
+      s"GROUP BY v.event_id " + orderSql(Seq("left_id"))
+    FuzzQuery(name, (s, dir) => {
+      val ev = read(s, dir, "events").filter(p.c)
+      val l = ev.filter(col("event_type") === lt)
+        .select(col("user_id"), col("event_id").as("left_id"),
+          col("ts").as("l_ts"))
+      val rr = ev.filter(col("event_type") === rt)
+        .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+          col("ts").as("r_ts"))
+      l.join(rr, col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + gapNs,
+          "left_outer")
+        .groupBy(col("left_id"))
+        .agg(count(col("r_id")).as("n_matched"),
+          min(col("r_id")).as("first_match"))
+        .orderBy(col("left_id").asc)
+    }, sql, "outer_interval")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1641,7 +1685,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(29) match {
+      r.nextInt(30) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1670,7 +1714,8 @@ object Fuzz {
         case 25 => genGraphIter(r, name)
         case 26 => genHybridSkew(r, name)
         case 27 => genSketchState(r, name)
-        case _ => genSketchBound(r, name)
+        case 28 => genSketchBound(r, name)
+        case _ => genOuterInterval(r, name)
       }
     }
   }
