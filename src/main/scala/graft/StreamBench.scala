@@ -44,6 +44,14 @@ import graft.streaming.{Event, EventStream}
   * exact 4096); the reported `max_state_rows` curve is the 100-TB
   * argument in one number.
   *
+  * A fourth mode (`runMain graft.StreamBench [sfDir] join [factors...]`)
+  * measures the stream-stream LEFT OUTER interval join (e17): both tapes
+  * replayed chunked, watermark 1 h, gap 30 min. The store holds only the
+  * in-horizon view/click rows of each side (eviction continuous), so
+  * `max_state_rows` tracks the horizon's share of the tape — constant in
+  * TIME, scaling only with per-horizon volume — while `null_rows` counts
+  * the outer emissions that watermark progress flushed.
+  *
   * Usage: runMain graft.StreamBench [sfDir] [factors...] (default 1 4 16)
   */
 object StreamBench {
@@ -51,8 +59,9 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val stateMode = args.contains("state")
+    val joinMode = args.contains("join")
     val factors = {
-      val fs = args.drop(1).toSeq.filterNot(_ == "state").map(_.toInt)
+      val fs = args.drop(1).toSeq.filterNot(Set("state", "join")).map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
     val chunks = 16
@@ -186,6 +195,57 @@ object StreamBench {
         s""""wall_sec":${Fmt.num(wS, 3)},"max_state_rows":$stS,"agree":$agree}""")
       spark.sql(s"DROP VIEW IF EXISTS $tE")
       spark.sql(s"DROP VIEW IF EXISTS $tS")
+    }
+
+    // join mode: the e17 LEFT OUTER interval join's state curve (see
+    // object scaladoc). Both tapes chunk-replayed in lockstep.
+    def runJoinArm(f: Int): Unit = {
+      val evs = scaled(f)
+      val per = math.max(1, evs.length / chunks)
+      val sv = MemoryStream[Event]; val sc = MemoryStream[Event]
+      def wm(s: MemoryStream[Event]) = s.toDF()
+        .withColumn("tss", EventStream.tsCol).withWatermark("tss", "1 hour")
+      val name = s"sb_join_$f"
+      val q = EventStream.viewClickAttribution(wm(sv), wm(sc))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        evs.grouped(per).foreach { c =>
+          sv.addData(c.toSeq); sc.addData(c.toSeq); q.processAllAvailable()
+        }
+        // the tail flush must SURVIVE each side's event_type filter
+        // (Catalyst pushes it below EventTimeWatermark — StreamingSpec's
+        // outer-join lesson): a far-future view left, click right, with a
+        // sentinel user kept out of the reported output
+        val fTs = evs.last.ts + 10L * 3600 * 1000000000L
+        sv.addData(Event(Long.MaxValue, fTs, -1L, "view", 0.0, "{}"))
+        sc.addData(Event(Long.MaxValue - 1, fTs, -1L, "click", 0.0, "{}"))
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress.toSeq
+        val inputRows = progress.map(_.numInputRows).sum - 2 // minus flush
+        val maxState = progress.flatMap(_.stateOperators.headOption)
+          .map(_.numRowsTotal).max
+        val removed = progress.flatMap(_.stateOperators.headOption)
+          .map(_.numRowsRemoved).sum
+        val real = spark.table(name).filter(col("user_id") =!= -1L)
+        val out = real.count()
+        val nulls = real.filter(col("click_event").isNull).count()
+        println(s"""{"op":"stream_outer_join","factor":$f,"n_input":$inputRows,""" +
+          s""""wall_sec":${Fmt.num(wall, 3)},""" +
+          s""""rows_per_sec":${Fmt.num(inputRows / wall, 0)},""" +
+          s""""micro_batches":${progress.size},"max_state_rows":$maxState,""" +
+          s""""state_rows_removed":$removed,"out_rows":$out,"null_rows":$nulls}""")
+      } finally {
+        q.stop()
+        spark.sql(s"DROP VIEW IF EXISTS $name")
+      }
+    }
+
+    if (joinMode) {
+      factors.foreach(runJoinArm)
+      spark.stop(); return
     }
 
     if (stateMode) {
