@@ -531,6 +531,18 @@ object EventStream {
     * cells, grouped by coarse window. */
   def windowedRollup(df: DataFrame, fine: String = "15 minutes",
                      coarse: String = "1 hour"): DataFrame = {
+    // loud-fail the alignment contract instead of silently mis-bucketing:
+    // a fine cell whose start and end−1µs straddle a coarse boundary
+    // would land its rollup row in the WRONG coarse window
+    def micros(s: String): Long = {
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(i.months == 0, s"calendar-month grains not supported here: $s")
+      i.days * 86400000000L + i.microseconds
+    }
+    val (fUs, cUs) = (micros(fine), micros(coarse))
+    require(fUs > 0 && cUs % fUs == 0,
+      s"windowedRollup needs coarse ($coarse) to be a multiple of fine ($fine)")
     val perCell = withTss(df)
       .groupBy(window(col("tss"), fine).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))

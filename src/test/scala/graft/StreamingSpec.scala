@@ -365,6 +365,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedRollup rejects a non-aligned coarse grain loudly") {
+    // 25-min cells straddle hour boundaries: start and end−1µs truncate
+    // to different hours, so the rollup row would land in the wrong
+    // coarse window — the guard must fire before any plan is built
+    val df = t(spark, dir, "events")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.windowedRollup(df, fine = "25 minutes", coarse = "1 hour")
+    }
+    assert(e.getMessage.contains("multiple"))
+  }
+
   test("checkpoint restart: dedupe state and source offsets survive a query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
