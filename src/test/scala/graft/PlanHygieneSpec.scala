@@ -459,7 +459,17 @@ class PlanHygieneSpec extends SparkSpec {
     // hour key (e16 adds the broadcast-joined bound check's agg) — a
     // second fact shuffle appearing here means the stateful shape broke
     "e15_distinct_sketch_tws" -> (4, 2),
-    "e16_quantile_sketch_tws" -> (6, 4))
+    "e16_quantile_sketch_tws" -> (6, 4),
+    // e17 measures 5 jobs / 1 shuffle at sf0.001 (AQE broadcasts the
+    // filtered click side); the ceiling leaves room for the legitimate
+    // SMJ form (one exchange per side + the oracle sort's range sample)
+    // that larger inputs plan — but a pair-explosion or a lost
+    // pre-join type filter would blow far past it
+    "e17_view_click_outer" -> (7, 3),
+    // e18: exactly the chained shape — cell agg exchange, rollup
+    // exchange, oracle sort; a fourth shuffle means a stage snuck in
+    // between the two stateful aggs
+    "e18_windowed_rollup" -> (7, 3))
 
   footprintCeilings.foreach { case (name, (maxJobs, maxShuffles)) =>
     test(s"footprint: $name stays within $maxShuffles shuffles / $maxJobs jobs") {
