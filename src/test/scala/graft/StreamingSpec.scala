@@ -492,6 +492,72 @@ class StreamingSpec extends SparkSpec {
     assert(!defaultHasRocks, "default run unexpectedly reports rocksdb metrics — conf leaked")
   }
 
+  test("RocksDB provider: chained aggs and the stream-stream outer join match the default backend") {
+    // the single-agg cross-provider pin above doesn't cover the two
+    // heaviest state users: the dual-stateful chained rollup (two state
+    // stores in one query) and the outer interval join (two join state
+    // managers + the matched flag the null emission depends on) — pin
+    // both so a provider-specific eviction/flag bug can't hide
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = t(spark, dir, "events").as[Ev].collect().sortBy(_.ts)
+    val flushTs = evs.last.ts + 86400L * 1000000000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+
+    def withProvider[A](rocks: Boolean)(body: => A): A = {
+      val prev = spark.conf.getOption(key)
+      if (rocks) spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else spark.conf.unset(key)
+      try body finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+    def runRollup(sink: String): Set[Seq[Any]] = {
+      val stream = MemoryStream[Ev]
+      stream.addData(evs.toSeq)
+      val q = EventStream.windowedRollup(stream.toDF()
+          .withColumn("tss", EventStream.tsCol).withWatermark("tss", "1 hour"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        stream.addData(Ev(-1L, flushTs, -1L, "flush", 0.0, ""))
+        q.processAllAvailable()
+        rows(spark.table(sink))
+      } finally q.stop()
+    }
+
+    def runOuter(sink: String): Set[Seq[Any]] = {
+      val sv = MemoryStream[Ev]; val sc = MemoryStream[Ev]
+      def wm(s: MemoryStream[Ev]) = s.toDF()
+        .withColumn("tss", EventStream.tsCol).withWatermark("tss", "2 hours")
+      sv.addData(evs.toSeq); sc.addData(evs.toSeq)
+      val q = EventStream.viewClickAttribution(wm(sv), wm(sc))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        sv.addData(Ev(-1L, flushTs, -1L, "view", 0.0, ""))
+        sc.addData(Ev(-2L, flushTs, -1L, "click", 0.0, ""))
+        q.processAllAvailable()
+        rows(spark.table(sink).filter(col("user_id") =!= -1L))
+      } finally q.stop()
+    }
+
+    val (rollD, outerD) = withProvider(rocks = false) {
+      (runRollup("xp_roll_d"), runOuter("xp_outer_d"))
+    }
+    val (rollR, outerR) = withProvider(rocks = true) {
+      (runRollup("xp_roll_r"), runOuter("xp_outer_r"))
+    }
+    assert(rollD.nonEmpty && outerD.exists(_.last == null))
+    assert(rollR === rollD, "chained-agg output differs across state providers")
+    assert(outerR === outerD, "outer-join output differs across state providers")
+    Seq("xp_roll_d", "xp_outer_d", "xp_roll_r", "xp_outer_r")
+      .foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+  }
+
   test("foreachBatch idempotent sink: batch-id-keyed writes make replays no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
