@@ -126,6 +126,40 @@ final class HourlyDistinctSketchProcessor
   }
 }
 
+/** StatefulProcessor for the state-TTL spec: a per-user running event
+  * count whose ValueState carries a PROCESSING-TIME TTL. The 100-TB
+  * rationale: keyed state for keys that STOP ARRIVING (abandoned
+  * sessions, dead devices, churned users) cannot be evicted by
+  * watermarks when the query has no event-time close — without a bound
+  * the store grows with the all-time key population. TTL bounds it by
+  * recency of access instead: the state manager enforces expiry at read
+  * (an expired value reads as absent) and the store's cleanup reclaims
+  * the bytes, so a returning key restarts from zero — the semantics the
+  * spec pins against the TTLConfig.NONE accumulate-forever arm.
+  * `ttlMs <= 0` selects NONE, so both arms share one processor. */
+final class TtlCountProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, (Long, Long)] {
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+              else TTLConfig.NONE
+    n = getHandle.getValueState("n", E.scalaLong, ttl)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val upd = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(upd)
+    Iterator.single((key, upd))
+  }
+}
+
 /** The quantile twin of [[HourlyDistinctSketchProcessor]]: per hour bucket
   * the ValueState holds serialized KLL(k=200) bytes; each micro-batch
   * folds its event values in and re-emits (n, p50). Streaming percentiles
@@ -313,6 +347,20 @@ object EventStream {
     ds.groupByKey(_.user_id)
       .transformWithState(new UserProfileProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Per-user running event counts with TTL-bounded state
+    * ([[TtlCountProcessor]] — the recency bound for stores whose keys
+    * stop arriving; `ttlMs <= 0` = keep forever). TimeMode is
+    * ProcessingTime: state TTL is a processing-time contract, enforced
+    * by the state manager at read. */
+  def runningCountsTtl(ds: org.apache.spark.sql.Dataset[Event],
+                       ttlMs: Long): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Streaming distinct-users-per-hour with sketch-valued state

@@ -678,6 +678,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tws state TTL: an idle key's state expires and restarts; TTLConfig.NONE accumulates") {
+    // State TTL is the recency bound for stores whose keys stop arriving
+    // (no event-time close to evict by): an expired value reads as
+    // absent, so a returning key restarts from zero. Pinned against the
+    // NONE arm on the same tape: batch 1 (3 events) → sleep past the
+    // TTL → batch 2 (2 events). TTL arm's final emission is 2 (state
+    // expired between batches); NONE arm's is 5. The 50 ms TTL against a
+    // 1 s sleep keeps the expiry deterministic on any host (expiry is
+    // evaluated against the micro-batch's processing timestamp).
+    // RocksDB provider (tws API requirement).
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Event].take(5)
+        .map(_.copy(user_id = 1L)) // one key: the arms differ only in TTL
+      def emissions(ttlMs: Long, sink: String): Set[Long] = {
+        val stream = MemoryStream[Event]
+        // NOT processAllAvailable: with TimeMode.ProcessingTime the
+        // engine always has another processing-time batch to run
+        // (shouldRunAnotherBatch is unconditionally true for
+        // processing-time state), so the no-new-data signal it waits on
+        // never fires. The processor emits exactly one row per data
+        // batch, so bounded row-count polling is the quiescence check.
+        def waitRows(atLeast: Int): Unit = {
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (spark.table(sink).count() < atLeast) {
+            assert(System.nanoTime() < deadline,
+              s"$sink never reached $atLeast emissions")
+            Thread.sleep(100)
+          }
+        }
+        val q = EventStream.runningCountsTtl(stream.toDS(), ttlMs)
+          .toDF("user_id", "n")
+          .writeStream.format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("100 milliseconds"))
+          .outputMode("update").start()
+        try {
+          stream.addData(evs.take(3).toSeq); waitRows(1)
+          Thread.sleep(1000) // >> the 50 ms TTL
+          stream.addData(evs.drop(3).toSeq); waitRows(2)
+          spark.table(sink).collect().map(_.getLong(1)).toSet
+        } finally {
+          q.stop(); spark.sql(s"DROP VIEW IF EXISTS $sink")
+        }
+      }
+      // batch 1 emits 3 in both arms; batch 2's emission is the contrast
+      assert(emissions(50L, "ttl_on") === Set(3L, 2L),
+        "TTL state survived the idle gap — expiry not enforced")
+      assert(emissions(0L, "ttl_off") === Set(3L, 5L),
+        "NONE state failed to accumulate across batches")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState sketch state: incremental fold across micro-batches == one-shot") {
     // The sketch-valued-state processor (e15): user_ids fold into a theta
     // sketch per hour key. Two micro-batches SPLIT WITHIN hours (odd/even
