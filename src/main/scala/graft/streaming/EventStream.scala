@@ -547,19 +547,24 @@ object EventStream {
     * pre-filters its event_type BEFORE the join, so state holds only the
     * joining subset. */
   def viewClickAttribution(views: DataFrame, clicks: DataFrame,
-                           gap: String = "30 minutes"): DataFrame = {
+                           gap: String = "30 minutes",
+                           joinType: String = "left_outer"): DataFrame = {
     val l = views.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_event"),
+      .select(col("user_id").as("l_user"), col("event_id").as("view_event"),
         col("tss").as("view_ts"))
     val r = clicks.filter(col("event_type") === "click")
       .select(col("user_id").as("r_user"), col("event_id").as("click_event"),
         col("tss").as("click_ts"))
     l.join(r,
-      col("user_id") === col("r_user") &&
+      col("l_user") === col("r_user") &&
       col("click_ts") >= col("view_ts") &&
       col("click_ts") <= col("view_ts") + expr(s"INTERVAL $gap"),
-      "left_outer")
-      .select(col("user_id"), col("view_event"), col("click_event"),
+      joinType)
+      // coalesce is the identity for left_outer (l_user never null there)
+      // and the FULL OUTER contract: an orphan click's row carries the
+      // click side's user
+      .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("view_event"), col("click_event"),
         col("view_ts"), col("click_ts"))
   }
 
@@ -885,6 +890,29 @@ object EventQueries extends QModule {
        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
       ORDER BY v.user_id, view_event, click_event NULLS FIRST
+    """)),
+
+    // E19: the FULL OUTER form — both orphan halves survive: views with
+    // no click in the gap (click columns null, e17's half) AND clicks
+    // attached to no view (view columns null — the orphan-click
+    // reconciliation half). Same equi-key + band plan family; in
+    // streaming both sides' state evicts by watermark and emits its
+    // null-padded row on eviction.
+    Q("e19_view_click_full", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      viewClickAttribution(ev, ev, joinType = "full_outer")
+        .select(col("user_id"), col("view_event"), col("click_event"))
+        .orderBy(col("user_id"), col("view_event").asc_nulls_first,
+          col("click_event").asc_nulls_first)
+    }, sql = Some("""
+      SELECT coalesce(v.user_id, c.user_id) AS user_id,
+             v.event_id AS view_event, c.event_id AS click_event
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+       AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      ORDER BY user_id, view_event NULLS FIRST, click_event NULLS FIRST
     """)),
 
     // E18: the chained-stateful rollup (two window aggregations in one

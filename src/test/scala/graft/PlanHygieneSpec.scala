@@ -466,6 +466,7 @@ class PlanHygieneSpec extends SparkSpec {
     // that larger inputs plan — but a pair-explosion or a lost
     // pre-join type filter would blow far past it
     "e17_view_click_outer" -> (7, 3),
+    "e19_view_click_full" -> (7, 3),
     // e18: exactly the chained shape — cell agg exchange, rollup
     // exchange, oracle sort; a fourth shuffle means a stage snuck in
     // between the two stateful aggs

@@ -332,6 +332,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join: both orphan halves emit, == batch") {
+    // e19's streaming form: views with no click (click side null, the
+    // e17 half) AND clicks attached to no view (view side null — orphan
+    // reconciliation) both emit on watermark eviction. Same flush
+    // machinery as the left-outer test (rows must survive the
+    // pushed-below-watermark type filters).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events").withColumn("tss", EventStream.tsCol)
+    val evs = batchDf.drop("tss").as[Ev].collect().sortBy(_.ts)
+    val flushTs = evs.last.ts + 86400L * 1000000000L
+    val sv = MemoryStream[Ev]; val sc = MemoryStream[Ev]
+    def wm(s: MemoryStream[Ev]) = s.toDF()
+      .withColumn("tss", EventStream.tsCol).withWatermark("tss", "2 hours")
+    sv.addData(evs.toSeq); sc.addData(evs.toSeq)
+    val q = EventStream.viewClickAttribution(wm(sv), wm(sc), joinType = "full_outer")
+      .writeStream.format("memory").queryName("vcf").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      sv.addData(Ev(-1L, flushTs, -1L, "view", 0.0, ""))
+      sc.addData(Ev(-2L, flushTs, -1L, "click", 0.0, ""))
+      q.processAllAvailable()
+      val streamed = rows(spark.table("vcf").filter(col("user_id") =!= -1L))
+      val batch = rows(EventStream.viewClickAttribution(batchDf, batchDf,
+        joinType = "full_outer"))
+      assert(batch.exists(r => r(2) == null), "no unmatched view in fixture")
+      assert(batch.exists(r => r(1) == null), "no orphan click in fixture")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("chained stateful aggs: fine window → coarse rollup in ONE append-mode query, == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
