@@ -568,6 +568,29 @@ object EventStream {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT SEMI interval join: each view that attracted at
+    * least one click within the gap, emitted ONCE with no click payload —
+    * the "converted impressions" set without the per-click row
+    * multiplication of the inner join (at 100 TB the inner form's output
+    * is views×matching-clicks; the semi form caps it at the view count).
+    * In streaming Spark emits the left row on its FIRST match and
+    * thereafter drops it from the match path; state eviction math is the
+    * inner join's. */
+  def viewClickConverted(views: DataFrame, clicks: DataFrame,
+                         gap: String = "30 minutes"): DataFrame = {
+    val l = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event"),
+        col("tss").as("view_ts"))
+    val r = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("tss").as("click_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("click_ts") >= col("view_ts") &&
+      col("click_ts") <= col("view_ts") + expr(s"INTERVAL $gap"),
+      "left_semi")
+      .select(col("user_id"), col("view_event"), col("view_ts"))
+  }
+
   /** Chained time-window aggregation (two stateful operators in ONE
     * streaming query): fine-grained per-(cell, user) counts rolled up to
     * a coarse window of active user-cells and total events — the
@@ -913,6 +936,26 @@ object EventQueries extends QModule {
        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
       ORDER BY user_id, view_event NULLS FIRST, click_event NULLS FIRST
+    """)),
+
+    // E20: the LEFT SEMI form — converted views exactly once, no click
+    // payload, output capped at the view count (the inner join's output
+    // is views×matching-clicks). Oracle = EXISTS, the semi join's
+    // relational definition.
+    Q("e20_view_click_semi", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      viewClickConverted(ev, ev)
+        .select(col("user_id"), col("view_event"))
+        .orderBy(col("user_id"), col("view_event"))
+    }, sql = Some("""
+      SELECT v.user_id, v.event_id AS view_event
+      FROM events v
+      WHERE v.event_type = 'view' AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = v.user_id
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes')
+      ORDER BY v.user_id, view_event
     """)),
 
     // E18: the chained-stateful rollup (two window aggregations in one

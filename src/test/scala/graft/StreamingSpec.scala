@@ -363,6 +363,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI interval join: converted views emit once, == batch") {
+    // e20's streaming form: a view emits on its FIRST match and never
+    // again — split the tape at the median ts so some views must wait in
+    // state for clicks arriving in batch 2 (e8's buffering shape), and
+    // the exactly-once emission shows as set-AND-count equality with the
+    // batch semi join.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events").withColumn("tss", EventStream.tsCol)
+    val evs = batchDf.drop("tss").as[Ev].collect().sortBy(_.ts)
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val sv = MemoryStream[Ev]; val sc = MemoryStream[Ev]
+    def wm(s: MemoryStream[Ev]) = s.toDF()
+      .withColumn("tss", EventStream.tsCol).withWatermark("tss", "2 hours")
+    sv.addData(h1.toSeq); sc.addData(h1.toSeq)
+    val q = EventStream.viewClickConverted(wm(sv), wm(sc))
+      .writeStream.format("memory").queryName("vcs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      sv.addData(h2.toSeq); sc.addData(h2.toSeq)
+      q.processAllAvailable()
+      val streamedAll = spark.table("vcs").collect().map(_.toSeq).toSeq
+      val batch = rows(EventStream.viewClickConverted(batchDf, batchDf))
+      assert(batch.nonEmpty)
+      assert(streamedAll.toSet === batch)
+      assert(streamedAll.length === batch.size, "a converted view emitted twice")
+    } finally q.stop()
+  }
+
   test("chained stateful aggs: fine window → coarse rollup in ONE append-mode query, == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
