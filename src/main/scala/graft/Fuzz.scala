@@ -1460,7 +1460,12 @@ object Fuzz {
     * per hour AND the sketch's n must equal the exact row count (the
     * g29 rank-interval pattern — KLL compaction is randomized, the
     * BOUND is the deterministic contract). The hour key is exact
-    * integer division of the micro-grid nanos ts on both sides. */
+    * integer division of the micro-grid nanos ts on both sides —
+    * DuckDB `//` floors while Spark `div` truncates toward zero, which
+    * agree ONLY for non-negative ts; the testdata contract canary
+    * (TestdataContractSpec) asserts min(ts) >= 0 so a regen with
+    * negative timestamps fails loudly there, not as a silent
+    * hour-key skew here. */
   private def genSketchState(r: Random, name: String): FuzzQuery = {
     val t = tbl("events")
     val p = preds(r, t)

@@ -214,6 +214,10 @@ object StreamBench {
         evs.grouped(per).foreach { c =>
           sv.addData(c.toSeq); sc.addData(c.toSeq); q.processAllAvailable()
         }
+        // timer stops BEFORE the flush batch so rows_per_sec divides the
+        // replayed-row count by the time spent processing exactly those
+        // rows (the flush pair is subtracted from inputRows below)
+        val wall = (System.nanoTime() - t0) / 1e9
         // the tail flush must SURVIVE each side's event_type filter
         // (Catalyst pushes it below EventTimeWatermark — StreamingSpec's
         // outer-join lesson): a far-future view left, click right, with a
@@ -222,7 +226,6 @@ object StreamBench {
         sv.addData(Event(Long.MaxValue, fTs, -1L, "view", 0.0, "{}"))
         sc.addData(Event(Long.MaxValue - 1, fTs, -1L, "click", 0.0, "{}"))
         q.processAllAvailable()
-        val wall = (System.nanoTime() - t0) / 1e9
         val progress = q.recentProgress.toSeq
         val inputRows = progress.map(_.numInputRows).sum - 2 // minus flush
         val maxState = progress.flatMap(_.stateOperators.headOption)

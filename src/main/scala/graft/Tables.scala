@@ -142,6 +142,21 @@ object Tables {
     if (name == "events") normalizeEventTs(widened) else widened
   }
 
+  /** Loud guard for code whose arithmetic is only correct under a UTC
+    * session time zone (naive-timestamp normalization, epoch-micros band
+    * keys over wall-clock timestamps): a DST session zone would shift or
+    * warp values SILENTLY — the exact drift class the conform layer
+    * exists to catch. Callers name what breaks in `what`. */
+  def requireUtc(spark: SparkSession, what: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val isUtc = try {
+      java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    } catch { case _: Exception => false }
+    if (!isUtc) throw new IllegalStateException(
+      s"$what, but spark.sql.session.timeZone=$tz — pin the session time " +
+        "zone to UTC in the entry point")
+  }
+
   /** Engine-facing `events` contract: `ts` is Long nanos since epoch.
     *
     * The writer's physical type has drifted across testdata generations —
@@ -160,21 +175,6 @@ object Tables {
     * (The reference survives its own schema drift only by accident of
     * stringly-typed staging — SURVEY §1.2, StagingDW Util.java:11-19 vs
     * transform_staging LotteryTransform.java:113; here it's by design.) */
-  /** Loud guard for code whose arithmetic is only correct under a UTC
-    * session time zone (naive-timestamp normalization, epoch-micros band
-    * keys over wall-clock timestamps): a DST session zone would shift or
-    * warp values SILENTLY — the exact drift class the conform layer
-    * exists to catch. Callers name what breaks in `what`. */
-  def requireUtc(spark: SparkSession, what: String): Unit = {
-    val tz = spark.conf.get("spark.sql.session.timeZone")
-    val isUtc = try {
-      java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
-    } catch { case _: Exception => false }
-    if (!isUtc) throw new IllegalStateException(
-      s"$what, but spark.sql.session.timeZone=$tz — pin the session time " +
-        "zone to UTC in the entry point")
-  }
-
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df // already nanos (or no ts column)

@@ -591,6 +591,38 @@ object EventStream {
       .select(col("user_id"), col("view_event"), col("view_ts"))
   }
 
+  /** Streaming ingest-time exact dedup: collapse at-least-once re-emits of
+    * the same `event_id` whose event times land within `horizon` of each
+    * other. Streaming input → Spark 4's `dropDuplicatesWithinWatermark`:
+    * unlike plain `dropDuplicates` (whose key state NEVER evicts — at
+    * 100 TB/day the store grows with total distinct ids forever), state
+    * here expires once the watermark passes firstSeen + horizon, so the
+    * store holds only the ids seen in the last horizon — bounded by ingest
+    * RATE, not corpus size (StreamBench dedup mode measures the curve;
+    * eviction is pinned in StreamingSpec).
+    *
+    * Batch input → the deterministic shadow of the streaming guarantee:
+    * the FIRST occurrence per event_id survives (row_number over event-time
+    * order — one hash shuffle on the key, the dedup_exact fingerprint
+    * shape). The shadow assumes re-emit jitter ≤ horizon, which is the
+    * at-least-once delivery contract: a source that re-emits FARTHER apart
+    * than the horizon is outside the operator's guarantee in streaming too
+    * (state already evicted — the duplicate passes), so the two forms agree
+    * exactly on contract-compliant tapes; StreamingSpec pins the agreement
+    * over a chunk-replayed jittered tape. */
+  def dedupeWithinHorizon(df: DataFrame, horizon: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      withTss(df).withWatermark("tss", horizon)
+        .dropDuplicatesWithinWatermark("event_id")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = Window.partitionBy(col("event_id"))
+        .orderBy(col("ts"), col("event_type"), col("user_id"))
+      withTss(df)
+        .withColumn("occ_rn", row_number().over(firstSeen))
+        .filter(col("occ_rn") === 1).drop("occ_rn")
+    }
+
   /** Chained time-window aggregation (two stateful operators in ONE
     * streaming query): fine-grained per-(cell, user) counts rolled up to
     * a coarse window of active user-cells and total events — the
@@ -618,7 +650,10 @@ object EventStream {
     }
     val (fUs, cUs) = (micros(fine), micros(coarse))
     require(fUs > 0 && cUs % fUs == 0,
-      s"windowedRollup needs coarse ($coarse) to be a multiple of fine ($fine)")
+      s"windowedRollup needs coarse ($coarse) to be a multiple of fine ($fine); " +
+        "for calendar grains (month/quarter) use EventStream.calendarRollup")
+    graft.Tables.requireUtc(df.sparkSession,
+      "windowedRollup renders w2.start via date_format (session-zone wall clock)")
     val perCell = withTss(df)
       .groupBy(window(col("tss"), fine).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -627,6 +662,46 @@ object EventStream {
       .agg(count(lit(1)).as("n_active_cells"), sum(col("n")).as("n_events"))
       .select(date_format(col("w2.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("n_active_cells"), col("n_events"))
+  }
+
+  /** Calendar-grain rollup (month / quarter / year / week): the variant
+    * [[windowedRollup]] deliberately loud-fails, because `window()` cells
+    * have fixed micro-widths and a calendar month does not — `window_time`
+    * alignment arithmetic cannot bucket it. Here the grain key is
+    * `date_trunc`, which is calendar-correct under the UTC session pin
+    * (guarded loudly — a DST zone would split months at offset changes).
+    *
+    * Batch: one hash shuffle on (grain, event_type) with map-side partials
+    * — the per-month dashboard rollup. Streaming: the SAME expression runs
+    * in UPDATE mode (spec-pinned); append mode is impossible for calendar
+    * grains — `date_trunc` strips the event-time watermark tag, so Spark
+    * has no close-the-bucket criterion. The update-mode state is bounded
+    * by KEY CARDINALITY (#months × #types — calendar-small) rather than by
+    * watermark eviction, which is the honest trade at 100 TB/day: tiny
+    * state, but downstream must accept row updates (an upsert sink), not
+    * append-only files.
+    *
+    * `n_users` is exact COUNT(DISTINCT) in batch; streaming aggregation
+    * cannot hold exact distinct sets in update-mode state, so the streaming
+    * form reports the HLL++ estimate (`approx_count_distinct`, rsd 1% —
+    * the g27 sketch-tier trade: per-key state is one dense sketch, flat in
+    * user volume). The spec pins the streaming arm's n/sum columns EQUAL
+    * to batch and its n_users within the rsd band. */
+  def calendarRollup(df: DataFrame, grain: String = "month"): DataFrame = {
+    val ok = Set("week", "month", "quarter", "year")
+    require(ok(grain), s"calendarRollup grain must be one of $ok, got: $grain" +
+      " (fixed intervals belong in windowedRollup, which also chains in append mode)")
+    graft.Tables.requireUtc(df.sparkSession,
+      s"calendarRollup buckets by date_trunc('$grain') wall-clock calendar")
+    val nUsers =
+      if (df.isStreaming) approx_count_distinct(col("user_id"), 0.01)
+      else countDistinct(col("user_id"))
+    withTss(df)
+      .groupBy(date_trunc(grain, col("tss")).as("g"), col("event_type"))
+      .agg(count(lit(1)).as("n"), nUsers.as("n_users"),
+        dsum(col("value"), 2).as("sum_value"))
+      .select(date_format(col("g"), "yyyy-MM-dd").as(s"${grain}_start"),
+        col("event_type"), col("n"), col("n_users"), col("sum_value"))
   }
 
   /** Per-user session stats from the sessionized frame. */
@@ -956,6 +1031,78 @@ object EventQueries extends QModule {
           AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
           AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes')
       ORDER BY v.user_id, view_event
+    """)),
+
+    // E23: the RIGHT OUTER form — every click survives, view columns null
+    // where no view preceded it within the gap: the orphan-click set is
+    // the fraud/bot-detection shape (clicks with no impression). Mirror of
+    // e17 through the same viewClickAttribution entry point; in streaming
+    // the right side's state evicts by watermark and emits its null-padded
+    // row on eviction, symmetric to e17's left half.
+    Q("e23_click_view_right", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      viewClickAttribution(ev, ev, joinType = "right_outer")
+        .select(col("user_id"), col("view_event"), col("click_event"))
+        .orderBy(col("user_id"), col("click_event"),
+          col("view_event").asc_nulls_first)
+    }, sql = Some("""
+      SELECT coalesce(v.user_id, c.user_id) AS user_id,
+             v.event_id AS view_event, c.event_id AS click_event
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+       AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      ORDER BY user_id, click_event, view_event NULLS FIRST
+    """)),
+
+    // E21: ingest-time exact dedup within a watermark horizon — the tape
+    // is replayed with a +10-minute jittered re-emit of every event (the
+    // at-least-once delivery shape with network delay, vs e9's exact
+    // doubling), dedupeWithinHorizon collapses each pair to its FIRST
+    // occurrence, and sum_ts_sec proves the ORIGINAL copy survived (a
+    // wrong-copy keep shifts the sum by 600 s per event). Streaming twin:
+    // dropDuplicatesWithinWatermark with watermark-bounded key state
+    // (StreamingSpec parity + eviction pins; StreamBench dedup mode).
+    Q("e21_dedup_within_horizon", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val replayed = ev.unionAll(
+        ev.withColumn("ts", col("ts") + lit(600000000000L)))
+      dedupeWithinHorizon(replayed)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"),
+          sum(expr("ts div 1000000000")).as("sum_ts_sec"))
+        .orderBy(col("event_type"))
+    }, sql = Some("""
+      WITH replayed AS (
+        SELECT event_id, ts, user_id, event_type FROM events
+        UNION ALL
+        SELECT event_id, ts + INTERVAL '10 minutes' AS ts, user_id, event_type
+        FROM events),
+      kept AS (
+        SELECT event_type, event_id, epoch_ns(ts) AS tns,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY ts, event_type, user_id) AS rn
+        FROM replayed)
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids,
+             CAST(SUM(tns // 1000000000) AS BIGINT) AS sum_ts_sec
+      FROM kept WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type
+    """)),
+
+    // E22: calendar-grain rollup — the month buckets windowedRollup
+    // loud-fails (no fixed micro-width). date_trunc keys under the UTC
+    // pin; exact distinct users in batch (streaming twin reports the
+    // HLL++ estimate — see calendarRollup scaladoc and its spec arm).
+    Q("e22_month_rollup", (s, dir) =>
+      calendarRollup(t(s, dir, "events"), "month")
+        .orderBy(col("month_start"), col("event_type")),
+      sql = Some("""
+      SELECT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d') AS month_start,
+             event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY month_start, event_type
     """)),
 
     // E18: the chained-stateful rollup (two window aggregations in one
