@@ -392,6 +392,130 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream RIGHT OUTER interval join: orphan clicks emit on watermark eviction, == batch") {
+    // e23's streaming form: every click survives; clicks no view preceded
+    // within the gap emit null-padded once the watermark passes their
+    // potential-match horizon. Same flush machinery as the left-outer arm
+    // (sentinel rows survive the pushed-below-watermark type filters).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events").withColumn("tss", EventStream.tsCol)
+    val evs = batchDf.drop("tss").as[Ev].collect().sortBy(_.ts)
+    val flushTs = evs.last.ts + 86400L * 1000000000L
+    val sv = MemoryStream[Ev]; val sc = MemoryStream[Ev]
+    def wm(s: MemoryStream[Ev]) = s.toDF()
+      .withColumn("tss", EventStream.tsCol).withWatermark("tss", "2 hours")
+    sv.addData(evs.toSeq); sc.addData(evs.toSeq)
+    val q = EventStream.viewClickAttribution(wm(sv), wm(sc), joinType = "right_outer")
+      .writeStream.format("memory").queryName("vcr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val real = () => spark.table("vcr").filter(col("user_id") =!= -1L)
+      val orphansBefore = real().filter(col("view_event").isNull).count()
+      sv.addData(Ev(-1L, flushTs, -1L, "view", 0.0, ""))
+      sc.addData(Ev(-2L, flushTs, -1L, "click", 0.0, ""))
+      q.processAllAvailable()
+      val orphansAfter = real().filter(col("view_event").isNull).count()
+      assert(orphansAfter > orphansBefore,
+        "watermark advance flushed no additional orphan clicks")
+      val streamed = rows(real())
+      val batch = rows(EventStream.viewClickAttribution(batchDf, batchDf,
+        joinType = "right_outer"))
+      assert(batch.exists(r => r(1) == null), "no orphan click in fixture")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("dedupeWithinHorizon: streaming dropDuplicatesWithinWatermark == batch shadow, state evicts") {
+    // e21's streaming form over a contract-compliant jittered tape: every
+    // event re-emitted +10 min later (at-least-once with delay), the
+    // COMBINED tape replayed in ts order in chunks. Parity is guaranteed
+    // by construction: when a re-emit arrives, every prior chunk's max ts
+    // is <= first_ts + 10 min, so the watermark (max − 1 h) cannot have
+    // passed first_ts + 1 h — the key's state is still alive and the
+    // duplicate drops. The eviction pins are the scale claim: removed > 0
+    // (state is NOT append-only) and the post-flush store holds fewer
+    // rows than the distinct-id count (old ids left the store).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect()
+    val jittered = (evs ++ evs.map(e => e.copy(ts = e.ts + 600000000000L)))
+      .sortBy(e => (e.ts, e.event_id))
+    val s = MemoryStream[Ev]
+    val q = EventStream.dedupeWithinHorizon(s.toDF())
+      .writeStream.format("memory").queryName("ddh").outputMode("append").start()
+    try {
+      jittered.grouped(math.max(1, jittered.length / 4)).foreach { c =>
+        s.addData(c.toSeq); q.processAllAvailable()
+      }
+      val flushTs = jittered.last.ts + 86400L * 1000000000L
+      s.addData(Ev(-99L, flushTs, -1L, "view", 0.0, ""))
+      q.processAllAvailable()
+      val streamed = spark.table("ddh")
+        .filter(col("event_id") =!= -99L)
+        .select("event_id", "ts", "user_id", "event_type")
+      val jitterDf = batchDf.unionAll(
+        batchDf.withColumn("ts", col("ts") + lit(600000000000L)))
+      val shadow = EventStream.dedupeWithinHorizon(jitterDf)
+        .select("event_id", "ts", "user_id", "event_type")
+      assert(rows(streamed) === rows(shadow))
+      assert(streamed.count() === evs.length.toLong,
+        "each id must survive exactly once (the original copy)")
+      val progress = q.recentProgress.toSeq
+      val removed = progress.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsRemoved).sum
+      val finalState = progress.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).last
+      assert(removed > 0, "dedup key state never evicted — unbounded store")
+      assert(finalState < evs.length.toLong,
+        s"post-flush state still holds $finalState >= ${evs.length} keys")
+    } finally q.stop()
+  }
+
+  test("calendarRollup: streaming update mode == batch (exact n/sum, n_users within HLL rsd)") {
+    // e22's streaming form: date_trunc month keys cannot close under a
+    // watermark (the tag is stripped — see calendarRollup scaladoc), so
+    // the stream runs UPDATE mode with key-cardinality-bounded state.
+    // The memory sink accumulates every per-trigger update; a key's final
+    // row is its max-n update (n is monotone — update mode re-emits a key
+    // only when new rows fold in). Two chunks force cross-batch state.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect().sortBy(_.ts)
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val s = MemoryStream[Ev]
+    val q = EventStream.calendarRollup(s.toDF(), "month")
+      .writeStream.format("memory").queryName("cal").outputMode("update").start()
+    try {
+      s.addData(h1.toSeq); q.processAllAvailable()
+      s.addData(h2.toSeq); q.processAllAvailable()
+      import org.apache.spark.sql.expressions.Window
+      val latest = Window.partitionBy("month_start", "event_type")
+        .orderBy(col("n").desc)
+      val streamed = spark.table("cal")
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1).drop("rn")
+      val batch = EventStream.calendarRollup(batchDf, "month")
+      val joined = streamed.alias("s").join(batch.alias("b"),
+        Seq("month_start", "event_type"), "full_outer")
+        .select(col("s.n").as("sn"), col("b.n").as("bn"),
+          col("s.sum_value").as("ss"), col("b.sum_value").as("bs"),
+          col("s.n_users").as("su"), col("b.n_users").as("bu"))
+        .collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1), s"key present on one side only: $r")
+        assert(r.getLong(0) === r.getLong(1), "streaming n != batch n")
+        assert(r.getDouble(2) === r.getDouble(3), "streaming sum != batch sum")
+        val (su, bu) = (r.getLong(4).toDouble, r.getLong(5).toDouble)
+        assert(math.abs(su - bu) <= math.max(3.0, 0.05 * bu),
+          s"HLL n_users estimate $su too far from exact $bu")
+      }
+    } finally q.stop()
+  }
+
   test("chained stateful aggs: fine window → coarse rollup in ONE append-mode query, == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
