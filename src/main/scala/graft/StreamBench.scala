@@ -52,6 +52,13 @@ import graft.streaming.{Event, EventStream}
   * TIME, scaling only with per-horizon volume — while `null_rows` counts
   * the outer emissions that watermark progress flushed.
   *
+  * A fifth mode (`runMain graft.StreamBench [sfDir] dedup [factors...]`)
+  * measures the e21 ingest-dedup state contrast: a jittered at-least-once
+  * tape (every event re-emitted +10 min) through dedupeWithinHorizon
+  * (key state bounded by the 1 h horizon, continuous eviction) vs plain
+  * dropDuplicates (state = every id ever seen, growing with the factor
+  * forever). Identical output both arms; `max_state_rows` is the claim.
+  *
   * Usage: runMain graft.StreamBench [sfDir] [factors...] (default 1 4 16)
   */
 object StreamBench {
@@ -61,7 +68,7 @@ object StreamBench {
     val stateMode = args.contains("state")
     val joinMode = args.contains("join")
     val factors = {
-      val fs = args.drop(1).toSeq.filterNot(Set("state", "join")).map(_.toInt)
+      val fs = args.drop(1).toSeq.filterNot(Set("state", "join", "dedup")).map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
     val chunks = 16
@@ -260,6 +267,65 @@ object StreamBench {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+      spark.stop(); return
+    }
+
+    // dedup mode: the e21 ingest-dedup state contrast. The tape is
+    // replayed with a +10-min jittered re-emit of every event (2× input),
+    // chunked in ts order. Horizon arm: dedupeWithinHorizon — key state
+    // holds only ids first seen within the last hour (eviction
+    // continuous), so max_state_rows tracks the horizon's share of the
+    // tape and is the 100 TB/day argument. Unbounded arm: plain
+    // dropDuplicates("event_id") — identical output, but state = EVERY id
+    // ever seen, growing with factor forever (the operator e21 exists to
+    // replace). Both arms must emit exactly n_ids rows.
+    def runDedupArm(f: Int): Unit = {
+      val evsBase = scaled(f)
+      val evs = (evsBase ++ evsBase.map(e =>
+        e.copy(ts = e.ts + 600000000000L))).sortBy(e => (e.ts, e.event_id))
+      val nIds = evsBase.length.toLong
+      val per = math.max(1, evs.length / chunks)
+
+      def drive(arm: String, mk: DataFrame => DataFrame): Unit = {
+        val stream = MemoryStream[Event]
+        val name = s"sb_dedup_${arm}_$f"
+        val q = mk(stream.toDF())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val t0 = System.nanoTime()
+          evs.grouped(per).foreach { c =>
+            stream.addData(c.toSeq); q.processAllAvailable()
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          stream.addData(Event(Long.MaxValue,
+            evs.last.ts + 10L * 3600 * 1000000000L, -1L, "flush", 0.0, "{}"))
+          q.processAllAvailable()
+          val progress = q.recentProgress.toSeq
+          val inputRows = progress.map(_.numInputRows).sum - 1
+          val maxState = progress.flatMap(_.stateOperators.headOption)
+            .map(_.numRowsTotal).max
+          val removed = progress.flatMap(_.stateOperators.headOption)
+            .map(_.numRowsRemoved).sum
+          val out = spark.table(name).filter(col("user_id") =!= -1L).count()
+          println(s"""{"op":"stream_dedup_$arm","factor":$f,"n_input":$inputRows,""" +
+            s""""wall_sec":${Fmt.num(wall, 3)},""" +
+            s""""rows_per_sec":${Fmt.num(inputRows / wall, 0)},""" +
+            s""""max_state_rows":$maxState,"state_rows_removed":$removed,""" +
+            s""""out_rows":$out,"out_expected":$nIds,"exact":${out == nIds}}""")
+        } finally {
+          q.stop()
+          spark.sql(s"DROP VIEW IF EXISTS $name")
+        }
+      }
+
+      drive("horizon", df => EventStream.dedupeWithinHorizon(df))
+      drive("unbounded", df => df.withColumn("tss", EventStream.tsCol)
+        .withWatermark("tss", "1 hour").dropDuplicates("event_id"))
+    }
+
+    if (args.contains("dedup")) {
+      factors.foreach(runDedupArm)
       spark.stop(); return
     }
 

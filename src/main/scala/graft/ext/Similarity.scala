@@ -125,7 +125,18 @@ object Similarity {
     * shrink the probed corpus fraction as √n grows and recall would decay
     * with scale; a fixed fraction keeps recall roughly flat while per-
     * query cost stays O(fraction · n). Callers trade recall for speed by
-    * passing nprobe explicitly. */
+    * passing nprobe explicitly.
+    *
+    * The measured nprobe→recall trade for the COMPOSED IVF×PQ index
+    * (PERF.md §ivfpq-curve, sf0.1, nlist=42 derived): nprobe 4 → 0.55,
+    * 8 → 0.66, 16 (derived 3/8) → 0.765, 42 (probe-all) → 0.79 recall@10,
+    * at ~flat 0.3–0.44 s/query — probing buys recall almost linearly up
+    * to the derived point, then saturates at the PQ quantization ceiling
+    * (the residual 0.21 is ADC ranking error, recoverable only by raising
+    * `refine` or `m`, not nprobe). AnnRecallFloorSpec pins recall@10 ≥ 0.7
+    * at derived settings on the sf0.01 fixture so a centroid-training or
+    * encoding refactor that silently degrades recall fails CI rather than
+    * shipping hash-green. */
   def autoNprobe(nlist: Int): Int = math.max(6, nlist * 3 / 8)
 
   /** Deterministic coarse centroids: every (n/nlist)-th vector by vec_id —
