@@ -1682,6 +1682,51 @@ object Fuzz {
     }, sql, "outer_interval")
   }
 
+  /** T31: connected-components differential — `Dedup.dupClusters` (the
+    * bounded-round min-label propagation behind dedup_clusters, with the
+    * pointer-doubling `jump` arm randomized: both modes must land on the
+    * IDENTICAL fixpoint) over a random bounded edge set: supplier co-order
+    * pairs under a random lineitem predicate (suppkey domain — ≤ ~1k nodes
+    * at any gated SF, so the oracle's transitive closure stays small). The
+    * oracle computes the same unique fixpoint by a DIFFERENT algorithm —
+    * recursive reachability + min over the reach set — which is the point:
+    * any propagation bug (a dropped round, a wrong merge in jump mode, a
+    * label that climbed) diverges from closure-derived labels. Output is
+    * (doc_id, rep_id, cluster_size), the dedup_clusters shape. */
+  private def genClusters(r: Random, name: String): FuzzQuery = {
+    val p = preds(r, tbl("lineitem"))
+    val jump = r.nextBoolean()
+    val out = Seq("doc_id", "rep_id", "cluster_size")
+    val sql =
+      s"""WITH RECURSIVE os AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk
+         |  FROM lineitem WHERE ${p.sql}),
+         |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+         |       FROM os a JOIN os b ON a.o = b.o AND a.sk < b.sk),
+         |edges AS (SELECT u AS a, v AS b FROM e0
+         |          UNION ALL SELECT v, u FROM e0),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_id
+         |        FROM reach GROUP BY a)
+         |SELECT l.doc_id, l.rep_id, s.cluster_size
+         |FROM lab l JOIN (SELECT rep_id, COUNT(*) AS cluster_size
+         |                 FROM lab GROUP BY rep_id) s USING (rep_id)
+         |${orderSql(out)} LIMIT 500""".stripMargin
+    FuzzQuery(name, (s, dir) => {
+      val os = read(s, dir, "lineitem").filter(p.c)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+      val prs = os.as("a").join(os.as("b"),
+          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("doc_i"), col("b.sk").as("doc_j")).distinct()
+      ext.Dedup.dupClusters(prs, jump = jump)
+        .orderBy(orderCols(out): _*).limit(500)
+    }, sql, "cc_fixpoint")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1690,7 +1735,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(30) match {
+      r.nextInt(31) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1720,7 +1765,8 @@ object Fuzz {
         case 26 => genHybridSkew(r, name)
         case 27 => genSketchState(r, name)
         case 28 => genSketchBound(r, name)
-        case _ => genOuterInterval(r, name)
+        case 29 => genOuterInterval(r, name)
+        case _ => genClusters(r, name)
       }
     }
   }
