@@ -1453,7 +1453,7 @@ object SimilarityQueries extends QModule {
         FROM embeddings b JOIN cand USING (vec_id)
         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
-    """)),
+    """), headline = true),
 
     // Batch ANN join over the composed IVF×PQ index: every 20th vector is
     // a held-out query; each gets its approximate top-5 through the SAME
@@ -1773,7 +1773,7 @@ object SimilarityQueries extends QModule {
              CAST(SUM(CASE WHEN f.vec_id IS NULL THEN t.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       FROM train t LEFT JOIN flagged f ON t.doc_id = f.vec_id
       GROUP BY t.lang ORDER BY t.lang
-    """)),
+    """), headline = true),
 
     // Cross-modal join: text table ⋈ vector table on the shared id, per
     // language: doc count, total chars, Σ‖v‖² in micro-units (per-row fold

@@ -648,7 +648,7 @@ object Aggregations extends QModule {
              TRUE AS within_bound
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey ORDER BY s_nationkey
-    """)),
+    """), headline = true),
 
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {

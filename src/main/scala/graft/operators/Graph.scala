@@ -134,7 +134,7 @@ object Graph extends QModule {
                        JOIN edges e ON e.src = r.node
              GROUP BY e.dst)
       SELECT node, r AS rank_fp FROM r3 ORDER BY node
-    """)),
+    """), headline = true),
 
     // GR2: triangles in the supplier co-order graph (edge = two suppliers
     // appear in the same order). The per-order pair expansion is bounded

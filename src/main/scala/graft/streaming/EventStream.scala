@@ -988,7 +988,7 @@ object EventQueries extends QModule {
        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
       ORDER BY v.user_id, view_event, click_event NULLS FIRST
-    """)),
+    """), headline = true),
 
     // E19: the FULL OUTER form — both orphan halves survive: views with
     // no click in the gap (click columns null, e17's half) AND clicks
@@ -1124,7 +1124,7 @@ object EventQueries extends QModule {
                       '%Y-%m-%d %H:%M:%S') AS window_start,
              COUNT(*) AS n_active_cells, CAST(SUM(n) AS BIGINT) AS n_events
       FROM cell GROUP BY 1 ORDER BY window_start
-    """)),
+    """), headline = true),
 
     // E9: exactly-once dedupe semantics, oracle-checked — the input is
     // deliberately DOUBLED (union all of the table with itself, the
