@@ -24,6 +24,7 @@ object SparkEntry {
     sources.UpsertQueries,
     sources.HtmlQueries,
     sources.CsvQueries,
+    sources.BucketedQueries,
     ext.TextAnalysis,
     ext.DedupQueries,
     ext.SimilarityQueries,

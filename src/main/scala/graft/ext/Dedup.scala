@@ -433,14 +433,121 @@ object Dedup {
       .filter(size(col("ds")).between(2, maxBucket))
     postingPairs(posting).distinct()
   }
+
+  // --- greedy ingest-time near-dup ----------------------------------------
+
+  /** (doc_id, bucket) LSH band hits as a MAP-ONLY transform — the one
+    * native-expression signature pass of [[minhash]] followed by a 16-way
+    * explode, with no repartition and no aggregation, so the SAME plan
+    * runs over a batch frame and a STREAMING one (the ingest-dedup twin
+    * below). The bucket key is the band index concatenated with the
+    * band's raw min values — the same partition of documents as
+    * [[minhashLshPairs]]'s struct bucket and the oracle's packed BIGINT. */
+  def nearDupBuckets(docs: DataFrame, k: Int = 5, bands: Int = 16,
+                     rowsPerBand: Int = 2): DataFrame = {
+    val sig = graft.functions.VectorFunctions.minhashSig(
+      split(trim(col("text")), "\\s+"), k, bands * rowsPerBand)
+    val bandKeys = (0 until bands).map { b =>
+      val parts = lit(b) +: (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      concat_ws(":", parts.map(_.cast("string")): _*)
+    }
+    docs.select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bucket"))
+  }
+
+  /** Greedy first-wins near-dup: a document is DROPPED iff an earlier
+    * document (arrival order = doc_id) already claimed any of its LSH
+    * band buckets. This is the INGEST-TIME dedup discipline — decide per
+    * document as it arrives, never revisit — versus the batch pipeline's
+    * pair-expand → cluster → keep-min ([[minhashLshPairs]] →
+    * [[dupClusters]]).
+    *
+    * The scale profile is BETTER than the pair form: per bucket the only
+    * state is its first occupant, so a degenerate boilerplate bucket of d
+    * documents costs d verdict rows, never d² candidate pairs — no
+    * `maxBucket` cap needed, no skew guard. One shuffle on the bucket
+    * key; verdicts are order-free (min over each bucket). Returns the
+    * dropped doc_ids; the kept set is the anti-join. Streaming twin:
+    * [[streamingNearDupFlags]] (same buckets, first-wins ValueState). */
+  def neardupDropped(docs: DataFrame, k: Int = 5, bands: Int = 16,
+                     rowsPerBand: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    nearDupBuckets(docs, k, bands, rowsPerBand)
+      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Streaming twin of [[neardupDropped]]: per-bucket first-wins verdicts
+    * over a stream of [[BucketHit]]s (build them with [[nearDupBuckets]]
+    * on the streaming frame — it is map-only by construction). Emits one
+    * (doc_id, kept-in-this-bucket) row per hit; a document is a near-dup
+    * iff ANY of its 16 verdicts is false, which the consumer reduces
+    * stateless-ly (the flags for one document all travel in its own
+    * micro-batch).
+    *
+    * State is ONE long per live bucket — the first occupant — so the
+    * store grows with distinct-bucket cardinality, not corpus size, and a
+    * hot boilerplate bucket still costs 8 bytes. Within a micro-batch the
+    * smallest doc_id wins the bucket (order-free determinism: shuffle
+    * arrival order is not a contract); across batches the incumbent
+    * always wins, so feeding batches in ascending doc_id ranges
+    * reproduces the batch greedy exactly (StreamingSpec differential).
+    * At-least-once re-delivery of the winner re-emits `true`, never
+    * flips a verdict. Bound the store for unbounded bucket domains with
+    * a TTL variant if ingest runs for months (see TtlCountProcessor). */
+  def streamingNearDupFlags(hits: org.apache.spark.sql.Dataset[BucketHit])
+      : org.apache.spark.sql.Dataset[(Long, Boolean)] = {
+    import hits.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    hits.groupByKey(_.bucket)
+      .transformWithState(new BucketFirstWinsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** One LSH band-bucket hit of a document (input row of
+  * [[Dedup.streamingNearDupFlags]]). */
+final case class BucketHit(doc_id: Long, bucket: String)
+
+/** First-wins bucket occupancy for streaming ingest dedup: ValueState =
+  * the bucket's first (smallest-seen) doc_id. See
+  * [[Dedup.streamingNearDupFlags]] for semantics and scale posture. */
+final class BucketFirstWinsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, BucketHit, (Long, Boolean)] {
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var first: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    first = getHandle.getValueState("first", E.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[BucketHit],
+      timerValues: TimerValues): Iterator[(Long, Boolean)] = {
+    val batch = rows.toSeq
+    // an empty bucket is claimed by the batch's smallest doc_id (order-
+    // free within the batch); an occupied bucket NEVER changes hands —
+    // verdicts already emitted are never invalidated by later arrivals
+    if (!first.exists()) first.update(batch.map(_.doc_id).min)
+    val winner = first.get()
+    batch.iterator.map(r => (r.doc_id, r.doc_id == winner))
+  }
 }
 
 object DedupQueries extends QModule {
 
-  /** Shared oracle CTEs replaying `minhashLshPairs` exactly (md5-derived
+  /** Oracle CTE prefix replaying the MinHash banding exactly (md5-derived
     * base hash, 32 affine permutations, 16 bands × 2 rows, packed band
-    * bucket); terminal CTE `pairs(doc_i, doc_j)`. */
-  private val minhashPairsCtes = """
+    * bucket); terminal CTE `bands(doc_id, band, bucket)` — the packed
+    * BIGINT bucket partitions documents identically to the engine's
+    * struct/string band keys (h < 2^31, so `h_even * 2^31 + h_odd` is
+    * collision-free). */
+  private val minhashBandsCtes = """
       WITH docs AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
       sh AS (
@@ -458,7 +565,11 @@ object DedupQueries extends QModule {
       bands AS (
         SELECT doc_id, i // 2 AS band,
                CAST(SUM(CASE WHEN i % 2 = 0 THEN h * 2147483648 ELSE h END) AS BIGINT) AS bucket
-        FROM mins GROUP BY doc_id, i // 2),
+        FROM mins GROUP BY doc_id, i // 2)"""
+
+  /** [[minhashBandsCtes]] extended to `minhashLshPairs`' candidate set;
+    * terminal CTE `pairs(doc_i, doc_j)`. */
+  private val minhashPairsCtes = minhashBandsCtes + """,
       live AS (
         SELECT band, bucket FROM bands
         GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND 100),
@@ -629,6 +740,26 @@ object DedupQueries extends QModule {
       SELECT doc_i, doc_j FROM pairs
       ORDER BY doc_i, doc_j
     """), headline = true),
+
+    // Greedy INGEST-TIME near-dup (first-wins per LSH band bucket,
+    // arrival order = doc_id): the per-document admit/drop discipline a
+    // streaming corpus ingest applies, in its oracled batch form —
+    // [[Dedup.streamingNearDupFlags]] is the stateful streaming twin
+    // (StreamingSpec differential). Emits the DROPPED ids; note the
+    // verdict set differs from the pair→cluster pipeline by design
+    // (greedy never revisits, clusters re-partition globally).
+    Q("dedup_ingest_greedy", (s, dir) =>
+      neardupDropped(t(s, dir, "documents")).orderBy(col("doc_id")),
+      sql = Some(s"""
+      $minhashBandsCtes,
+      firsts AS (
+        SELECT band, bucket, MIN(doc_id) AS first_doc
+        FROM bands GROUP BY band, bucket)
+      SELECT DISTINCT b.doc_id FROM bands b
+      JOIN firsts f USING (band, bucket)
+      WHERE b.doc_id <> f.first_doc
+      ORDER BY doc_id
+    """)),
 
     // The MinHash ACCURACY CONTRACT made exact: for every LSH candidate
     // pair, the signature-estimated Jaccard (matching components / 32)

@@ -297,6 +297,47 @@ final class SessionCloseProcessor(gapMs: Long)
     } else Iterator.empty
 }
 
+/** CDC apply-changes (latest-wins upsert view): ValueState = the newest
+  * (ts, event_id, value) seen per key, ordered by (ts, event_id) — the
+  * dense-unique event id breaks ts ties deterministically (testdata
+  * contract canary). Emits ONLY when the key's latest actually advances
+  * (CDC update suppression): an out-of-order or re-delivered row with a
+  * stale (ts, event_id) is absorbed silently, which is exactly the
+  * at-least-once upsert-feed contract (Debezium-style change streams).
+  * State is O(1) per key; for key populations that churn, bound it with
+  * the TTL discipline of [[TtlCountProcessor]]. */
+final class LatestWinsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, (Long, Long, Long, Double)] {
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  // (ts, event_id, value)
+  @transient private var latest: ValueState[(Long, Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latest = getHandle.getValueState("latest",
+      E.tuple(E.scalaLong, E.scalaLong, E.scalaDouble), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+    val prev = if (latest.exists()) Option(latest.get()) else None
+    val mx = rows.foldLeft(prev) { (acc, e) =>
+      acc match {
+        case Some((ts, id, _)) if ts > e.ts || (ts == e.ts && id > e.event_id) => acc
+        case _ => Some((e.ts, e.event_id, e.value))
+      }
+    }
+    (prev, mx) match {
+      case (p, Some(m)) if !p.contains(m) =>
+        latest.update(m)
+        Iterator.single((key, m._1, m._2, m._3))
+      case _ => Iterator.empty
+    }
+  }
+}
+
 object EventStream {
 
   /** ts (long nanos) → timestamp at microsecond precision. */
@@ -388,6 +429,21 @@ object EventStream {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     ds.groupByKey(_.ts / 3600000000000L)
       .transformWithState(new HourlyQuantileSketchProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Streaming CDC apply-changes ([[LatestWinsProcessor]]): maintains the
+    * latest-wins upsert view of an at-least-once change feed, keyed by
+    * user. Emits (user_id, ts, event_id, value) whenever a key's latest
+    * advances; stale/re-delivered rows are absorbed. One shuffle on the
+    * key; runs identically over a batch Dataset (oracled, e25) and a
+    * stream (StreamingSpec update-suppression differential). */
+  def cdcLatestTws(ds: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.user_id)
+      .transformWithState(new LatestWinsProcessor, TimeMode.None(),
         OutputMode.Update())
   }
 
@@ -1103,6 +1159,28 @@ object EventQueries extends QModule {
              event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY month_start, event_type
+    """)),
+
+    // E25: CDC apply-changes in batch form — the latest-wins upsert view
+    // an at-least-once change feed materializes (argmax per key by
+    // (ts, event_id); the dense-unique event id is the deterministic
+    // tie-break, canaried in TestdataContractSpec). One struct-max hash
+    // aggregation — no window, no self-join — so the plan is a single
+    // shuffle on the key at any scale. Streaming twin: cdcLatestTws
+    // (update-suppression differential in StreamingSpec).
+    Q("e25_cdc_latest", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("last_ts"),
+          col("m.event_id").as("last_event"), col("m.value").as("last_value"))
+        .orderBy(col("user_id")),
+      sql = Some("""
+      SELECT user_id, epoch_ns(ts) AS last_ts, event_id AS last_event,
+             value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id
     """)),
 
     // E18: the chained-stateful rollup (two window aggregations in one

@@ -1,0 +1,65 @@
+package graft
+
+import graft.Tables.t
+import graft.sources.Bucketed
+import org.apache.spark.sql.functions._
+
+/** K9 bucketed layout: the persisted co-location contract — the join on
+  * the bucket key must run WITHOUT exchanging either side (write-once
+  * shuffle, join-forever free), and the layout round-trip must be
+  * content-lossless. At 100 TB this plan shape is the whole point of
+  * bucketing: a regression that silently re-introduces the fact-table
+  * shuffle (bucket-count mismatch, a lost sortBy, a catalog rewrite that
+  * drops the spec) fails here even though results stay correct.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("k9: bucketed join matches the unbucketed join bit-for-bit") {
+    val bucketed = rows(Bucketed.bucketedOrderRevenue(spark, dir))
+    val plain = rows(
+      t(spark, dir, "lineitem")
+        .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          Tables.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue")))
+    assert(bucketed === plain)
+  }
+
+  test("k9: join subtree has zero Exchange (co-located bucketed scan)") {
+    val df = Bucketed.bucketedOrderRevenue(spark, dir)
+    df.queryExecution.toRdd.count() // let AQE finalize the plan
+    // take the FINAL adaptive plan only ("== Initial Plan ==" repeats the
+    // tree below it and would alias the subtree split)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==", 2)(0)
+    assert(p.contains("SortMergeJoin"), p)
+    // the tree prints top-down, so everything below the SMJ line is its
+    // subtree (the aggregation's own exchange sits above the join): the
+    // co-located scan feeds the join with no exchange on either side.
+    // (A local per-partition Sort remains by design — Spark honors
+    // sorted-bucket metadata only under
+    // spark.sql.legacy.bucketedTableScan.outputOrdering.)
+    val below = p.split("SortMergeJoin", 2)(1)
+    assert(!below.contains("Exchange"), "bucketed join re-shuffled:\n" + p)
+    assert(below.contains("Bucketed: true"), "scan did not read buckets:\n" + p)
+  }
+
+  test("k9: bucket placement agrees with repartition placement (one file per bucket)") {
+    val (li, _) = Bucketed.ensureOrderTables(spark, dir)
+    // every parquet part file carries its bucket id in the name
+    // (…_NNNNN.c000…); one file per bucket means the pre-write
+    // repartition used the same Murmur3-pmod placement as the bucket spec
+    val path = spark.sql(s"DESCRIBE TABLE EXTENDED $li")
+      .filter(col("col_name") === "Location").select("data_type")
+      .collect().head.getString(0).stripPrefix("file:")
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getName)
+    val bucketIds = parts.flatMap("_(\\d{5})\\.".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+    assert(parts.length === 8, parts.mkString(", "))
+    assert(bucketIds.toSet === (0 until 8).toSet, parts.mkString(", "))
+  }
+}

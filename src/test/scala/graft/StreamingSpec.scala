@@ -15,6 +15,8 @@ import scala.jdk.CollectionConverters._
 case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
               value: Double, props: String)
 
+case class DocRow(doc_id: Long, text: String)
+
 class StreamingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -1308,5 +1310,115 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected, s"SpGEMM mismatch: got $got expected $expected")
+  }
+
+  test("streaming near-dup ingest: first-wins bucket state == batch greedy verdicts") {
+    // The ingest-dedup twin (dedup_ingest_greedy's streaming form): the
+    // SAME map-only nearDupBuckets transform runs over a MemoryStream of
+    // documents, verdicts come from per-bucket first-wins ValueState, and
+    // — because the batches are fed in ascending doc_id ranges, the order
+    // the greedy batch form fixes — the dropped set must be IDENTICAL.
+    // The split is mid-corpus so cross-batch collisions exist (a doc in
+    // b2 colliding with a bucket claimed in b1 exercises state, not just
+    // within-batch mins). RocksDB provider (tws API requirement).
+    import spark.implicits._
+    import graft.ext.{BucketHit, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].collect().map(d => DocRow(d._1, d._2)).sortBy(_.doc_id)
+      val stream = MemoryStream[DocRow]
+      val hits = Dedup.nearDupBuckets(stream.toDF()).as[BucketHit]
+      val q = Dedup.streamingNearDupFlags(hits)
+        .toDF("doc_id", "kept_in_bucket")
+        .writeStream.format("memory").queryName("neardup")
+        .outputMode("update").start()
+      try {
+        val (b1, b2) = docs.splitAt(docs.length / 2)
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+        val droppedStream = spark.table("neardup")
+          .filter(!col("kept_in_bucket"))
+          .select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val droppedBatch = Dedup.neardupDropped(t(spark, dir, "documents"))
+          .collect().map(_.getLong(0)).toSet
+        assert(droppedStream === droppedBatch)
+        assert(droppedBatch.nonEmpty, "fixture has no near-dups — differential is vacuous")
+        // cross-batch state must actually decide something: at least one
+        // dropped doc lives in b2 while the corpus-wide greedy also drops
+        // it (its bucket owner may sit in b1)
+        assert(droppedBatch.exists(d => b2.exists(_.doc_id == d)),
+          "no dropped doc in the second batch — split exercises no state")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming CDC latest-wins: emissions are exactly the per-key prefix maxima") {
+    // cdcLatestTws (e25's streaming twin) fed OUT OF ORDER: batch 1 is
+    // the LATER half of the timeline, batch 2 the earlier half, so most
+    // batch-2 rows are stale and must be ABSORBED (update suppression —
+    // no emission), while any batch-2 key unseen in batch 1 must emit.
+    // Expected emissions are computed independently per key: one per
+    // batch whose (ts, event_id) max strictly advances the state.
+    import spark.implicits._
+    import graft.streaming.{Event, EventStream}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = t(spark, dir, "events").as[Event].collect()
+        .sortBy(e => (e.ts, e.event_id))
+      val (earlier, later) = evs.splitAt(evs.length / 2)
+      val stream = MemoryStream[Event]
+      val q = EventStream.cdcLatestTws(stream.toDS())
+        .toDF("user_id", "ts", "event_id", "value")
+        .writeStream.format("memory").queryName("cdc")
+        .outputMode("update").start()
+      try {
+        stream.addData(later.toSeq); q.processAllAvailable()
+        stream.addData(earlier.toSeq); q.processAllAvailable()
+        val got = spark.table("cdc")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3)).toSet).toMap
+        val expected = evs.map(_.user_id).distinct.map { u =>
+          var st = Option.empty[(Long, Long)]
+          val out = Seq(later, earlier).flatMap { b =>
+            val rows = b.filter(_.user_id == u)
+            if (rows.isEmpty) None
+            else {
+              val m = rows.map(e => (e.ts, e.event_id)).max
+              if (st.forall(s => implicitly[Ordering[(Long, Long)]].gt(m, s))) {
+                st = Some(m); Some(m)
+              } else None
+            }
+          }.toSet
+          u -> out
+        }.toMap
+        assert(got === expected)
+        // the final latest per key equals the batch argmax (e25's form)
+        val finals = got.view.mapValues(_.max).toMap
+        val batchMax = evs.groupBy(_.user_id)
+          .view.mapValues(_.map(e => (e.ts, e.event_id)).max).toMap
+        assert(finals === batchMax)
+        // stale-absorption is actually exercised: some key present in
+        // BOTH batches emits only once (its batch-2 rows all lost to
+        // batch-1 state)
+        val inBoth = earlier.map(_.user_id).toSet
+          .intersect(later.map(_.user_id).toSet)
+        assert(inBoth.exists(u => expected(u).size == 1),
+          "every two-batch key emitted twice — suppression never exercised")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }
