@@ -1727,6 +1727,104 @@ object Fuzz {
     }, sql, "cc_fixpoint")
   }
 
+  /** T32: CDC extremum-wins differential — e25's argmax-per-key shape
+    * randomized: random predicate, optional key coarsening (user_id % m
+    * deepens per-key row count), and a coin flip between latest-wins
+    * (struct MAX) and earliest-wins (struct MIN). The oracle picks the
+    * same row via row_number() over the mirrored (ts, event_id)
+    * ordering — a TOTAL order (event ids are dense-unique, testdata
+    * contract canary), so both engines must land on the identical
+    * (ts, event_id, value) triple per key. */
+  private def genCdcExtremum(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val m = pick(r, Seq(0, 8, 64)) // 0 = raw user_id
+    val latest = r.nextBoolean()
+    val keySql = if (m == 0) "user_id" else s"user_id % $m"
+    val ord = if (latest) "DESC" else "ASC"
+    val sql = s"SELECT k, pick_ts, pick_event, pick_value FROM (" +
+      s"SELECT $keySql AS k, ts AS pick_ts, event_id AS pick_event, " +
+      s"value AS pick_value, row_number() OVER (PARTITION BY $keySql " +
+      s"ORDER BY ts $ord, event_id $ord) AS rn " +
+      s"FROM ${ref("events")} WHERE ${p.sql}) WHERE rn = 1 " +
+      orderSql(Seq("k"))
+    FuzzQuery(name, (s, dir) => {
+      val key = if (m == 0) col("user_id") else col("user_id") % m
+      val st = struct(col("ts"), col("event_id"), col("value"))
+      read(s, dir, "events").filter(p.c)
+        .groupBy(key.as("k"))
+        .agg((if (latest) max(st) else min(st)).as("mm"))
+        .select(col("k"), col("mm.ts").as("pick_ts"),
+          col("mm.event_id").as("pick_event"),
+          col("mm.value").as("pick_value"))
+        .orderBy(col("k").asc)
+    }, sql, "cdc_extremum")
+  }
+
+  /** T33: interval-join FAMILY differential — the e19/e20/e23 shapes
+    * (full outer / left semi / right outer) randomized the way T30
+    * randomizes the left-outer arm; together the four cover every join
+    * type the streaming interval family ships. Right-outer folds per
+    * RIGHT event (orphans pinned by n_matched = 0); left-semi emits the
+    * matched left ids exactly once; full-outer reduces to a one-row
+    * summary (pair count, both orphan counts, id checksum) because no
+    * single-side group key covers both null halves. */
+  private def genIntervalFamily(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val li = r.nextInt(types.size)
+    val lt = types(li)
+    val rt = types((li + 1 + r.nextInt(types.size - 1)) % types.size)
+    val gapNs = pick(r, Seq(5, 30, 120, 720)) * 60L * 1000000000L
+    val arm = r.nextInt(3) // 0 = right_outer, 1 = left_semi, 2 = full_outer
+    val leftSql = s"(SELECT * FROM ${ref("events")} WHERE (${p.sql}) " +
+      s"AND event_type = '$lt') v"
+    val rightSql = s"(SELECT * FROM ${ref("events")} WHERE (${p.sql}) " +
+      s"AND event_type = '$rt') p"
+    val onSql = s"ON p.user_id = v.user_id AND p.ts >= v.ts " +
+      s"AND p.ts <= v.ts + $gapNs"
+    val sql = arm match {
+      case 0 => s"SELECT p.event_id AS right_id, COUNT(v.event_id) AS n_matched, " +
+        s"MIN(v.event_id) AS first_match FROM $leftSql RIGHT JOIN $rightSql " +
+        s"$onSql GROUP BY p.event_id " + orderSql(Seq("right_id"))
+      case 1 => s"SELECT v.event_id AS left_id FROM $leftSql WHERE EXISTS (" +
+        s"SELECT 1 FROM $rightSql WHERE p.user_id = v.user_id " +
+        s"AND p.ts >= v.ts AND p.ts <= v.ts + $gapNs) " + orderSql(Seq("left_id"))
+      case _ => s"SELECT COUNT(*) AS n_rows, " +
+        s"CAST(SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_orphans, " +
+        s"CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_orphans, " +
+        s"CAST(SUM(coalesce(v.event_id, 0) + coalesce(p.event_id, 0)) AS BIGINT) AS id_sum " +
+        s"FROM $leftSql FULL JOIN $rightSql $onSql"
+    }
+    FuzzQuery(name, (s, dir) => {
+      val ev = read(s, dir, "events").filter(p.c)
+      val l = ev.filter(col("event_type") === lt)
+        .select(col("user_id"), col("event_id").as("left_id"),
+          col("ts").as("l_ts"))
+      val rr = ev.filter(col("event_type") === rt)
+        .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+          col("ts").as("r_ts"))
+      val cond = col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + gapNs
+      arm match {
+        case 0 => l.join(rr, cond, "right_outer")
+          .groupBy(col("r_id").as("right_id"))
+          .agg(count(col("left_id")).as("n_matched"),
+            min(col("left_id")).as("first_match"))
+          .orderBy(col("right_id").asc)
+        case 1 => l.join(rr, cond, "left_semi")
+          .select(col("left_id")).orderBy(col("left_id").asc)
+        case _ => l.join(rr, cond, "full_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("left_id").isNull, 1L).otherwise(0L)).as("n_right_orphans"),
+            sum(when(col("r_id").isNull, 1L).otherwise(0L)).as("n_left_orphans"),
+            sum(coalesce(col("left_id"), lit(0L)) +
+              coalesce(col("r_id"), lit(0L))).as("id_sum"))
+      }
+    }, sql, "interval_family")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1735,7 +1833,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(31) match {
+      r.nextInt(33) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1766,7 +1864,9 @@ object Fuzz {
         case 27 => genSketchState(r, name)
         case 28 => genSketchBound(r, name)
         case 29 => genOuterInterval(r, name)
-        case _ => genClusters(r, name)
+        case 30 => genClusters(r, name)
+        case 31 => genCdcExtremum(r, name)
+        case _ => genIntervalFamily(r, name)
       }
     }
   }
