@@ -47,6 +47,21 @@ class BucketedJoinSpec extends SparkSpec {
     assert(below.contains("Bucketed: true"), "scan did not read buckets:\n" + p)
   }
 
+  test("k9: runtime footprint — the join submits no shuffle-map stage at all") {
+    // warm the layout first (the one-time write cost is the layout's
+    // price and is NOT what this pin measures)
+    Bucketed.ensureOrderTables(spark, dir)
+    val fp = ShuffleCount.of(spark) {
+      Bucketed.bucketedOrderRevenue(spark, dir).queryExecution.toRdd.count()
+    }
+    // the only exchanges left are the aggregation's (partial→final) and
+    // the oracle sort's range sampling; the JOIN contributes zero
+    assert(fp.shuffleStages <= 2,
+      s"bucketed join gained a shuffle: ${fp.shuffleStages} > 2")
+    // 6 measured (catalog listing + AQE stage materializations); +1 headroom
+    assert(fp.jobs <= 7, s"bucketed join gained jobs: ${fp.jobs} > 7")
+  }
+
   test("k9: bucket placement agrees with repartition placement (one file per bucket)") {
     val (li, _) = Bucketed.ensureOrderTables(spark, dir)
     // every parquet part file carries its bucket id in the name

@@ -470,7 +470,14 @@ class PlanHygieneSpec extends SparkSpec {
     // e18: exactly the chained shape — cell agg exchange, rollup
     // exchange, oracle sort; a fourth shuffle means a stage snuck in
     // between the two stateful aggs
-    "e18_windowed_rollup" -> (7, 3))
+    "e18_windowed_rollup" -> (7, 3),
+    // the greedy ingest near-dup is bucket-window + distinct + oracle
+    // sort — crucially NO pair expansion; a shuffle count past this
+    // ceiling means the candidate-pair form crept back in
+    "dedup_ingest_greedy" -> (6, 4),
+    // e25 is the point of the struct-max form: ONE exchange on the key
+    // (plus the oracle sort) — a window/self-join rewrite fails here
+    "e25_cdc_latest" -> (5, 3))
 
   footprintCeilings.foreach { case (name, (maxJobs, maxShuffles)) =>
     test(s"footprint: $name stays within $maxShuffles shuffles / $maxJobs jobs") {
