@@ -59,6 +59,12 @@ import graft.streaming.{Event, EventStream}
   * dropDuplicates (state = every id ever seen, growing with the factor
   * forever). Identical output both arms; `max_state_rows` is the claim.
   *
+  * A sixth mode (`runMain graft.StreamBench [sfDir] cdc [factors...]`)
+  * measures the e25 latest-wins apply: events-per-key scaling (the
+  * change-feed shape), claims state = O(keys) flat across factors and
+  * emitted rows bounded by per-batch prefix maxima (update suppression),
+  * with the final per-key latest pinned against the in-driver argmax.
+  *
   * Usage: runMain graft.StreamBench [sfDir] [factors...] (default 1 4 16)
   */
 object StreamBench {
@@ -68,7 +74,7 @@ object StreamBench {
     val stateMode = args.contains("state")
     val joinMode = args.contains("join")
     val factors = {
-      val fs = args.drop(1).toSeq.filterNot(Set("state", "join", "dedup")).map(_.toInt)
+      val fs = args.drop(1).toSeq.filterNot(Set("state", "join", "dedup", "cdc")).map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
     val chunks = 16
@@ -326,6 +332,72 @@ object StreamBench {
 
     if (args.contains("dedup")) {
       factors.foreach(runDedupArm)
+      spark.stop(); return
+    }
+
+    // cdc mode: the e25 latest-wins apply's state/suppression curve. This
+    // mode scales EVENTS PER KEY (same users, new event ids, ts spread by
+    // +7 min per copy) — the change-feed shape where a key updates many
+    // times — so the measured claim is twofold: max_state_rows stays FLAT
+    // at the key cardinality while input grows ×f (state is O(keys), not
+    // O(changes)), and n_emitted / n_input falls with f (update
+    // suppression: only prefix-maxima per key per micro-batch emit — the
+    // downstream sink sees a bounded upsert stream, not the firehose).
+    def runCdcArm(f: Int): Unit = {
+      val evs = (0 until f).flatMap { k =>
+        base.map(e => e.copy(event_id = e.event_id + k.toLong * 1000000000L,
+          ts = e.ts + k.toLong * 420000000000L))
+      }.sortBy(e => (e.ts, e.event_id)).toArray
+      val nKeys = base.map(_.user_id).distinct.length.toLong
+      val per = math.max(1, evs.length / chunks)
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = MemoryStream[Event]
+        val name = s"sb_cdc_$f"
+        val q = EventStream.cdcLatestTws(stream.toDS())
+          .toDF("user_id", "ts", "event_id", "value")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val t0 = System.nanoTime()
+          evs.grouped(per).foreach { c =>
+            stream.addData(c.toSeq); q.processAllAvailable()
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress.toSeq
+          val inputRows = progress.map(_.numInputRows).sum
+          val maxState = progress.flatMap(_.stateOperators.headOption)
+            .map(_.numRowsTotal).max
+          val emitted = spark.table(name).count()
+          // correctness inline: final latest per key == batch argmax
+          val finalByKey = spark.table(name)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("m.ts"), col("m.event_id"))
+            .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          val exact = evs.groupBy(_.user_id)
+            .map { case (u, es) => u -> es.map(e => (e.ts, e.event_id)).max }
+          println(s"""{"op":"stream_cdc_latest","factor":$f,"n_input":$inputRows,""" +
+            s""""wall_sec":${Fmt.num(wall, 3)},""" +
+            s""""rows_per_sec":${Fmt.num(inputRows / wall, 0)},""" +
+            s""""max_state_rows":$maxState,"n_keys":$nKeys,""" +
+            s""""n_emitted":$emitted,""" +
+            s""""suppression":${Fmt.num(1.0 - emitted.toDouble / inputRows, 4)},""" +
+            s""""exact":${finalByKey == exact}}""")
+        } finally {
+          q.stop()
+          spark.sql(s"DROP VIEW IF EXISTS $name")
+        }
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+
+    if (args.contains("cdc")) {
+      factors.foreach(runCdcArm)
       spark.stop(); return
     }
 
