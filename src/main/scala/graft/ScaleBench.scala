@@ -290,6 +290,7 @@ object ScaleBench {
     val textMode = args.contains("text")
     val mediaMode = args.contains("media")
     val incrMode = args.contains("incr")
+    val neardupMode = args.contains("neardup")
     val htmlMode = args.contains("html")
     val frameMode = args.contains("frame")
     val rankMode = args.contains("rank")
@@ -303,7 +304,7 @@ object ScaleBench {
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
           a == "frame" || a == "rank" || a == "layout" || a == "overlap" ||
-          a == "graph" || a == "skew" || a == "sketch")
+          a == "graph" || a == "skew" || a == "sketch" || a == "neardup")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -714,6 +715,26 @@ object ScaleBench {
       }
       spark.stop()
       return
+    }
+
+    // "neardup" mode: the greedy ingest dedup (dedup_ingest_greedy) vs
+    // the pair-expansion LSH (dedup_minhash_lsh) over the SAME
+    // signatures and banding. The contrast is the intermediate the two
+    // forms materialize: greedy's is the bucket-hit set (≤ 16·docs,
+    // LINEAR by construction — this is also the streaming twin's state
+    // bound), the pair form's is the candidate-pair set (quadratic per
+    // bucket, survivable only because maxBucket caps it). Cardinality
+    // column = live buckets for greedy, candidate pairs for pairs.
+    if (neardupMode) {
+      for (f <- factors) {
+        val docs = scaledDocs(spark, base, f).localCheckpoint()
+        val n = docs.count()
+        emit("neardup_greedy", f, n, () => Dedup.neardupDropped(docs),
+          () => Dedup.nearDupBuckets(docs).select("bucket").distinct().count())
+        emit("neardup_pairs", f, n, () => Dedup.minhashLshPairs(docs),
+          () => Dedup.minhashLshPairs(docs).count())
+      }
+      spark.stop(); return
     }
 
     // "incr" mode: incremental-dedup admission cost vs STORE size — the

@@ -473,9 +473,22 @@ object Dedup {
     * [[streamingNearDupFlags]] (same buckets, first-wins ValueState). */
   def neardupDropped(docs: DataFrame, k: Int = 5, bands: Int = 16,
                      rowsPerBand: Int = 2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    nearDupBuckets(docs, k, bands, rowsPerBand)
-      .withColumn("first_doc", min(col("doc_id")).over(w))
+    // Two batch-side choices the streaming twin doesn't need: the
+    // signature pass is CPU-heavy, so spread an under-split source
+    // across the session's cores first (the same repartition [[minhash]]
+    // applies — nearDupBuckets itself stays map-only for streaming); and
+    // the verdict is a posting-list groupBy(bucket) hash-aggregate
+    // (min + collect_list in one pass, non-first occupants exploded back
+    // out), not a window — no per-partition sort. A hot bucket of d docs
+    // costs d list entries — still linear, same as the streaming twin's
+    // d verdict rows.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    nearDupBuckets(spread, k, bands, rowsPerBand)
+      .groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        collect_list(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("doc_id"), col("first_doc"))
       .filter(col("doc_id") =!= col("first_doc"))
       .select(col("doc_id")).distinct()
   }

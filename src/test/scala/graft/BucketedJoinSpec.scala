@@ -62,6 +62,26 @@ class BucketedJoinSpec extends SparkSpec {
     assert(fp.jobs <= 7, s"bucketed join gained jobs: ${fp.jobs} > 7")
   }
 
+  test("k9: aggregation on the bucket key is also exchange-free") {
+    // the layout pays off twice: a groupBy on the bucket key satisfies
+    // the aggregate's required distribution straight off the scan, so
+    // the partial/final two-phase collapses to one single-pass hash
+    // aggregate with NO exchange anywhere in the plan
+    val (li, _) = Bucketed.ensureOrderTables(spark, dir)
+    val df = spark.table(li)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==", 2)(0)
+    assert(!p.contains("Exchange"), "bucketed aggregation re-shuffled:\n" + p)
+    // and it is content-identical to the unbucketed plan's result
+    val plain = rows(t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty")))
+    assert(rows(df) === plain)
+  }
+
   test("k9: bucket placement agrees with repartition placement (one file per bucket)") {
     val (li, _) = Bucketed.ensureOrderTables(spark, dir)
     // every parquet part file carries its bucket id in the name

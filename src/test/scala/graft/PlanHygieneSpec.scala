@@ -471,10 +471,11 @@ class PlanHygieneSpec extends SparkSpec {
     // exchange, oracle sort; a fourth shuffle means a stage snuck in
     // between the two stateful aggs
     "e18_windowed_rollup" -> (7, 3),
-    // the greedy ingest near-dup is bucket-window + distinct + oracle
-    // sort — crucially NO pair expansion; a shuffle count past this
-    // ceiling means the candidate-pair form crept back in
-    "dedup_ingest_greedy" -> (6, 4),
+    // the greedy ingest near-dup is source spread + bucket posting-list
+    // agg + distinct + oracle sort — crucially NO pair expansion; a
+    // shuffle count past this ceiling means the candidate-pair form
+    // crept back in (7 jobs measured: the spread adds an AQE stage)
+    "dedup_ingest_greedy" -> (8, 5),
     // e25 is the point of the struct-max form: ONE exchange on the key
     // (plus the oracle sort) — a window/self-join rewrite fails here
     "e25_cdc_latest" -> (5, 3))
