@@ -87,6 +87,51 @@ object Upsert {
           .otherwise(array(dimRow))).as("r"))
       .select((keys ++ attrs ++ meta).map(c => col(s"r.$c")): _*)
   }
+
+  /** Snapshot CHANGESET: diff two keyed snapshots into the I/U/D change
+    * feed a downstream CDC consumer replays — the INVERSE of the
+    * apply-changes view (`EventStream.cdcLatestTws` folds a change feed
+    * into a snapshot; this produces the feed FROM two snapshots, the
+    * nightly-export diff a warehouse publishes when the source system
+    * can't emit CDC itself).
+    *
+    * Per key: absent→present = I, present→absent = D, both-but-different
+    * = U (struct inequality over the non-key columns, null-safe);
+    * unchanged rows are DROPPED — the changeset is the delta, its size
+    * tracks churn, not table size. I/U rows carry the NEW values, D rows
+    * the old. One full-outer equi-join = one shuffle per side — or ZERO
+    * if both snapshots live in the bucketed layout on the key
+    * ([[Bucketed]]); the round-trip law `apply(old, changeset) == new`
+    * is spec-pinned (PropertySpec). */
+  def changeset(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"changeset: snapshot schemas differ (${oldSnap.columns.mkString(",")} " +
+        s"vs ${newSnap.columns.mkString(",")})")
+    val dataCols = oldSnap.columns.filterNot(_ == key).toSeq
+    val o = oldSnap.select(col(key).as("__ok"),
+      struct(dataCols.map(col): _*).as("__ov"))
+    val n = newSnap.select(col(key).as("__nk"),
+      struct(dataCols.map(col): _*).as("__nv"))
+    val out = Seq(coalesce(col("__ok"), col("__nk")).as(key), col("op")) ++
+      dataCols.map(c => coalesce(col(s"__nv.$c"), col(s"__ov.$c")).as(c))
+    o.join(n, col("__ok") === col("__nk"), "full_outer")
+      .withColumn("op",
+        when(col("__ok").isNull, lit("I"))
+          .when(col("__nk").isNull, lit("D"))
+          .when(!(col("__ov") <=> col("__nv")), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(out: _*)
+  }
+
+  /** Replay a [[changeset]] onto the old snapshot: delete D keys, upsert
+    * I/U rows. `apply(old, changeset(old, new)) == new` by construction;
+    * PropertySpec pins it on real data. */
+  def applyChangeset(oldSnap: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val dataCols = oldSnap.columns.filterNot(_ == key).toSeq
+    oldSnap.join(changes.select(col(key)), Seq(key), "left_anti")
+      .unionByName(changes.filter(col("op") =!= "D")
+        .select(col(key) +: dataCols.map(col): _*))
+  }
 }
 
 object UpsertQueries extends QModule {
@@ -178,6 +223,51 @@ object UpsertQueries extends QModule {
         UNION ALL SELECT 'orders', COUNT(*) FROM o
         UNION ALL SELECT 'lineitem', COUNT(*) FROM l)
       ORDER BY table_name
+    """)),
+
+    // K10: snapshot changeset — two latest-wins snapshots built from
+    // OVERLAPPING windows (each side drops a different 20% of events for
+    // U rows AND a different ~9% of users for I/D rows) diffed into the
+    // I/U/D feed. Keys only in the old window → D, only in the new → I,
+    // in both with a different latest → U, identical latest → dropped.
+    // Inverse of e25 (changeset ∘ apply round-trip pinned in
+    // PropertySpec); the latest-per-key subqueries are the same
+    // struct-max single-shuffle shape as e25.
+    Q("k10_changeset", (s, dir) => {
+      import s.implicits._
+      def snap(evResidue: Int, userResidue: Int): DataFrame =
+        t(s, dir, "events")
+          .filter($"event_id" % 5 =!= evResidue && $"user_id" % 11 =!= userResidue)
+          .groupBy($"user_id")
+          .agg(max(struct($"ts", $"event_id", $"value")).as("m"))
+          .select($"user_id", $"m.ts".as("ts"),
+            $"m.event_id".as("event_id"), $"m.value".as("value"))
+      changeset(snap(4, 3), snap(0, 7), "user_id")
+        .orderBy($"user_id")
+    }, sql = Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, value FROM (
+          SELECT user_id, epoch_ns(ts) AS ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_id % 5 <> 4 AND user_id % 11 <> 3) WHERE rn = 1),
+      n AS (
+        SELECT user_id, ts, event_id, value FROM (
+          SELECT user_id, epoch_ns(ts) AS ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_id % 5 <> 0 AND user_id % 11 <> 7) WHERE rn = 1)
+      SELECT * FROM (
+        SELECT coalesce(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'I'
+                    WHEN n.user_id IS NULL THEN 'D'
+                    WHEN o.ts <> n.ts OR o.event_id <> n.event_id
+                         OR o.value <> n.value THEN 'U' END AS op,
+               coalesce(n.ts, o.ts) AS ts,
+               coalesce(n.event_id, o.event_id) AS event_id,
+               coalesce(n.value, o.value) AS value
+        FROM o FULL JOIN n ON o.user_id = n.user_id)
+      WHERE op IS NOT NULL ORDER BY user_id
     """))
   )
 }

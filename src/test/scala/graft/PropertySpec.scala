@@ -308,4 +308,29 @@ class PropertySpec extends SparkSpec {
         operators.Windows.windowedRankFamily(c))
     }
   }
+
+  test("changeset round-trip: apply(old, changeset(old, new)) == new (random snapshots)") {
+    // the K10 law on random keyed snapshots: keys drawn from a small
+    // domain so inserts/deletes/updates/unchanged all occur; values from
+    // a tiny domain so some shared keys are identical (the dropped-
+    // unchanged case is exercised, not just I/U/D)
+    import spark.implicits._
+    val genSnap: Gen[List[(Long, Long, String)]] = Gen.listOfN(30, for {
+      k <- Gen.chooseNum(0L, 19L)
+      v <- Gen.chooseNum(0L, 3L)
+      s <- Gen.oneOf("a", "b")
+    } yield (k, v, s))
+    forAllSamples(Gen.zip(genSnap, genSnap)) { case (oldRows, newRows) =>
+      val oldSnap = oldRows.toDF("k", "v", "s").dropDuplicates("k")
+      val newSnap = newRows.toDF("k", "v", "s").dropDuplicates("k")
+      val cs = Upsert.changeset(oldSnap, newSnap, "k")
+      // round-trip law
+      assert(rows(Upsert.applyChangeset(oldSnap, cs, "k")) === rows(newSnap))
+      // the changeset is a DELTA: no row for an unchanged key
+      val unchanged = rows(oldSnap.intersect(newSnap)).map(_.head)
+      val csKeys = rows(cs.select("k")).map(_.head)
+      assert(unchanged.forall(k => !csKeys.contains(k)),
+        "changeset emitted a row for an unchanged key")
+    }
+  }
 }
