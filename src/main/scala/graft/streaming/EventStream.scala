@@ -679,6 +679,21 @@ object EventStream {
         .filter(col("occ_rn") === 1).drop("occ_rn")
     }
 
+  /** Exactly-once windowed counts from an AT-LEAST-ONCE feed: ingest
+    * dedup chained into the tumbling-window aggregation, two stateful
+    * operators in ONE query (the dedup's watermark carries through to
+    * close the windows — e18's chaining argument applied to the
+    * dedup→agg pair). This is the composition every real event pipeline
+    * runs first: without the dedup stage, re-delivered events inflate
+    * every count; without the chain, the dedup needs its own sink and a
+    * second job (a full extra write/read of the raw feed at 100 TB/day).
+    * Works identically over batch (oracled, e26) and a stream
+    * (StreamingSpec arm asserts BOTH stateful operators in the progress
+    * record and parity with this batch form). */
+  def dedupedWindowedCounts(df: DataFrame, horizon: String = "1 hour",
+                            windowLen: String = "1 hour"): DataFrame =
+    windowedCounts(dedupeWithinHorizon(df, horizon), windowLen)
+
   /** Chained time-window aggregation (two stateful operators in ONE
     * streaming query): fine-grained per-(cell, user) counts rolled up to
     * a coarse window of active user-cells and total events — the
@@ -1159,6 +1174,38 @@ object EventQueries extends QModule {
              event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY month_start, event_type
+    """)),
+
+    // E26: exactly-once windowed counts from an at-least-once feed — the
+    // dedup→window-agg CHAIN (two stateful operators in one streaming
+    // query) in its oracled batch form. The tape is replayed with e21's
+    // +10-min jitter; the counts must equal the clean tape's counts
+    // because every duplicate dies at the dedup stage BEFORE the window
+    // aggregation sees it. Streaming twin: the chained append query
+    // (StreamingSpec pins both stateful operators in one progress
+    // record).
+    Q("e26_dedup_window", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val replayed = ev.unionAll(
+        ev.withColumn("ts", col("ts") + lit(600000000000L)))
+      dedupedWindowedCounts(replayed)
+        .orderBy(col("window_start"), col("event_type"))
+    }, sql = Some("""
+      WITH replayed AS (
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        UNION ALL
+        SELECT event_id, ts + INTERVAL '10 minutes', user_id, event_type, value
+        FROM events),
+      kept AS (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                 ORDER BY ts, event_type, user_id) AS rn
+        FROM replayed)
+      SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM kept WHERE rn = 1
+      GROUP BY 1, 2 ORDER BY window_start, event_type
     """)),
 
     // E25: CDC apply-changes in batch form — the latest-wins upsert view

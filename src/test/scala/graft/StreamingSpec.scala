@@ -1312,6 +1312,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"SpGEMM mismatch: got $got expected $expected")
   }
 
+  test("chained dedup→window agg: one query, two stateful operators, exactly-once counts") {
+    // e26's streaming form: the jittered at-least-once tape through
+    // dropDuplicatesWithinWatermark AND the tumbling-window aggregation
+    // in ONE append-mode query. Three claims: the progress record shows
+    // BOTH stateful operators (the chain is real, not a fused rewrite),
+    // the final counts equal the batch composition, and they equal the
+    // CLEAN tape's counts (every duplicate died before the aggregation).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect()
+    val jittered = (evs ++ evs.map(e => e.copy(ts = e.ts + 600000000000L)))
+      .sortBy(e => (e.ts, e.event_id))
+    val s = MemoryStream[Ev]
+    val q = EventStream.dedupedWindowedCounts(s.toDF())
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      jittered.grouped(math.max(1, jittered.length / 4)).foreach { c =>
+        s.addData(c.toSeq); q.processAllAvailable()
+      }
+      val flushTs = jittered.last.ts + 86400L * 1000000000L
+      s.addData(Ev(-99L, flushTs, -1L, "flush", 0.0, ""))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length === 2,
+        s"expected dedup + window agg state operators, got " +
+          q.lastProgress.stateOperators.map(_.operatorName).mkString(", "))
+      val streamed = rows(spark.table("ddw")
+        .filter(col("event_type") =!= "flush"))
+      val jitterDf = batchDf.unionAll(
+        batchDf.withColumn("ts", col("ts") + lit(600000000000L)))
+      assert(streamed === rows(EventStream.dedupedWindowedCounts(jitterDf)))
+      assert(streamed === rows(EventStream.windowedCounts(batchDf)),
+        "chained counts diverged from the clean tape's counts — a duplicate leaked")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest: first-wins bucket state == batch greedy verdicts") {
     // The ingest-dedup twin (dedup_ingest_greedy's streaming form): the
     // SAME map-only nearDupBuckets transform runs over a MemoryStream of
