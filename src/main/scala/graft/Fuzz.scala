@@ -1795,7 +1795,7 @@ object Fuzz {
         s"CAST(SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_orphans, " +
         s"CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_orphans, " +
         s"CAST(SUM(coalesce(v.event_id, 0) + coalesce(p.event_id, 0)) AS BIGINT) AS id_sum " +
-        s"FROM $leftSql FULL JOIN $rightSql $onSql"
+        s"FROM $leftSql FULL JOIN $rightSql $onSql " + orderSql(Seq("n_rows"))
     }
     FuzzQuery(name, (s, dir) => {
       val ev = read(s, dir, "events").filter(p.c)
@@ -1821,8 +1821,55 @@ object Fuzz {
             sum(when(col("r_id").isNull, 1L).otherwise(0L)).as("n_left_orphans"),
             sum(coalesce(col("left_id"), lit(0L)) +
               coalesce(col("r_id"), lit(0L))).as("id_sum"))
+          .orderBy(col("n_rows").asc) // 1 row; lint requires full ordering
       }
     }, sql, "interval_family")
+  }
+
+  /** T34: snapshot-changeset differential — K10's diff randomized: one
+    * shared random predicate, two OVERLAPPING snapshot windows (each side
+    * drops a random event-id residue and a random user residue, drawn
+    * distinct so I/D rows exist), optional key coarsening (user_id % m
+    * deepens per-key rows). The Spark side runs the LIBRARY operator
+    * (`Upsert.changeset` over two struct-max snapshots); the oracle
+    * rebuilds both snapshots via mirrored row_number() and classifies
+    * with explicit column comparisons — so a misclassified op, a leaked
+    * unchanged key, or a wrong-side value in the I/U/D payload all
+    * diverge. */
+  private def genChangeset(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val m = pick(r, Seq(0, 16)) // 0 = raw user_id
+    val evA = r.nextInt(5); val evB = (evA + 1 + r.nextInt(4)) % 5
+    val uA = r.nextInt(11); val uB = (uA + 1 + r.nextInt(10)) % 11
+    val keySql = if (m == 0) "user_id" else s"user_id % $m"
+    def snapSql(ev: Int, u: Int): String =
+      s"SELECT k, ts, event_id, value FROM (" +
+      s"SELECT $keySql AS k, ts, event_id, value, " +
+      s"row_number() OVER (PARTITION BY $keySql ORDER BY ts DESC, event_id DESC) AS rn " +
+      s"FROM ${ref("events")} WHERE (${p.sql}) " +
+      s"AND event_id % 5 <> $ev AND user_id % 11 <> $u) WHERE rn = 1"
+    val sql = s"SELECT * FROM (" +
+      s"SELECT coalesce(o.k, n.k) AS k, " +
+      s"CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D' " +
+      s"WHEN o.ts <> n.ts OR o.event_id <> n.event_id OR o.value <> n.value " +
+      s"THEN 'U' END AS op, " +
+      s"coalesce(n.ts, o.ts) AS ts, coalesce(n.event_id, o.event_id) AS event_id, " +
+      s"coalesce(n.value, o.value) AS value " +
+      s"FROM (${snapSql(evA, uA)}) o FULL JOIN (${snapSql(evB, uB)}) n ON o.k = n.k) " +
+      s"WHERE op IS NOT NULL " + orderSql(Seq("k"))
+    FuzzQuery(name, (s, dir) => {
+      val key = if (m == 0) col("user_id") else col("user_id") % m
+      def snap(ev: Int, u: Int): DataFrame =
+        read(s, dir, "events").filter(p.c)
+          .filter(col("event_id") % 5 =!= ev && col("user_id") % 11 =!= u)
+          .groupBy(key.as("k"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("mm"))
+          .select(col("k"), col("mm.ts").as("ts"),
+            col("mm.event_id").as("event_id"), col("mm.value").as("value"))
+      sources.Upsert.changeset(snap(evA, uA), snap(evB, uB), "k")
+        .orderBy(col("k").asc)
+    }, sql, "changeset")
   }
 
   // ---- corpus --------------------------------------------------------------
@@ -1833,7 +1880,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(33) match {
+      r.nextInt(34) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1866,7 +1913,8 @@ object Fuzz {
         case 29 => genOuterInterval(r, name)
         case 30 => genClusters(r, name)
         case 31 => genCdcExtremum(r, name)
-        case _ => genIntervalFamily(r, name)
+        case 32 => genIntervalFamily(r, name)
+        case _ => genChangeset(r, name)
       }
     }
   }

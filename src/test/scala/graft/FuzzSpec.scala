@@ -39,14 +39,15 @@ class FuzzSpec extends SparkSpec {
   test("every template and coin-flip branch executes on Spark (sf0.001)") {
     val qs = Fuzz.corpus(42L, 200)
     val byTemplate = qs.groupBy(_.template)
-    // all 33 generator templates must be present in the pinned corpus...
+    // all 34 generator templates must be present in the pinned corpus...
     assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
       "window", "setop", "distinct", "semi_anti",
       "full_join", "join3", "case_str", "session", "hopping", "rollup",
       "asof", "scalar_sub", "lateral", "in_sub", "filter_agg",
       "time_bucket", "exists_proj", "rec_spine", "cte_reuse", "array_lane",
       "spgemm", "graph_iter", "hybrid_skew", "sketch_bound", "sketch_state",
-      "outer_interval", "cc_fixpoint", "cdc_extremum", "interval_family"),
+      "outer_interval", "cc_fixpoint", "cdc_extremum", "interval_family",
+      "changeset"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
     // ...and one query per (template, branch) must execute as a Spark
     // plan — a Spark-only planning regression in any generator surfaces
