@@ -624,6 +624,28 @@ object EventStream {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Attribution rollup: the inner interval join chained into a tumbling
+    * window aggregation in ONE streaming query — the third multi-stateful
+    * pair the engine ships (e18 chains agg→agg, e26 chains dedup→agg,
+    * this chains join→agg). Counts attributed (view, click) pairs per
+    * click-hour with id-extremum content pins (streaming append mode
+    * forbids distinct aggregates; min/max are the order-free content
+    * check the driver can hash). The join's watermark propagates through,
+    * so append mode closes an hour once the join can no longer emit into
+    * it — without the chain, the pair stream needs its own sink and a
+    * second aggregation job. Batch and streaming run the same plan
+    * (oracled, e27; StreamingSpec pins both stateful operators). */
+  def attributionRollup(views: DataFrame, clicks: DataFrame,
+                        gap: String = "30 minutes",
+                        windowLen: String = "1 hour"): DataFrame =
+    viewClickJoin(views, clicks, gap)
+      .groupBy(window(col("click_ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("view_event")).as("first_view"),
+        max(col("click_event")).as("last_click"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_pairs"), col("first_view"), col("last_click"))
+
   /** Stream-stream LEFT SEMI interval join: each view that attracted at
     * least one click within the gap, emitted ONCE with no click payload —
     * the "converted impressions" set without the per-click row
@@ -1174,6 +1196,28 @@ object EventQueries extends QModule {
              event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY month_start, event_type
+    """)),
+
+    // E27: stream-stream join chained into a window aggregation — the
+    // attribution-throughput rollup (pairs per click-hour) in its oracled
+    // batch form; the third multi-stateful composition (e18 agg→agg,
+    // e26 dedup→agg, e27 join→agg). min/max id pins replace the distinct
+    // aggregates append-mode streaming forbids.
+    Q("e27_attribution_rollup", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tss", tsCol)
+      attributionRollup(ev, ev)
+        .orderBy(col("window_start"))
+    }, sql = Some("""
+      SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(c.ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             COUNT(*) AS n_pairs, MIN(v.event_id) AS first_view,
+             MAX(c.event_id) AS last_click
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = v.user_id
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+       AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      GROUP BY 1 ORDER BY window_start
     """)),
 
     // E26: exactly-once windowed counts from an at-least-once feed — the

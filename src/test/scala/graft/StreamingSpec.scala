@@ -1312,6 +1312,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"SpGEMM mismatch: got $got expected $expected")
   }
 
+  test("chained join→window agg: attribution rollup, two stateful operators, == batch") {
+    // e27's streaming form: the inner interval join chained into the
+    // tumbling window aggregation in one append query. Flush events on
+    // BOTH sides push the watermark past every view's gap AND past the
+    // last click-hour, so the join drains and the agg closes every
+    // window; the flush pair joins with itself but lands a day out, in a
+    // window the batch side excludes by filtering it first.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events").withColumn("tss", EventStream.tsCol)
+    val evs = batchDf.drop("tss").as[Ev].collect()
+    val ordered = evs.sortBy(_.ts)
+    val (h1, h2) = ordered.splitAt(ordered.length / 2)
+    val flushTs = ordered.last.ts + 86400L * 1000000000L
+    val sv = MemoryStream[Ev]; val sc = MemoryStream[Ev]
+    def wm(s: MemoryStream[Ev]) = s.toDF()
+      .withColumn("tss", EventStream.tsCol).withWatermark("tss", "2 hours")
+    val q = EventStream.attributionRollup(wm(sv), wm(sc))
+      .writeStream.format("memory").queryName("arw").outputMode("append").start()
+    try {
+      sv.addData(h1.toSeq); sc.addData(h1.toSeq); q.processAllAvailable()
+      sv.addData(h2.toSeq); sc.addData(h2.toSeq); q.processAllAvailable()
+      sv.addData(Ev(-98L, flushTs, -1L, "view", 0.0, ""))
+      sc.addData(Ev(-99L, flushTs, -1L, "click", 0.0, ""))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length === 2,
+        s"expected join + window agg state operators, got " +
+          q.lastProgress.stateOperators.map(_.operatorName).mkString(", "))
+      val streamed = rows(spark.table("arw").filter(col("first_view") =!= -98L))
+      val batch = rows(EventStream.attributionRollup(batchDf, batchDf))
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("chained dedup→window agg: one query, two stateful operators, exactly-once counts") {
     // e26's streaming form: the jittered at-least-once tape through
     // dropDuplicatesWithinWatermark AND the tumbling-window aggregation
