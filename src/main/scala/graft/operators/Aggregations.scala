@@ -650,6 +650,75 @@ object Aggregations extends QModule {
       GROUP BY s_nationkey ORDER BY s_nationkey
     """), headline = true),
 
+    // G33: one-pass table profile — the data-quality monitoring
+    // primitive: per column, null count / exact distinct / min / max in
+    // ONE scan (Spark plans the multi-column distinct aggs as a single
+    // Expand over one read — the oracle re-scans per column, which is
+    // exactly the naive plan this shape avoids at 100 TB). The derived
+    // nullable column (price above a threshold, else NULL) exercises the
+    // null-rate path the all-NOT-NULL physical columns can't; numeric
+    // min/max render through DECIMAL(18,2) so both engines agree on the
+    // string form.
+    Q("g33_profile", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .withColumn("o_high_price",
+          when($"o_totalprice" > 300000, $"o_totalprice"))
+      val cols = Seq(("o_orderstatus", false), ("o_orderpriority", false),
+        ("o_custkey", false), ("o_totalprice", true), ("o_high_price", true))
+      val measures = cols.flatMap { case (c, num) =>
+        val base = if (num) col(c).cast(DecimalType(18, 2)) else col(c)
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
+          countDistinct(col(c)).as(s"dst_$c"),
+          min(base).cast("string").as(s"min_$c"),
+          max(base).cast("string").as(s"max_$c"))
+      } :+ count(lit(1)).as("n_rows")
+      val one = o.agg(measures.head, measures.tail: _*)
+      val stackExpr = s"stack(${cols.size}, " + cols.map { case (c, _) =>
+        s"'$c', nul_$c, dst_$c, min_$c, max_$c" }.mkString(", ") +
+        ") as (column_name, n_null, n_distinct, min_v, max_v)"
+      one.select(col("n_rows"), expr(stackExpr))
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+        .orderBy(col("column_name"))
+    }, sql = Some("""
+      WITH o AS (
+        SELECT *, CASE WHEN o_totalprice > 300000 THEN o_totalprice END
+                  AS o_high_price
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'o_orderstatus' AS column_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               COUNT(DISTINCT o_orderstatus) AS n_distinct,
+               CAST(MIN(o_orderstatus) AS VARCHAR) AS min_v,
+               CAST(MAX(o_orderstatus) AS VARCHAR) AS max_v FROM o
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               CAST(MIN(o_orderpriority) AS VARCHAR),
+               CAST(MAX(o_orderpriority) AS VARCHAR) FROM o
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS VARCHAR),
+               CAST(MAX(o_custkey) AS VARCHAR) FROM o
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_totalprice),
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM o
+        UNION ALL
+        SELECT 'o_high_price', COUNT(*),
+               CAST(SUM(CASE WHEN o_high_price IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_high_price),
+               CAST(CAST(MIN(o_high_price) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(MAX(o_high_price) AS DECIMAL(18,2)) AS VARCHAR) FROM o)
+      ORDER BY column_name
+    """)),
+
     // Exact percentiles (sort-based; both engines use linear interpolation).
     Q("g14_percentiles", (s, dir) => {
       import s.implicits._
