@@ -509,14 +509,18 @@ object Dedup {
     * always wins, so feeding batches in ascending doc_id ranges
     * reproduces the batch greedy exactly (StreamingSpec differential).
     * At-least-once re-delivery of the winner re-emits `true`, never
-    * flips a verdict. Bound the store for unbounded bucket domains with
-    * a TTL variant if ingest runs for months (see TtlCountProcessor). */
-  def streamingNearDupFlags(hits: org.apache.spark.sql.Dataset[BucketHit])
+    * flips a verdict. `ttlMs > 0` bounds the store by hit recency for
+    * months-long ingest over an unbounded bucket domain (see
+    * [[BucketFirstWinsProcessor]] for the recall trade; spec-pinned
+    * against the keep-forever arm). */
+  def streamingNearDupFlags(hits: org.apache.spark.sql.Dataset[BucketHit],
+                            ttlMs: Long = 0L)
       : org.apache.spark.sql.Dataset[(Long, Boolean)] = {
     import hits.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val timeMode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     hits.groupByKey(_.bucket)
-      .transformWithState(new BucketFirstWinsProcessor, TimeMode.None(),
+      .transformWithState(new BucketFirstWinsProcessor(ttlMs), timeMode,
         OutputMode.Update())
   }
 }
@@ -527,8 +531,17 @@ final case class BucketHit(doc_id: Long, bucket: String)
 
 /** First-wins bucket occupancy for streaming ingest dedup: ValueState =
   * the bucket's first (smallest-seen) doc_id. See
-  * [[Dedup.streamingNearDupFlags]] for semantics and scale posture. */
-final class BucketFirstWinsProcessor
+  * [[Dedup.streamingNearDupFlags]] for semantics and scale posture.
+  *
+  * `ttlMs > 0` bounds the store by RECENCY (the TtlCountProcessor
+  * discipline): a bucket nobody has hit for the TTL expires, and the
+  * next doc to hit it claims it fresh — the deliberate trade for
+  * months-long ingest over an unbounded bucket domain (an expired
+  * bucket can re-admit a near-dup of a document older than the TTL;
+  * dedup recall degrades to the TTL horizon, state stays bounded by
+  * hit recency). `ttlMs <= 0` keeps state forever. Requires
+  * TimeMode.ProcessingTime when TTL is on — set by the caller. */
+final class BucketFirstWinsProcessor(ttlMs: Long = 0L)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, BucketHit, (Long, Boolean)] {
   import org.apache.spark.sql.{Encoders => E}
@@ -537,8 +550,11 @@ final class BucketFirstWinsProcessor
 
   @transient private var first: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    first = getHandle.getValueState("first", E.scalaLong, TTLConfig.NONE)
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+              else TTLConfig.NONE
+    first = getHandle.getValueState("first", E.scalaLong, ttl)
+  }
 
   override def handleInputRows(key: String, rows: Iterator[BucketHit],
       timerValues: TimerValues): Iterator[(Long, Boolean)] = {

@@ -82,6 +82,32 @@ class BucketedJoinSpec extends SparkSpec {
     assert(rows(df) === plain)
   }
 
+  test("k9×k10: changeset over bucketed snapshots runs with zero exchanges") {
+    // the layout composes with the snapshot-diff operator: both
+    // latest-wins snapshots persisted bucketed on the key, the
+    // changeset's full-outer join satisfies its distribution straight
+    // off the scans — the nightly diff of a 100 TB table never
+    // re-shuffles it. Content is pinned against the unbucketed diff.
+    import graft.sources.Upsert
+    val tmp = System.getProperty("java.io.tmpdir")
+    def snap(residue: Int) =
+      t(spark, dir, "events").filter(col("event_id") % 5 =!= residue)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+    def snapTable(name: String, residue: Int): String =
+      Bucketed.ensureBucketed(snap(residue), name, s"$tmp/$name", "user_id", 8)
+    val a = snapTable("graft_k10_snap_a", 4)
+    val b = snapTable("graft_k10_snap_b", 0)
+    val cs = Upsert.changeset(spark.table(a), spark.table(b), "user_id")
+    cs.queryExecution.toRdd.count()
+    val p = cs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==", 2)(0)
+    assert(!p.contains("Exchange"), "bucketed changeset re-shuffled:\n" + p)
+    assert(rows(cs) === rows(Upsert.changeset(snap(4), snap(0), "user_id")))
+  }
+
   test("k9: bucket placement agrees with repartition placement (one file per bucket)") {
     val (li, _) = Bucketed.ensureOrderTables(spark, dir)
     // every parquet part file carries its bucket id in the name

@@ -1431,6 +1431,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup bucket TTL: expired buckets re-admit twins; NONE keeps dropping them") {
+    // The bounded-store arm of streaming ingest dedup: batch 1 claims
+    // every bucket, batch 2 replays the SAME TEXTS under offset doc_ids
+    // after an idle gap >> the TTL. With TTL the claims expired, so
+    // batch 2 re-plays batch 1's internal greedy outcome as if fresh
+    // (dropped set = the batch-greedy dropped set, offset); with NONE
+    // every batch-2 twin collides with its batch-1 original's buckets
+    // and drops. This is the recall-for-boundedness trade the TTL
+    // documents. RocksDB provider (tws API requirement).
+    import spark.implicits._
+    import graft.ext.{BucketHit, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val texts = t(spark, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].take(10).map(d => DocRow(d._1, d._2))
+      val offset = 1000000L
+      val twins = texts.map(d => DocRow(d.doc_id + offset, d.text))
+      val b1df = texts.toSeq.toDF("doc_id", "text")
+      // expected contrasts, computed batch-side
+      val sigIds = Dedup.nearDupBuckets(b1df).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val greedyDropped = Dedup.neardupDropped(b1df)
+        .collect().map(_.getLong(0)).toSet
+      val rowsPerBatch = Dedup.nearDupBuckets(b1df).count()
+
+      def droppedTwins(ttlMs: Long, sink: String): Set[Long] = {
+        val stream = MemoryStream[DocRow]
+        val hits = Dedup.nearDupBuckets(stream.toDF()).as[BucketHit]
+        def waitRows(atLeast: Long): Unit = {
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (spark.table(sink).count() < atLeast) {
+            assert(System.nanoTime() < deadline,
+              s"$sink never reached $atLeast emissions")
+            Thread.sleep(100)
+          }
+        }
+        val q = Dedup.streamingNearDupFlags(hits, ttlMs)
+          .toDF("doc_id", "kept")
+          .writeStream.format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("100 milliseconds"))
+          .outputMode("update").start()
+        try {
+          stream.addData(texts.toSeq); waitRows(rowsPerBatch)
+          Thread.sleep(1000) // >> the 50 ms TTL
+          stream.addData(twins.toSeq); waitRows(rowsPerBatch * 2)
+          spark.table(sink).filter(!col("kept") && col("doc_id") >= offset)
+            .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+        } finally {
+          q.stop(); spark.sql(s"DROP VIEW IF EXISTS $sink")
+        }
+      }
+      assert(droppedTwins(0L, "nd_ttl_off") === sigIds.map(_ + offset),
+        "NONE arm: some twin escaped its original's buckets")
+      assert(droppedTwins(50L, "nd_ttl_on") === greedyDropped.map(_ + offset),
+        "TTL arm: expired buckets did not re-admit the twins")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming CDC latest-wins: emissions are exactly the per-key prefix maxima") {
     // cdcLatestTws (e25's streaming twin) fed OUT OF ORDER: batch 1 is
     // the LATER half of the timeline, batch 2 the earlier half, so most
