@@ -291,6 +291,7 @@ object ScaleBench {
     val mediaMode = args.contains("media")
     val incrMode = args.contains("incr")
     val neardupMode = args.contains("neardup")
+    val profileMode = args.contains("profile")
     val htmlMode = args.contains("html")
     val frameMode = args.contains("frame")
     val rankMode = args.contains("rank")
@@ -304,7 +305,8 @@ object ScaleBench {
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
           a == "frame" || a == "rank" || a == "layout" || a == "overlap" ||
-          a == "graph" || a == "skew" || a == "sketch" || a == "neardup")
+          a == "graph" || a == "skew" || a == "sketch" || a == "neardup" ||
+          a == "profile")
         .toSeq.map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -715,6 +717,34 @@ object ScaleBench {
       }
       spark.stop()
       return
+    }
+
+    // "profile" mode: the one-pass Expand profile vs the per-column
+    // pruned-scan form, over ×factor lineitem written to parquet FILES
+    // (the scan cost must be real I/O, not a cached frame). Both arms
+    // produce identical rows; the measurement DECIDED g33's
+    // implementation (per-column won 19× at ×16 — see profileTable's
+    // scaladoc for why the row-store intuition inverts on parquet).
+    if (profileMode) {
+      import operators.Aggregations
+      val pCols = Seq(("l_returnflag", false), ("l_linestatus", false),
+        ("l_suppkey", false), ("l_quantity", true), ("l_extendedprice", true))
+      for (f <- factors) {
+        val srcDir = s"/tmp/graft_profile_x$f"
+        if (!new java.io.File(srcDir).exists()) {
+          val li = Tables.t(spark, dir, "lineitem")
+          li.crossJoin(spark.range(f.toLong).select(col("id").as("kk")))
+            .drop("kk")
+            .write.mode("overwrite").parquet(srcDir)
+        }
+        val src = spark.read.parquet(srcDir)
+        val n = src.count()
+        emit("profile_onepass", f, n,
+          () => Aggregations.profileTable(src, pCols), () => pCols.size.toLong)
+        emit("profile_percol", f, n,
+          () => Aggregations.profileTablePerColumn(src, pCols), () => pCols.size.toLong)
+      }
+      spark.stop(); return
     }
 
     // "neardup" mode: the greedy ingest dedup (dedup_ingest_greedy) vs
