@@ -598,6 +598,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids === base.map(_.event_id).toSet)
   }
 
+  test("checkpoint restart: the chained dedup→window query resumes BOTH state stores") {
+    // e26's chain across a restart: run 1 feeds 60% of the jittered
+    // at-least-once tape and stops mid-stream (windows still open,
+    // dedup keys still live); run 2 resumes from the SAME checkpoint
+    // with the rest — including +10-min re-emits of late run-1 events,
+    // which only the RESTORED dedup state can drop — then a flush
+    // closes every window. The final file-sink contents must equal the
+    // batch composition over the whole tape: a lost dedup key double-
+    // counts, a lost window partial undercounts.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = t(spark, dir, "events")
+    val evs = batchDf.as[Ev].collect()
+    val jittered = (evs ++ evs.map(e => e.copy(ts = e.ts + 600000000000L)))
+      .sortBy(e => (e.ts, e.event_id))
+    val (r1, r2) = jittered.splitAt(jittered.length * 6 / 10)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt2_out").toString
+
+    val stream = MemoryStream[Ev]
+    def startQuery() = EventStream.dedupedWindowedCounts(stream.toDF())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    stream.addData(r1.toSeq)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    stream.addData(r2.toSeq)
+    stream.addData(Ev(-99L, jittered.last.ts + 86400L * 1000000000L,
+      -1L, "flush", 0.0, ""))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val streamed = rows(spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "flush"))
+    val jitterDf = batchDf.unionAll(
+      batchDf.withColumn("ts", col("ts") + lit(600000000000L)))
+    assert(streamed === rows(EventStream.dedupedWindowedCounts(jitterDf)))
+    assert(streamed === rows(EventStream.windowedCounts(batchDf)),
+      "restart leaked a duplicate or lost a window partial")
+  }
+
   test("watermark: events older than the advanced watermark are dropped, not double-counted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
