@@ -65,6 +65,11 @@ import graft.streaming.{Event, EventStream}
   * emitted rows bounded by per-batch prefix maxima (update suppression),
   * with the final per-key latest pinned against the in-driver argmax.
   *
+  * A seventh mode (`runMain graft.StreamBench [sfDir] neardup
+  * [factors...]`) measures the streaming greedy ingest dedup's actual
+  * state store: live buckets (one long each) over the ×factor corpus,
+  * dropped set pinned against the batch greedy.
+  *
   * Usage: runMain graft.StreamBench [sfDir] [factors...] (default 1 4 16)
   */
 object StreamBench {
@@ -74,7 +79,8 @@ object StreamBench {
     val stateMode = args.contains("state")
     val joinMode = args.contains("join")
     val factors = {
-      val fs = args.drop(1).toSeq.filterNot(Set("state", "join", "dedup", "cdc")).map(_.toInt)
+      val fs = args.drop(1).toSeq
+        .filterNot(Set("state", "join", "dedup", "cdc", "neardup")).map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
     val chunks = 16
@@ -398,6 +404,68 @@ object StreamBench {
 
     if (args.contains("cdc")) {
       factors.foreach(runCdcArm)
+      spark.stop(); return
+    }
+
+    // neardup mode: the streaming greedy ingest dedup's ACTUAL store,
+    // measured. The ×factor corpus (ScaleBench.scaledDocs — copies are
+    // fresh document populations) streams through nearDupBuckets → the
+    // first-wins tws in doc_id-ordered chunks; max_state_rows is the
+    // live-bucket count (ONE long each — the d²-free near-dup state
+    // bound), and the dropped set must equal the batch greedy's
+    // (`exact`). State grows linearly with corpus by design: the claim
+    // is the CONSTANT (≈16 longs per signed doc), not eviction.
+    def runNearDupArm(f: Int): Unit = {
+      val docsDf = ScaleBench.scaledDocs(spark,
+        Tables.t(spark, dir, "documents"), f)
+      val docs = docsDf.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val expected = graft.ext.Dedup.neardupDropped(docsDf)
+        .collect().map(_.getLong(0)).toSet
+      val per = math.max(1, docs.length / chunks)
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = MemoryStream[(Long, String)]
+        val name = s"sb_nd_$f"
+        val hits = graft.ext.Dedup
+          .nearDupBuckets(stream.toDS().toDF("doc_id", "text"))
+          .as[graft.ext.BucketHit]
+        val q = graft.ext.Dedup.streamingNearDupFlags(hits)
+          .toDF("doc_id", "kept")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val t0 = System.nanoTime()
+          docs.grouped(per).foreach { c =>
+            stream.addData(c.toSeq); q.processAllAvailable()
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress.toSeq
+          val inputDocs = progress.map(_.numInputRows).sum
+          val maxState = progress.flatMap(_.stateOperators.headOption)
+            .map(_.numRowsTotal).max
+          val dropped = spark.table(name).filter(!col("kept"))
+            .select("doc_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          println(s"""{"op":"stream_neardup","factor":$f,"n_docs":${docs.length},""" +
+            s""""n_input_docs":$inputDocs,"wall_sec":${Fmt.num(wall, 3)},""" +
+            s""""docs_per_sec":${Fmt.num(docs.length / wall, 0)},""" +
+            s""""max_state_rows":$maxState,"n_dropped":${dropped.size},""" +
+            s""""exact":${dropped == expected}}""")
+        } finally {
+          q.stop()
+          spark.sql(s"DROP VIEW IF EXISTS $name")
+        }
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+
+    if (args.contains("neardup")) {
+      factors.foreach(runNearDupArm)
       spark.stop(); return
     }
 
