@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The sandbox's default charset is ASCII; any UTF-8 doc note read with
+  // the default charset (e.g. BENCH_BASELINE.json's pin-protocol note)
+  // would throw MalformedInputException. Pin the forked JVMs to UTF-8 so
+  // default-charset I/O can't silently break on non-ASCII content again.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

