@@ -730,7 +730,11 @@ object ScaleBench {
       val pCols = Seq(("l_returnflag", false), ("l_linestatus", false),
         ("l_suppkey", false), ("l_quantity", true), ("l_extendedprice", true))
       for (f <- factors) {
-        val srcDir = s"/tmp/graft_profile_x$f"
+        // cache key includes the source dir: keyed only by factor, a run
+        // at a different SF would silently reuse the previous SF's
+        // replicated parquet and measure the wrong input
+        val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val srcDir = s"/tmp/graft_profile_${dirTag}_x$f"
         if (!new java.io.File(srcDir).exists()) {
           val li = Tables.t(spark, dir, "lineitem")
           li.crossJoin(spark.range(f.toLong).select(col("id").as("kk")))

@@ -44,20 +44,50 @@ object Bucketed {
 
   /** Write `df` as an external bucketed parquet table (one file per
     * bucket, per-bucket sorted on the key); no-op if `table` is already
-    * in the session catalog. Returns the table name. */
+    * in the session catalog. Returns the table name.
+    *
+    * Concurrency-safe across JVMs sharing java.io.tmpdir (e.g. Verify and
+    * Bench both hitting k9 first-use): the data is written under a
+    * process-unique staging path and RENAMED into place atomically, so a
+    * concurrent reader of the final path never observes a partial layout
+    * and a concurrent writer never has its files deleted out from under
+    * it. A pre-existing complete layout (left by another process or a
+    * previous session) is ADOPTED by registering an external bucketed
+    * table over it via DDL — bucket metadata lives in the catalog, not
+    * the files, so the CLUSTERED BY declaration restores the
+    * exchange-elision contract without rewriting a byte. */
   def ensureBucketed(df: DataFrame, table: String, path: String,
                      key: String, buckets: Int): String = {
     val s = df.sparkSession
-    if (!s.catalog.tableExists(table)) {
-      // fresh catalog (new session) over a stale path from a previous
-      // run: clear it — saveAsTable on a non-empty external path errors
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-      df.repartition(buckets, col(key))
-        .write.format("parquet")
-        .bucketBy(buckets, key).sortBy(key)
-        .option("path", path)
-        .saveAsTable(table)
+    if (s.catalog.tableExists(table)) return table
+    val dir = new java.io.File(path)
+    def adopt(): Unit = s.sql(
+      s"""CREATE TABLE $table (${df.schema.toDDL}) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    if (new java.io.File(dir, "_SUCCESS").exists()) { adopt(); return table }
+    // stage under a path unique to this JVM, then rename into place
+    val pid = ProcessHandle.current().pid()
+    val stagePath = s"$path.stage.$pid"
+    val stageTable = s"${table}_stage_$pid"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagePath))
+    df.repartition(buckets, col(key))
+      .write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", stagePath)
+      .saveAsTable(stageTable)
+    s.sql(s"DROP TABLE $stageTable") // external: catalog entry only, files stay
+    // stale INCOMPLETE layout (no _SUCCESS — a crashed writer): safe to
+    // clear; a complete one appearing now means another process won the
+    // race — adopt theirs and discard ours
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      if (!new java.io.File(stagePath).renameTo(dir))
+        require(new java.io.File(dir, "_SUCCESS").exists(),
+          s"bucketed layout rename failed and no winner present at $path")
     }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagePath))
+    adopt()
     table
   }
 

@@ -108,6 +108,32 @@ class BucketedJoinSpec extends SparkSpec {
     assert(rows(cs) === rows(Upsert.changeset(snap(4), snap(0), "user_id")))
   }
 
+  test("k9: a fresh catalog ADOPTS an existing complete layout without rewriting it") {
+    // second-JVM scenario (Verify and Bench share java.io.tmpdir): the
+    // files exist with _SUCCESS but the catalog is empty. ensureBucketed
+    // must register an external bucketed table over them via DDL — no
+    // delete, no rewrite — and the exchange-elision contract must hold
+    // on the adopted table exactly as on the originally-written one.
+    val (li, ord) = Bucketed.ensureOrderTables(spark, dir)
+    def loc(tbl: String): String = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter(col("col_name") === "Location").select("data_type")
+      .collect().head.getString(0).stripPrefix("file:")
+    val liPath = loc(li)
+    def mtimes(p: String): Map[String, Long] =
+      new java.io.File(p).listFiles().map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes(liPath)
+    spark.sql(s"DROP TABLE $li")
+    spark.sql(s"DROP TABLE $ord") // external drop keeps files, clears catalog
+    val joined = Bucketed.bucketedOrderRevenue(spark, dir) // re-ensures via adopt
+    joined.queryExecution.toRdd.count()
+    assert(mtimes(liPath) === before, "adoption rewrote the layout files")
+    val p = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==", 2)(0)
+    val below = p.split("SortMergeJoin", 2)(1)
+    assert(!below.contains("Exchange"), "adopted layout re-shuffled:\n" + p)
+    assert(below.contains("Bucketed: true"), "adopted scan did not read buckets:\n" + p)
+  }
+
   test("k9: bucket placement agrees with repartition placement (one file per bucket)") {
     val (li, _) = Bucketed.ensureOrderTables(spark, dir)
     // every parquet part file carries its bucket id in the name

@@ -1522,7 +1522,13 @@ class StreamingSpec extends SparkSpec {
           .outputMode("update").start()
         try {
           stream.addData(texts.toSeq); waitRows(rowsPerBatch)
-          Thread.sleep(1000) // >> the 50 ms TTL
+          // the idle gap must dwarf the TTL (so the TTL arm's claims are
+          // certainly expired) while the TTL itself must dwarf batch-1's
+          // own processing time (so in-batch claims can't expire mid-batch
+          // on a loaded host and shrink the greedy dropped set): 500 ms
+          // TTL << 5 s gap, and a 10-doc micro-batch processes in far
+          // less than 500 ms even under CI contention
+          Thread.sleep(5000)
           stream.addData(twins.toSeq); waitRows(rowsPerBatch * 2)
           spark.table(sink).filter(!col("kept") && col("doc_id") >= offset)
             .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
@@ -1532,7 +1538,7 @@ class StreamingSpec extends SparkSpec {
       }
       assert(droppedTwins(0L, "nd_ttl_off") === sigIds.map(_ + offset),
         "NONE arm: some twin escaped its original's buckets")
-      assert(droppedTwins(50L, "nd_ttl_on") === greedyDropped.map(_ + offset),
+      assert(droppedTwins(500L, "nd_ttl_on") === greedyDropped.map(_ + offset),
         "TTL arm: expired buckets did not re-admit the twins")
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
