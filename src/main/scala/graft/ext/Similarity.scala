@@ -846,13 +846,20 @@ object Similarity {
                 centroids: Option[DataFrame] = None,
                 assigned: Option[DataFrame] = None,
                 codebooks: Option[DataFrame] = None,
-                codes: Option[DataFrame] = None): DataFrame = {
+                codes: Option[DataFrame] = None,
+                index: Option[DataFrame] = None): DataFrame = {
     val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
     val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nl))
-    val assignedDf = assigned.getOrElse(ivfTrainedAssign(embeddings, cent))
     val cb = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
-    val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+    // `index` is the PERSISTED fused (vec_id, centroid_id, codes) table
+    // (AnnIndex.ensureIvfPq) — with it the probe touches no corpus-sized
+    // join at all; without it the assignment⋈codes join is built inline
+    val joined = index.getOrElse {
+      val assignedDf = assigned.getOrElse(ivfTrainedAssign(embeddings, cent))
+      val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+      enc.join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    }
     val qv = embeddings.filter(col("vec_id") === queryVecId)
       .select(e6Vec("embedding").as("qe6"))
     val probed = cent.crossJoin(broadcast(qv))
@@ -860,9 +867,7 @@ object Similarity {
       .orderBy(col("dotv").desc, col("centroid_id").asc)
       .limit(np)
       .select(col("centroid_id"))
-    val listed = enc
-      .join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
-      .join(broadcast(probed), Seq("centroid_id"))
+    val listed = joined.join(broadcast(probed), Seq("centroid_id"))
     val cand = pqAdcCandidates(listed, cb, embeddings, queryVecId,
       m, ksub, k * refine)
     pqExactRerank(embeddings, cand, queryVecId, k)
@@ -889,15 +894,19 @@ object Similarity {
                    centroids: Option[DataFrame] = None,
                    assigned: Option[DataFrame] = None,
                    codebooks: Option[DataFrame] = None,
-                   codes: Option[DataFrame] = None): DataFrame = {
+                   codes: Option[DataFrame] = None,
+                   index: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ds = pqDim / m
     val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
     val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nl))
-    val assignedDf = assigned.getOrElse(ivfTrainedAssign(embeddings, cent))
     val cb = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
-    val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+    val joined = index.getOrElse {
+      val assignedDf = assigned.getOrElse(ivfTrainedAssign(embeddings, cent))
+      val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
+      enc.join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    }
     val panel = embeddings.filter(col("vec_id") % queryMod === 0)
     // per-query probed lists — same exact-integer ranking as ivfPqTopK,
     // batched through one per-query window over panel × nlist rows
@@ -930,8 +939,7 @@ object Similarity {
     // list-restricted ADC scan + per-query candidate cut
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
-    val cand = enc
-      .join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    val cand = joined
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(dt), Seq("query_id"))
@@ -1366,8 +1374,20 @@ object SimilarityQueries extends QModule {
     // and the list-restricted ADC scan — every stage before the re-rank
     // is exact integer with id tie-breaks, so the composition stays
     // hash-checkable end to end.
-    Q("sim_ann_ivfpq", (s, dir) =>
-      ivfPqTopK(t(s, dir, "embeddings"), 0L, 10), sql = Some(s"""
+    // Headline measures PROBE cost over the PERSISTED index (first use
+    // trains and writes it — Bench's warm-up pass absorbs that build, as
+    // a deployment amortizes training offline; ScaleBench annbuild mode
+    // measures the build side). The oracle replays the FULL training —
+    // integer k-means is deterministic, so the persisted index is
+    // bit-identical to an in-query build and one SQL verifies the whole
+    // round trip: train → write → read → probe. The inline-build code
+    // path stays oracled through sim_ann_ivfpq_join below.
+    Q("sim_ann_ivfpq", (s, dir) => {
+      val idx = graft.sources.AnnIndex.ensureIvfPq(s, dir)
+      ivfPqTopK(t(s, dir, "embeddings"), 0L, 10,
+        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+        index = Some(idx.index))
+    }, sql = Some(s"""
       WITH base AS (
         SELECT vec_id, ve6,
                greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))

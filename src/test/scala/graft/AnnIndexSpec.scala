@@ -1,0 +1,71 @@
+package graft
+
+import graft.Tables.t
+import graft.ext.Similarity
+import graft.sources.AnnIndex
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF×PQ index (AnnIndex): train-once/probe-forever must be
+  * CONTENT-IDENTICAL to the inline build (integer training is
+  * deterministic, so the round trip through parquet is lossless), must
+  * not rebuild when a valid layout exists, and must rebuild when the
+  * fingerprint (params/corpus) no longer matches. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def root = new java.io.File(
+    System.getProperty("java.io.tmpdir"),
+    "graft_annidx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  test("persisted-index probe == inline-build probe, row for row") {
+    val emb = t(spark, dir, "embeddings")
+    val idx = AnnIndex.ensureIvfPq(spark, dir)
+    val persisted = orderedRows(Similarity.ivfPqTopK(emb, 0L, 10,
+      centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+      index = Some(idx.index)))
+    val inline = orderedRows(Similarity.ivfPqTopK(emb, 0L, 10))
+    assert(persisted === inline)
+  }
+
+  test("index table is one fused row per vector; no corpus-sized join at probe time") {
+    val idx = AnnIndex.ensureIvfPq(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    assert(idx.index.count() === emb.count())
+    assert(idx.index.columns.toSet === Set("vec_id", "centroid_id", "codes"))
+    // the probe plan over the persisted index must contain no SMJ at all:
+    // index scan ⋈ broadcast(probed) ⋈ broadcast(dt), window cut, then a
+    // broadcast-side candidate fetch — every join rides a broadcast
+    val df = Similarity.ivfPqTopK(emb, 0L, 10,
+      centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+      index = Some(idx.index))
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==", 2)(0)
+    assert(!p.contains("SortMergeJoin"),
+      "persisted-index probe shuffled a corpus-sized join:\n" + p)
+  }
+
+  test("a valid persisted layout is reused, not rebuilt") {
+    AnnIndex.ensureIvfPq(spark, dir) // ensure exists
+    def mtimes: Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = mtimes
+    AnnIndex.ensureIvfPq(spark, dir)
+    assert(mtimes === before, "second ensure rewrote the persisted index")
+  }
+
+  test("a stale fingerprint triggers a rebuild") {
+    AnnIndex.ensureIvfPq(spark, dir)
+    val fp = new java.io.File(root, "meta/FINGERPRINT")
+    java.nio.file.Files.writeString(fp.toPath, "v0 stale",
+      java.nio.charset.StandardCharsets.UTF_8)
+    val idx = AnnIndex.ensureIvfPq(spark, dir)
+    val txt = java.nio.file.Files.readString(fp.toPath,
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(txt.startsWith("v1 "), s"fingerprint not refreshed: $txt")
+    assert(idx.index.count() === t(spark, dir, "embeddings").count())
+  }
+}
