@@ -1872,6 +1872,85 @@ object Fuzz {
     }, sql, "changeset")
   }
 
+  /** T35: table-profile differential — g33's per-column DQ profile
+    * randomized: a random table, a shared random predicate, a random
+    * column subset (double columns render min/max through DECIMAL(18,2)
+    * exactly as g33 does), plus an optional DERIVED nullable column
+    * (value-above-threshold, else NULL) exercising the null-rate path
+    * the all-NOT-NULL physical columns can't. The Spark side runs the
+    * LIBRARY operator (`Aggregations.profileTablePerColumn` — the
+    * pruned-scan union that measurement chose over the one-pass Expand);
+    * the oracle recomputes every per-column aggregate as an explicit
+    * UNION ALL, so a wrong null count, a distinct-vs-rows swap, a lost
+    * column, or a mis-rendered decimal min/max all diverge. */
+  private def genProfile(r: Random, name: String): FuzzQuery = {
+    val t = pick(r, tables)
+    val p = preds(r, t)
+    val colsPicked = subset(r, t.cols.map(_.name), 4)
+    val kindOf = t.cols.map(c => c.name -> c.kind).toMap
+    val dbls = t.cols.filter(_.kind == DblK)
+    val derived: Option[(String, String, Double, String)] =
+      if (dbls.nonEmpty && r.nextBoolean()) {
+        val c = pick(r, dbls)
+        val (v, vs) = dblLit(r, c)
+        Some((s"hi_${c.name}", c.name, v, vs))
+      } else None
+    val spec: Seq[(String, Boolean)] =
+      colsPicked.map(c => (c, kindOf(c) == DblK)) ++
+        derived.map { case (a, _, _, _) => (a, true) }
+    def mm(num: Boolean, x: String): String =
+      if (num) s"CAST(CAST($x AS DECIMAL(18,2)) AS VARCHAR)"
+      else s"CAST($x AS VARCHAR)"
+    val unions = spec.map { case (cn, num) =>
+      s"SELECT '$cn' AS column_name, COUNT(*) AS n_rows, " +
+        s"CAST(SUM(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        s"COUNT(DISTINCT $cn) AS n_distinct, " +
+        s"${mm(num, s"MIN($cn)")} AS min_v, " +
+        s"${mm(num, s"MAX($cn)")} AS max_v FROM o"
+    }.mkString(" UNION ALL ")
+    val derivedSql = derived.map { case (a, src, _, vs) =>
+      s", CASE WHEN $src > $vs THEN $src END AS $a" }.getOrElse("")
+    val sql = s"WITH o AS (SELECT *$derivedSql FROM ${ref(t.name)} " +
+      s"WHERE (${p.sql})) SELECT * FROM ($unions) " +
+      orderSql(Seq("column_name"))
+    FuzzQuery(name, (s, dir) => {
+      val base0 = read(s, dir, t.name).filter(p.c)
+      val base = derived match {
+        case Some((a, src, v, _)) =>
+          base0.withColumn(a, when(col(src) > v, col(src)))
+        case None => base0
+      }
+      operators.Aggregations.profileTablePerColumn(base, spec)
+        .orderBy(col("column_name").asc)
+    }, sql, "profile")
+  }
+
+  /** T36: calendar-grain rollup differential — e22 randomized: a random
+    * grain (week/month/quarter/year) under the session's UTC pin, a
+    * shared random predicate, the LIBRARY operator
+    * (`EventStream.calendarRollup`: date_trunc keys, exact distinct
+    * users, decimal-quantized value sum) against the oracle's
+    * date_trunc over the micro-grid timestamps. A timezone drift, a
+    * grain-key rendering change, or a week-start disagreement (both
+    * engines truncate to Monday) all diverge here. */
+  private def genCalendarRollup(r: Random, name: String): FuzzQuery = {
+    val t = tbl("events")
+    val p = preds(r, t)
+    val grain = pick(r, Seq("week", "month", "quarter", "year"))
+    val sql =
+      s"SELECT strftime(date_trunc('$grain', make_timestamp(ts // 1000)), " +
+        s"'%Y-%m-%d') AS ${grain}_start, " +
+        s"event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, " +
+        s"CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        s"FROM ${ref("events")} WHERE (${p.sql}) GROUP BY 1, 2 " +
+        orderSql(Seq(s"${grain}_start", "event_type"))
+    FuzzQuery(name, (s, dir) =>
+      streaming.EventStream.calendarRollup(
+        read(s, dir, "events").filter(p.c), grain)
+        .orderBy(col(s"${grain}_start").asc, col("event_type").asc),
+      sql, "calendar_rollup")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1880,7 +1959,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(34) match {
+      r.nextInt(36) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1914,7 +1993,9 @@ object Fuzz {
         case 30 => genClusters(r, name)
         case 31 => genCdcExtremum(r, name)
         case 32 => genIntervalFamily(r, name)
-        case _ => genChangeset(r, name)
+        case 33 => genChangeset(r, name)
+        case 34 => genProfile(r, name)
+        case _ => genCalendarRollup(r, name)
       }
     }
   }
