@@ -1585,6 +1585,146 @@ object SimilarityQueries extends QModule {
       ORDER BY query_id, rk
     """)),
 
+    // Incremental index admission — the ANN analogue of
+    // dedup_incremental's fingerprint admission: the standing corpus
+    // (9/10 of the vectors) trains the coarse quantizer and PQ codebooks
+    // and is fused into the index; the held-out batch (vec_id % 10 == 3 —
+    // a residue the deterministic stride samplers can never fully land
+    // on, so training always keeps its centroid/codebook seeds) is then
+    // ADMITTED with no
+    // retraining — one map-shaped assignment+encoding pass
+    // (AnnIndex.admit) whose rows union onto the standing index — and
+    // the probe runs over the union. At 100 TB this is the daily-ingest
+    // path: training amortizes over the corpus epoch, each batch costs
+    // one scan of itself and a parquet append. The oracle replays the
+    // asymmetry exactly: every training CTE (Lloyd rounds, codebook
+    // rounds, strides, nlist) reads ONLY the standing subset, while
+    // assignment, encoding, probe and re-rank read the full corpus — a
+    // Spark-side leak of batch rows into training (or vice versa)
+    // hash-diverges immediately.
+    Q("sim_ann_ivfpq_incr", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val standing = emb.filter(col("vec_id") % 10 =!= 3)
+      val batch = emb.filter(col("vec_id") % 10 === 3)
+      val nl = autoNlist(standing.count())
+      val np = autoNprobe(nl)
+      val cent = ivfTrainedCentroids(standing, nl)
+      val cb = pqCodebooks(standing)
+      val standingIdx = pqEncode(standing, cb)
+        .join(ivfTrainedAssign(standing, cent)
+          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      val admitted = graft.sources.AnnIndex.admit(
+        graft.sources.AnnIndex.IvfPq(cent, cb, standingIdx), batch)
+      ivfPqTopK(emb, 0L, 10, nlist = nl, nprobe = np,
+        centroids = Some(cent), codebooks = Some(cb),
+        index = Some(standingIdx.unionByName(admitted)))
+    }, sql = Some(s"""
+      WITH base AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings WHERE vec_id % 10 <> 3) t0),
+      abase AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings) t0),
+      iprm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings WHERE vec_id % 10 <> 3) t),
+      c0 AS (
+        SELECT vec_id AS centroid_id, ve6 AS ce6
+        FROM base, iprm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      ${duckLloydRounds(ivfKmeansIters)}
+      aF AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT b.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM abase b CROSS JOIN c$ivfKmeansIters c) t
+        WHERE rk = 1),
+      qiv AS (SELECT ve6 AS qe6 FROM abase WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT centroid_id, p.np,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
+                   centroid_id ASC) AS rk
+          FROM c$ivfKmeansIters CROSS JOIN qiv CROSS JOIN iprm p) t
+        WHERE rk <= np),
+      nbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM base),
+      subs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+      anbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM abase),
+      asubs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM anbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pprm AS (
+        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
+        FROM embeddings WHERE vec_id % 10 <> 3),
+      p0 AS (
+        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        FROM subs, pprm
+        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+      ${duckPqRounds(pqKmeansIters)}
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_sum(list_transform(list_zip(s.sub, c.ce6),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   c.code ASC) AS rk
+          FROM asubs s JOIN p$pqKmeansIters c ON s.m = c.m) t
+        WHERE rk = 1),
+      qs AS (SELECT m, sub AS qsub FROM asubs WHERE vec_id = 0),
+      dt AS (
+        SELECT c.m, c.code,
+               CAST(list_sum(list_transform(list_zip(q.qsub, c.ce6),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM p$pqKmeansIters c JOIN qs q ON c.m = q.m),
+      adc AS (
+        SELECT e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
+        FROM enc e
+        JOIN dt d ON e.m = d.m AND e.code = d.code
+        JOIN aF a ON a.vec_id = e.vec_id
+        JOIN probed pr ON a.centroid_id = pr.centroid_id
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id),
+      cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${10 * 8})
+      SELECT vec_id, cosine_e9 FROM (
+        SELECT b.vec_id, CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
+        FROM embeddings b JOIN cand USING (vec_id)
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
+        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
+    """)),
+
     // Per-language embedding centroid (mean pooling — the "cluster/domain
     // prototype" step of a training-mix pipeline). Elements are e6-quantized
     // PER ROW before the cross-row sum, so the aggregation is integer and

@@ -52,6 +52,27 @@ object AnnIndex {
         "graft_annidx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")),
       m, ksub)
 
+  /** Incremental admission: index a NEW embedding batch against the
+    * EXISTING quantizers — assignment (map-only codegen argmax against
+    * the broadcast centroids) + PQ encoding (one native argmin pass),
+    * no retraining, no touch of the standing index rows. Returns the new
+    * fused (vec_id, centroid_id, codes) rows; append them to the index
+    * table (a parquet append at 100 TB). This is the daily-ingest
+    * posture: training amortizes over the corpus epoch, admission costs
+    * one map-shaped scan of the batch — the ANN analogue of
+    * `Dedup.incremental`'s fingerprint admission. Quantizers drift as
+    * the corpus distribution drifts; re-train on the epoch schedule
+    * (fingerprint forces the rebuild) — recall on admitted batches
+    * degrades only as far as the distribution does, the standard IVF
+    * serving trade. Oracled end-to-end by `sim_ann_ivfpq_incr` (train on
+    * the standing 9/10 of the corpus, admit the held-out 1/10, probe the
+    * union); batch-vs-wholesale parity pinned in AnnIndexSpec. */
+  def admit(idx: IvfPq, newEmb: DataFrame,
+            m: Int = Similarity.pqM): DataFrame =
+    Similarity.pqEncode(newEmb, idx.codebooks, m)
+      .join(Similarity.ivfTrainedAssign(newEmb, idx.centroids)
+        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+
   /** Same contract over an arbitrary (vec_id, embedding) frame and an
     * explicit root — the build-cost harness (ScaleBench annbuild) and
     * any caller indexing a derived corpus. */

@@ -57,6 +57,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(mtimes === before, "second ensure rewrote the persisted index")
   }
 
+  test("incremental admission == wholesale encoding under the same quantizers") {
+    // admit() must be pure assignment+encoding: the union of the standing
+    // index and the admitted batch must equal an index built by encoding
+    // the WHOLE corpus against the same trained quantizers, row for row —
+    // and every admitted row must land in an existing inverted list
+    val emb = t(spark, dir, "embeddings")
+    val standing = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id") % 10 === 3)
+    val cent = Similarity.ivfTrainedCentroids(standing)
+    val cb = Similarity.pqCodebooks(standing)
+    def fuse(part: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(part, cb).join(
+        Similarity.ivfTrainedAssign(part, cent)
+          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    val idx = AnnIndex.IvfPq(cent, cb, fuse(standing))
+    val admitted = AnnIndex.admit(idx, batch)
+    assert(admitted.count() === batch.count())
+    assert(rows(idx.index.unionByName(admitted)) === rows(fuse(emb)))
+    val lists = cent.select("centroid_id").collect().map(_.getLong(0)).toSet
+    val admittedLists = admitted.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(admittedLists.subsetOf(lists), "admitted row outside every existing list")
+  }
+
   test("a stale fingerprint triggers a rebuild") {
     AnnIndex.ensureIvfPq(spark, dir)
     val fp = new java.io.File(root, "meta/FINGERPRINT")
