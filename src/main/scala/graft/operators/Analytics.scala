@@ -714,6 +714,103 @@ object Analytics extends QModule {
       WHERE n_name = 'NATION_2'
         AND s_suppkey IN (SELECT l_suppkey FROM qual)
       ORDER BY s_suppkey
+    """)),
+
+    // Q6 shape: the pure filtered scan-aggregate (forecast revenue
+    // change) — no join at all; the whole query is predicate pushdown +
+    // one map-side-combinable sum. The discount band is compared against
+    // exactly-representable doubles (0.05/0.07 have no decimal dust at
+    // the stored values' precision) and the revenue product runs through
+    // the fixed-point decimal sum, so the single output row hashes
+    // identically. At 100 TB this is the scan-floor query: its cost IS
+    // the pruned column I/O (three columns reach the scan, ReadSchema-
+    // pinned by the F1 projection discipline).
+    Q("q6_forecast_revenue", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+                $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+                $"l_quantity" < 24)
+        .agg(dsum($"l_extendedprice" * $"l_discount", 4).as("revenue"))
+    }, sql = Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24
+    """)),
+
+    // Q21 shape: suppliers who kept orders waiting — the hardest TPC-H
+    // correlation pattern: one EXISTS and one NOT EXISTS, both
+    // correlated to the SAME fact table the outer row comes from.
+    // Complement of `sql_q21_sole_supplier` (Relational.scala), which
+    // runs the correlation as ONE SQL text through Catalyst's
+    // decorrelation; this is the DataFrame-API form where the plan
+    // discipline is EXPLICIT — dimension prune first, then semi/anti.
+    // Adapted to this schema's columns the way q4 adapts: "late" is a
+    // returned line (l_returnflag = 'R'; no commit/receipt dates in the
+    // testdata contract). A supplier "kept order o waiting" if their
+    // line in finalized order o is late, o has lines from ANOTHER
+    // supplier (it was a multi-supplier order), and NO other supplier's
+    // line in o is late — the blame is unshared. Plan shape: the EXISTS
+    // compiles to LEFT SEMI and the NOT EXISTS to LEFT ANTI, both
+    // equi-keyed on the order key with the inequality as the join
+    // residual — no correlated re-execution, three shuffles total, and
+    // the 25-row nation dim broadcasts under the supplier probe. The
+    // count is over late LINES (canonical q21 semantics), tie-broken by
+    // name for the LIMIT.
+    Q("q21_waiting_supplier", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey",
+        $"l_returnflag")
+      val late = li.filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_suppkey")
+      // prune FIRST: only the target nation's suppliers' late lines in
+      // finalized orders enter the semi/anti correlation joins — at
+      // 100 TB that is 1/|nations| of the late lines on the probe side
+      // before the two expensive order-key joins run
+      val natSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter($"n_name" === "NATION_7")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name")
+      val l1 = late
+        .join(t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+        .join(natSupp, $"l_suppkey" === $"s_suppkey")
+        .select($"l_orderkey", $"l_suppkey", $"s_name")
+      val others = li.select($"l_orderkey".as("o2_orderkey"),
+        $"l_suppkey".as("o2_suppkey"))
+      val lateOthers = late.select($"l_orderkey".as("o3_orderkey"),
+        $"l_suppkey".as("o3_suppkey"))
+      l1.join(others, $"l_orderkey" === $"o2_orderkey" &&
+            $"l_suppkey" =!= $"o2_suppkey", "left_semi")
+        .join(lateOthers, $"l_orderkey" === $"o3_orderkey" &&
+            $"l_suppkey" =!= $"o3_suppkey", "left_anti")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name".asc)
+        .limit(20)
+    }, sql = Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE l1.l_returnflag = 'R'
+        AND o_orderstatus = 'F'
+        AND n_name = 'NATION_7'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name ASC LIMIT 20
     """))
   )
 }
