@@ -929,29 +929,41 @@ object ScaleBench {
       for (f <- factors) {
         val emb = scaledEmbeddings(spark, embBase, f).localCheckpoint()
         val n = emb.count()
-        val root = new java.io.File(
-          System.getProperty("java.io.tmpdir"), s"graft_annbuild_${dirTag}_x$f")
-        org.apache.commons.io.FileUtils.deleteQuietly(root)
-        val t0 = System.nanoTime()
-        AnnIndex.ensureIvfPqFor(emb, root)
-        val buildSec = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime()
-        val idx = AnnIndex.ensureIvfPqFor(emb, root) // warm: open only
-        val warmSec = (System.nanoTime() - t1) / 1e9
-        val probeSec = (1 to 2).map { _ =>
-          val t2 = System.nanoTime()
-          (0L until 5L).foreach { q =>
-            Similarity.ivfPqTopK(emb, q, 10,
-              centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
-              index = Some(idx.index)).queryExecution.toRdd.count()
-          }
-          (System.nanoTime() - t2) / 1e9 / 5
-        }.min
-        val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(root)
+        // both layouts per factor: flat (small-corpus default) and
+        // centroid_id-partitioned (the at-scale default with
+        // listing-time list pruning) — the curve is the evidence behind
+        // AnnIndex.partitionThreshold
+        def arm(layout: String, parts: Boolean): String = {
+          val root = new java.io.File(
+            System.getProperty("java.io.tmpdir"),
+            s"graft_annbuild_${dirTag}_${layout}_x$f")
+          org.apache.commons.io.FileUtils.deleteQuietly(root)
+          val t0 = System.nanoTime()
+          AnnIndex.ensureIvfPqFor(emb, root, partitioned = Some(parts))
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val idx = AnnIndex.ensureIvfPqFor(emb, root,
+            partitioned = Some(parts)) // warm: open only
+          val warmSec = (System.nanoTime() - t1) / 1e9
+          val probeSec = (1 to 2).map { _ =>
+            val t2 = System.nanoTime()
+            (0L until 5L).foreach { q =>
+              Similarity.ivfPqTopK(emb, q, 10,
+                centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+                index = Some(idx.index)).queryExecution.toRdd.count()
+            }
+            (System.nanoTime() - t2) / 1e9 / 5
+          }.min
+          val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(root)
+          org.apache.commons.io.FileUtils.deleteQuietly(root)
+          s""""$layout":{"build_sec":${num(buildSec)},""" +
+            s""""warm_ensure_sec":${num(warmSec)},""" +
+            s""""probe_sec_per_q":${num(probeSec)},"index_bytes":$bytes}"""
+        }
+        val flat = arm("flat", parts = false)
+        val part = arm("partitioned", parts = true)
         println(s"""{"op":"annbuild","factor":$f,"n_vectors":$n,""" +
-          s""""build_sec":${num(buildSec)},"warm_ensure_sec":${num(warmSec)},""" +
-          s""""probe_sec_per_q":${num(probeSec)},"index_bytes":$bytes}""")
-        org.apache.commons.io.FileUtils.deleteQuietly(root)
+          flat + "," + part + "}")
       }
       spark.stop()
       return

@@ -45,6 +45,40 @@ class AnnIndexSpec extends SparkSpec {
       "persisted-index probe shuffled a corpus-sized join:\n" + p)
   }
 
+  test("partitioned layout: probe prunes non-probed lists at file-listing time") {
+    // at scale the inverted lists are PHYSICAL (hive partitions on
+    // centroid_id): the probe's join against its nprobe probed lists
+    // must reach the scan as a dynamic partition-pruning filter, so
+    // every non-probed list is skipped at file listing — the on-disk
+    // analogue of an inverted-index lookup, and the piece that keeps
+    // probe I/O at nprobe/nlist of the index no matter how the corpus
+    // grows. Forced on the small fixture (the auto threshold would pick
+    // flat here — the layout trade is measured in ScaleBench annbuild
+    // and documented at partitionThreshold).
+    val emb = t(spark, dir, "embeddings")
+    val proot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_partitioned")
+    org.apache.commons.io.FileUtils.deleteQuietly(proot)
+    try {
+      val idx = AnnIndex.ensureIvfPqFor(emb, proot, partitioned = Some(true))
+      val nLists = new java.io.File(proot, "index").listFiles()
+        .count(_.getName.startsWith("centroid_id="))
+      assert(nLists === idx.centroids.count(),
+        "expected one hive partition per inverted list")
+      val df = Similarity.ivfPqTopK(emb, 0L, 10,
+        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+        index = Some(idx.index))
+      df.queryExecution.toRdd.count()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==", 2)(0)
+      assert(p.contains("dynamicpruningexpression"),
+        "probe scan lost the partition-pruning contract:\n" + p)
+      // content parity with the flat layout
+      assert(orderedRows(df) ===
+        orderedRows(Similarity.ivfPqTopK(emb, 0L, 10)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(proot)
+  }
+
   test("a valid persisted layout is reused, not rebuilt") {
     AnnIndex.ensureIvfPq(spark, dir) // ensure exists
     def mtimes: Map[String, Long] = {
@@ -89,7 +123,7 @@ class AnnIndexSpec extends SparkSpec {
     val idx = AnnIndex.ensureIvfPq(spark, dir)
     val txt = java.nio.file.Files.readString(fp.toPath,
       java.nio.charset.StandardCharsets.UTF_8)
-    assert(txt.startsWith("v1 "), s"fingerprint not refreshed: $txt")
+    assert(txt.startsWith("v2 "), s"fingerprint not refreshed: $txt")
     assert(idx.index.count() === t(spark, dir, "embeddings").count())
   }
 }
