@@ -895,7 +895,8 @@ object Similarity {
                    assigned: Option[DataFrame] = None,
                    codebooks: Option[DataFrame] = None,
                    codes: Option[DataFrame] = None,
-                   index: Option[DataFrame] = None): DataFrame = {
+                   index: Option[DataFrame] = None,
+                   queries: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ds = pqDim / m
     val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
@@ -907,7 +908,14 @@ object Similarity {
       val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
       enc.join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
     }
-    val panel = embeddings.filter(col("vec_id") % queryMod === 0)
+    // the query panel is either a residue class of the corpus itself
+    // (the decontamination-scan shape) or an EXTERNAL (vec_id,
+    // embedding) frame — e.g. an incoming ingest micro-batch probed
+    // against the standing index (semanticDupFlags); candidates still
+    // exclude the query's own id, so a batch whose ids overlap the
+    // corpus never matches a row to itself
+    val panel = queries.getOrElse(
+      embeddings.filter(col("vec_id") % queryMod === 0))
     // per-query probed lists — same exact-integer ranking as ivfPqTopK,
     // batched through one per-query window over panel × nlist rows
     val qiv = panel.select(col("vec_id").as("query_id"),
@@ -961,6 +969,40 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("cosine_e9"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Semantic-dup flags for an incoming batch against a STANDING corpus:
+    * each batch member is probed through the composed IVF×PQ index
+    * (`ivfPqAnnJoin` with the batch as the external query panel) and
+    * flagged `is_dup` when its best exact-re-ranked neighbor clears the
+    * e9-cosine threshold. One row per batch member, `false` when the
+    * probe surfaces no candidate at all (empty probed lists — LEFT join,
+    * never a dropped row). This is the ingest-time membership question a
+    * training pipeline asks before admitting new documents — the
+    * embedding-space complement of `Dedup.incremental`'s exact
+    * fingerprints — and the batch kernel of the streaming ingest twin:
+    * a foreachBatch sink runs exactly this per micro-batch against the
+    * standing index, and because each member's verdict depends only on
+    * the STANDING corpus (never on its batch-mates), any micro-batch
+    * split yields the same flags as one wholesale call (StreamingSpec
+    * pins the parity). Cost per batch: one probe-pruned
+    * scan of the index restricted to the batch's probed lists, never
+    * batch × corpus. */
+  def semanticDupFlags(batch: DataFrame, corpus: DataFrame,
+                       k: Int = 5, thresholdE9: Long = 400000000L,
+                       nlist: Int = 0, nprobe: Int = 0,
+                       centroids: Option[DataFrame] = None,
+                       codebooks: Option[DataFrame] = None,
+                       index: Option[DataFrame] = None): DataFrame = {
+    val ann = ivfPqAnnJoin(corpus, 1L, k, nlist = nlist, nprobe = nprobe,
+      centroids = centroids, codebooks = codebooks, index = index,
+      queries = Some(batch))
+    val hits = ann.groupBy(col("query_id")).agg(max(col("cosine_e9")).as("best"))
+    batch.select(col("vec_id"))
+      .join(hits, col("vec_id") === col("query_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("best") >= thresholdE9, lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
   }
 }
 
@@ -1723,6 +1765,152 @@ object SimilarityQueries extends QModule {
         FROM embeddings b JOIN cand USING (vec_id)
         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
         ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
+    """)),
+
+    // Ingest-time semantic dedup: the incoming batch (vec_id % 10 == 3)
+    // probed as an EXTERNAL query panel against the index of the
+    // standing corpus — every batch member flagged is_dup iff its best
+    // exact-re-ranked ANN neighbor in the STANDING set clears cosine
+    // 0.4. The membership question a pipeline asks before admitting new
+    // documents; batch kernel of the streaming twin (StreamingSpec pins
+    // foreachBatch parity). Oracle: training/index CTEs read only the
+    // standing subset, the panel CTEs only the batch, and the final
+    // LEFT join keeps candidate-less members as is_dup = FALSE.
+    Q("dedup_semantic_ingest", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val standing = emb.filter(col("vec_id") % 10 =!= 3)
+      val batch = emb.filter(col("vec_id") % 10 === 3)
+      val nl = autoNlist(standing.count())
+      val np = autoNprobe(nl)
+      val cent = ivfTrainedCentroids(standing, nl)
+      val cb = pqCodebooks(standing)
+      val idx = pqEncode(standing, cb)
+        .join(ivfTrainedAssign(standing, cent)
+          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      semanticDupFlags(batch, standing, k = 5, thresholdE9 = 400000000L,
+        nlist = nl, nprobe = np,
+        centroids = Some(cent), codebooks = Some(cb), index = Some(idx))
+    }, sql = Some(s"""
+      WITH base AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings WHERE vec_id % 10 <> 3) t0),
+      pbase AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings WHERE vec_id % 10 = 3) t0),
+      iprm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings WHERE vec_id % 10 <> 3) t),
+      c0 AS (
+        SELECT vec_id AS centroid_id, ve6 AS ce6
+        FROM base, iprm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      ${duckLloydRounds(ivfKmeansIters)}
+      aF AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT b.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base b CROSS JOIN c$ivfKmeansIters c) t
+        WHERE rk = 1),
+      probes AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.vec_id AS query_id, c.centroid_id, p.np,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(c.ce6, q.ve6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM pbase q CROSS JOIN c$ivfKmeansIters c CROSS JOIN iprm p) t
+        WHERE rk <= np),
+      nbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM base),
+      subs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pnbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM pbase),
+      psubs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM pnbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pprm AS (
+        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
+        FROM embeddings WHERE vec_id % 10 <> 3),
+      p0 AS (
+        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        FROM subs, pprm
+        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+      ${duckPqRounds(pqKmeansIters)}
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_sum(list_transform(list_zip(s.sub, c.ce6),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   c.code ASC) AS rk
+          FROM subs s JOIN p$pqKmeansIters c ON s.m = c.m) t
+        WHERE rk = 1),
+      qdt AS (
+        SELECT s.vec_id AS query_id, c.m, c.code,
+               CAST(list_sum(list_transform(list_zip(s.sub, c.ce6),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM psubs s JOIN p$pqKmeansIters c ON s.m = c.m),
+      adc AS (
+        SELECT d.query_id, e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
+        FROM enc e
+        JOIN qdt d ON e.m = d.m AND e.code = d.code
+        JOIN aF a ON a.vec_id = e.vec_id
+        JOIN probes pr ON pr.query_id = d.query_id
+                      AND pr.centroid_id = a.centroid_id
+        WHERE e.vec_id <> d.query_id
+        GROUP BY d.query_id, e.vec_id),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   adc ASC, vec_id ASC) AS ark
+          FROM adc) t
+        WHERE ark <= ${5 * 8}),
+      hits AS (
+        SELECT query_id, MAX(cosine_e9) AS best FROM (
+          SELECT c.query_id,
+                 CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT)
+                   AS cosine_e9,
+                 row_number() OVER (PARTITION BY c.query_id ORDER BY
+                   CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   b.vec_id ASC) AS rk
+          FROM cand c
+          JOIN embeddings b ON b.vec_id = c.vec_id
+          JOIN embeddings q ON q.vec_id = c.query_id) t
+        WHERE rk <= 5 GROUP BY query_id)
+      SELECT p.vec_id, coalesce(h.best >= 400000000, FALSE) AS is_dup
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 3) p
+      LEFT JOIN hits h ON h.query_id = p.vec_id
+      ORDER BY p.vec_id
     """)),
 
     // Per-language embedding centroid (mean pooling — the "cluster/domain

@@ -718,7 +718,9 @@ object Analytics extends QModule {
 
     // Q6 shape: the pure filtered scan-aggregate (forecast revenue
     // change) — no join at all; the whole query is predicate pushdown +
-    // one map-side-combinable sum. The discount band is compared against
+    // one map-side-combinable sum. DataFrame twin of the SQL-surface
+    // `sql_q6_revenue` (Relational.scala), with the decimal-sum pattern
+    // made explicit. The discount band is compared against
     // exactly-representable doubles (0.05/0.07 have no decimal dust at
     // the stored values' precision) and the revenue product runs through
     // the fixed-point decimal sum, so the single output row hashes

@@ -16,6 +16,7 @@ case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
               value: Double, props: String)
 
 case class DocRow(doc_id: Long, text: String)
+case class VecRow(vec_id: Long, embedding: Seq[Float])
 
 class StreamingSpec extends SparkSpec {
 
@@ -786,6 +787,54 @@ class StreamingSpec extends SparkSpec {
     assert(outerR === outerD, "outer-join output differs across state providers")
     Seq("xp_roll_d", "xp_outer_d", "xp_roll_r", "xp_outer_r")
       .foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+  }
+
+  test("streaming semantic-dup ingest via foreachBatch == wholesale batch flags") {
+    // the ingest-time membership gate (dedup_semantic_ingest's kernel)
+    // run as a STREAM: incoming embedding micro-batches probe the
+    // STANDING corpus's IVF×PQ index inside a foreachBatch sink. Because
+    // each member's verdict depends only on the standing index — never
+    // on its batch-mates — any micro-batch split must produce exactly
+    // the wholesale call's flags. Tape: the held-out residue split into
+    // two micro-batches.
+    import spark.implicits._
+    import graft.ext.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = t(spark, dir, "embeddings")
+    val standing = emb.filter(col("vec_id") % 10 =!= 3)
+    val held = emb.filter(col("vec_id") % 10 === 3)
+      .select($"vec_id", $"embedding").as[VecRow].collect()
+    val nl = Similarity.autoNlist(standing.count())
+    val np = Similarity.autoNprobe(nl)
+    val cent = Similarity.ivfTrainedCentroids(standing, nl)
+    val cb = Similarity.pqCodebooks(standing)
+    val idx = Similarity.pqEncode(standing, cb)
+      .join(Similarity.ivfTrainedAssign(standing, cent)
+        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .localCheckpoint()
+    def flags(df: org.apache.spark.sql.DataFrame): Seq[(Long, Boolean)] =
+      Similarity.semanticDupFlags(df, standing, k = 5,
+          thresholdE9 = 400000000L, nlist = nl, nprobe = np,
+          centroids = Some(cent), codebooks = Some(cb), index = Some(idx))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val wholesale = flags(held.toSeq.toDF("vec_id", "embedding"))
+    assert(wholesale.exists(_._2) && wholesale.exists(!_._2),
+      "fixture should have both dup and non-dup members")
+
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val stream = MemoryStream[VecRow]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= flags(df) }; ()
+      }
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = held.splitAt(held.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sortBy(_._1).toSeq === wholesale.sortBy(_._1),
+      "micro-batched flags diverged from the wholesale verdicts")
   }
 
   test("foreachBatch idempotent sink: batch-id-keyed writes make replays no-ops") {
