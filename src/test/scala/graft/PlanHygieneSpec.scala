@@ -560,7 +560,12 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ann_ivfpq",
     // batch form: panel × ≤nlist-centroid broadcast under the probe
     // ranking; corpus-side joins (codes⋈assignment⋈probes⋈dt) are equi
-    "sim_ann_ivfpq_join")
+    "sim_ann_ivfpq_join",
+    // incremental admission / ingest-dedup forms: the same 1-row query
+    // and panel × ≤nlist-centroid broadcasts as their parents — the
+    // standing-vs-batch asymmetry changes which rows feed the trainers,
+    // not the join shapes
+    "sim_ann_ivfpq_incr", "dedup_semantic_ingest")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row
