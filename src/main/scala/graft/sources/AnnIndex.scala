@@ -94,6 +94,72 @@ object AnnIndex {
     * `partitioned = Some(true)` regardless of this default. */
   val partitionThreshold = 10000000L
 
+  /** Initialize a SELF-MAINTAINING ingest root: the trained index plus
+    * the corpus vector table (`vectors/` — the exact-re-rank side the
+    * codes can't provide) under one directory, ready for `ingest`. */
+  def initIngest(emb: DataFrame, root: java.io.File,
+                 m: Int = Similarity.pqM,
+                 ksub: Int = Similarity.pqKsub,
+                 partitioned: Option[Boolean] = None): Unit = {
+    ensureIvfPqFor(emb, root, m, ksub, partitioned)
+    val vdir = new java.io.File(root, "vectors")
+    if (!new java.io.File(vdir, "_SUCCESS").exists())
+      emb.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(vdir.getPath)
+  }
+
+  /** One ingest step of the self-maintaining index: probe the incoming
+    * batch against the CURRENT corpus (standing + everything admitted by
+    * earlier steps), flag semantic duplicates, ADMIT the survivors
+    * (assignment + encoding against the fixed quantizers — never a
+    * retrain), and append them to both the index and the vector table.
+    * Returns the batch's (vec_id, is_dup) verdicts. State is the root
+    * directory itself: a batch-2 duplicate of a batch-1 survivor is
+    * caught because the survivor is already in the index
+    * (AnnIndexSpec pins exactly that). At 100 TB this is the streaming
+    * admission loop — each step costs one probe-pruned scan plus two
+    * parquet appends proportional to the batch, and the quantizers
+    * refresh on the epoch schedule via the fingerprint rebuild.
+    *
+    * Single-writer contract (a streaming foreachBatch sink satisfies it
+    * naturally); caller guarantees vec_ids unique across the corpus and
+    * all batches. The verdicts and survivors are MATERIALIZED before
+    * either append, so the probe can never observe the batch itself in
+    * the index. nprobe derives from the TRAINED list count, not the
+    * growing corpus size — the quantizer geometry is fixed between
+    * retrains. */
+  def ingest(root: java.io.File, batch: DataFrame, k: Int = 5,
+             thresholdE9: Long = 400000000L,
+             m: Int = Similarity.pqM): DataFrame = {
+    val s = batch.sparkSession
+    val idx = IvfPq(
+      s.read.parquet(s"$root/centroids"),
+      s.read.parquet(s"$root/codebooks"),
+      s.read.parquet(s"$root/index"))
+    val vectors = s.read.parquet(s"$root/vectors")
+    val nl = idx.centroids.count().toInt
+    val flags = Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
+        nlist = nl, nprobe = Similarity.autoNprobe(nl),
+        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+        index = Some(idx.index))
+      .localCheckpoint()
+    val survivors = batch
+      .join(flags.filter(col("is_dup")).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val newRows = admit(idx, survivors, m)
+    val partitionedLayout = Option(new java.io.File(root, "index").listFiles())
+      .exists(_.exists(_.getName.startsWith("centroid_id=")))
+    if (partitionedLayout)
+      newRows.repartition(col("centroid_id"))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$root/index")
+    else newRows.write.mode("append").parquet(s"$root/index")
+    survivors.select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$root/vectors")
+    flags
+  }
+
   /** Same contract over an arbitrary (vec_id, embedding) frame and an
     * explicit root — the build-cost harness (ScaleBench annbuild) and
     * any caller indexing a derived corpus. `partitioned` overrides the

@@ -115,6 +115,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(admittedLists.subsetOf(lists), "admitted row outside every existing list")
   }
 
+  test("self-maintaining ingest: admitted survivors gate later duplicates") {
+    // the full admission loop as state: batch 1 is the held-out residue
+    // (some members duplicate the standing corpus, some don't — the
+    // survivors are ADMITTED and appended); batch 2 replays two of
+    // batch 1's admitted members under fresh ids. Against the ORIGINAL
+    // standing index those copies were clean (their originals were
+    // admitted, not matched); against the GROWN index they must flag
+    // is_dup — proof the index actually accreted batch 1.
+    import org.apache.spark.sql.Row
+    val emb = t(spark, dir, "embeddings")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_ingest")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    try {
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root)
+      val batch1 = emb.filter(col("vec_id") % 10 === 3)
+      val flags1 = AnnIndex.ingest(root, batch1)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // matches the stateless oracle form on the same inputs
+      assert(flags1.count(!_._2) > 0, "need admitted survivors to replay")
+      val admittedIds = flags1.filter(!_._2).keys.toSeq.sorted.take(2)
+      val batch2 = batch1
+        .filter(col("vec_id").isin(admittedIds: _*))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val flags2 = AnnIndex.ingest(root, batch2)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags2.size === 2 && flags2.values.forall(identity),
+        s"copies of admitted vectors not caught by the grown index: $flags2")
+      // and the state really is on disk: vectors grew by the survivors,
+      // index rows match vectors rows (copies were NOT re-admitted)
+      val nVec = spark.read.parquet(s"$root/vectors").count()
+      val nIdx = spark.read.parquet(s"$root/index").count()
+      assert(nVec === nIdx)
+      assert(nVec ===
+        emb.filter(col("vec_id") % 10 =!= 3).count() + flags1.count(!_._2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("a stale fingerprint triggers a rebuild") {
     AnnIndex.ensureIvfPq(spark, dir)
     val fp = new java.io.File(root, "meta/FINGERPRINT")

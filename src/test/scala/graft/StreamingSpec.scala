@@ -837,6 +837,52 @@ class StreamingSpec extends SparkSpec {
       "micro-batched flags diverged from the wholesale verdicts")
   }
 
+  test("streaming self-maintaining ANN ingest: the index accretes across micro-batches") {
+    // AnnIndex.ingest as the foreachBatch sink — the deployment form of
+    // the admission loop: micro-batch 1 is the held-out residue (its
+    // survivors are admitted and appended), micro-batch 2 replays two
+    // admitted members under fresh ids and must flag them is_dup,
+    // which only happens if batch 1's appends are visible to batch 2's
+    // probe through the on-disk state.
+    import spark.implicits._
+    import graft.sources.AnnIndex
+    implicit val sqlCtx = spark.sqlContext
+    val emb = t(spark, dir, "embeddings")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_stream_ingest")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    try {
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root)
+      val held = emb.filter(col("vec_id") % 10 === 3)
+        .select($"vec_id", $"embedding").as[VecRow].collect()
+      val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+      val stream = MemoryStream[VecRow]
+      val q = stream.toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            val vs = AnnIndex.ingest(root, df)
+              .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+            verdicts.synchronized { verdicts ++= vs }
+          }
+          ()
+        }
+        .outputMode("append").start()
+      try {
+        stream.addData(held.toSeq); q.processAllAvailable()
+        val admitted = verdicts.synchronized {
+          verdicts.filter(!_._2).keys.toSeq.sorted.take(2) }
+        assert(admitted.size === 2, "need admitted survivors to replay")
+        val copies = held.filter(v => admitted.contains(v.vec_id))
+          .map(v => v.copy(vec_id = v.vec_id + 1000000L))
+        stream.addData(copies.toSeq); q.processAllAvailable()
+        val late = verdicts.synchronized {
+          copies.map(c => verdicts(c.vec_id)) }
+        assert(late.forall(identity),
+          "batch-2 copies of admitted vectors escaped the grown index")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("foreachBatch idempotent sink: batch-id-keyed writes make replays no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
