@@ -160,6 +160,35 @@ object AnnIndex {
     flags
   }
 
+  /** Epoch retrain of an ingest root: rebuild quantizers, fingerprint
+    * and index from the CURRENT vector table (standing + every admitted
+    * batch), keeping the vector table itself. This is the scheduled
+    * counterpart of `ingest` — admissions keep the quantizers fixed so
+    * each batch is one map-shaped pass, and the distribution drift they
+    * accumulate is paid down here, on the epoch cadence, with one full
+    * (re)build. Same single-writer contract as `ingest`. */
+  def retrain(s: SparkSession, root: java.io.File,
+              m: Int = Similarity.pqM,
+              ksub: Int = Similarity.pqKsub,
+              partitioned: Option[Boolean] = None): IvfPq = {
+    val vectors = s.read.parquet(s"$root/vectors")
+    val tmp = new java.io.File(root.getParentFile,
+      root.getName + s".retrain.${ProcessHandle.current().pid()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    ensureIvfPqFor(vectors, tmp, m, ksub, partitioned)
+    // swap the rebuilt artifacts in; the vector table never moves
+    for (d <- Seq("centroids", "codebooks", "index", "meta")) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root, d))
+      require(new java.io.File(tmp, d).renameTo(new java.io.File(root, d)),
+        s"retrain swap failed for $d under $root")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    IvfPq(
+      s.read.parquet(s"$root/centroids"),
+      s.read.parquet(s"$root/codebooks"),
+      s.read.parquet(s"$root/index"))
+  }
+
   /** Same contract over an arbitrary (vec_id, embedding) frame and an
     * explicit root — the build-cost harness (ScaleBench annbuild) and
     * any caller indexing a derived corpus. `partitioned` overrides the
@@ -214,6 +243,12 @@ object AnnIndex {
         new java.io.File(stage, "meta/FINGERPRINT").toPath, fingerprint,
         java.nio.charset.StandardCharsets.UTF_8)
       if (!metaOk(root)) { // recheck: another process may have finished
+        // an ingest root carries the corpus vector table alongside the
+        // index artifacts; a rebuild must never take it down with the
+        // stale index — carry it into the stage before the swap
+        val vec = new java.io.File(root, "vectors")
+        if (new java.io.File(vec, "_SUCCESS").exists())
+          vec.renameTo(new java.io.File(stage, "vectors"))
         org.apache.commons.io.FileUtils.deleteQuietly(root)
         if (!stage.renameTo(root))
           require(metaOk(root),

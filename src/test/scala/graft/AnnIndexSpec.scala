@@ -153,6 +153,38 @@ class AnnIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
   }
 
+  test("epoch retrain: quantizers rebuild from the grown corpus, vectors survive, ingest continues") {
+    val emb = t(spark, dir, "embeddings")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_retrain")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    try {
+      val standing = emb.filter(col("vec_id") % 10 =!= 3)
+      AnnIndex.initIngest(standing, root)
+      val flags1 = AnnIndex.ingest(root, emb.filter(col("vec_id") % 10 === 3))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val nAfterIngest = spark.read.parquet(s"$root/vectors").count()
+      val idx = AnnIndex.retrain(spark, root)
+      // the fingerprint now reflects the GROWN corpus, the index covers
+      // every vector, and the vector table was never touched
+      val fp = java.nio.file.Files.readString(
+        new java.io.File(root, "meta/FINGERPRINT").toPath,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(fp.contains(s"n=$nAfterIngest"), fp)
+      assert(idx.index.count() === nAfterIngest)
+      assert(spark.read.parquet(s"$root/vectors").count() === nAfterIngest)
+      // the retrained root still ingests: an exact copy of an admitted
+      // member is caught by the rebuilt index too
+      val adm = flags1.filter(!_._2).keys.toSeq.sorted.take(1)
+      val copy = emb.filter(col("vec_id").isin(adm: _*))
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val flags2 = AnnIndex.ingest(root, copy)
+        .collect().map(r => r.getBoolean(1))
+      assert(flags2.length === 1 && flags2.head,
+        "post-retrain index missed an exact duplicate of an admitted vector")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("a stale fingerprint triggers a rebuild") {
     AnnIndex.ensureIvfPq(spark, dir)
     val fp = new java.io.File(root, "meta/FINGERPRINT")
