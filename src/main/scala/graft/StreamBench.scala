@@ -80,7 +80,8 @@ object StreamBench {
     val joinMode = args.contains("join")
     val factors = {
       val fs = args.drop(1).toSeq
-        .filterNot(Set("state", "join", "dedup", "cdc", "neardup")).map(_.toInt)
+        .filterNot(Set("state", "join", "dedup", "cdc", "neardup", "annins"))
+        .map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
     val chunks = 16
@@ -466,6 +467,59 @@ object StreamBench {
 
     if (args.contains("neardup")) {
       factors.foreach(runNearDupArm)
+      spark.stop(); return
+    }
+
+    // annins mode: the self-maintaining ANN ingest loop's cost and state
+    // curve. Standing = 3/4 of the embeddings table (trains the index
+    // once); the incoming stream is the held-out quarter replayed
+    // `factor` times under fresh ids, fed as micro-batches through
+    // AnnIndex.ingest. Replay r>1 consists of EXACT COPIES of replay
+    // 1's admitted vectors, so the dup-rate jumps to ~100% after the
+    // first replay and admissions (and the on-disk state) SATURATE —
+    // the curve shows per-batch wall time staying flat while the index
+    // stops growing, i.e. the loop's cost is the batch probe + an
+    // append proportional to SURVIVORS, not to the stream length.
+    if (args.contains("annins")) {
+      import graft.sources.AnnIndex
+      val emb = Tables.t(spark, dir, "embeddings")
+      for (f <- factors) {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_sb_annins_x$f")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        AnnIndex.initIngest(emb.filter(col("vec_id") % 4 =!= 0), root)
+        val held = emb.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        val heldN = held.count()
+        var totalDup = 0L; var totalN = 0L
+        val t0 = System.nanoTime()
+        val batchWalls = (0 until f).flatMap { r =>
+          val replay = held.select((col("vec_id") + lit(r.toLong * 10000000L))
+            .as("vec_id"), col("embedding"))
+          // 4 micro-batches per replay (vec_id ends in 0,4,8,2,6 — split
+          // by a rotating residue to keep batches deterministic)
+          (0 until 4).map { b =>
+            val batch = replay.filter(pmod(col("vec_id") / 4, lit(4)) === b)
+            val tb = System.nanoTime()
+            val flags = AnnIndex.ingest(root, batch)
+            val dup = flags.filter(col("is_dup")).count()
+            val n = flags.count()
+            totalDup += dup; totalN += n
+            (System.nanoTime() - tb) / 1e9
+          }
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(root)
+        val idxRows = spark.read.parquet(s"$root/index").count()
+        println(s"""{"op":"stream_annins","factor":$f,"n_input":$totalN,""" +
+          s""""held":$heldN,"batches":${batchWalls.size},""" +
+          s""""wall_sec":${Fmt.num(wall, 3)},""" +
+          s""""batch_sec_min":${Fmt.num(batchWalls.min, 3)},""" +
+          s""""batch_sec_max":${Fmt.num(batchWalls.max, 3)},""" +
+          s""""n_dup":$totalDup,"index_rows":$idxRows,""" +
+          s""""root_bytes":$bytes}""")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+      }
       spark.stop(); return
     }
 
