@@ -1951,6 +1951,59 @@ object Fuzz {
       sql, "calendar_rollup")
   }
 
+  /** T37: double-correlated EXISTS + NOT EXISTS differential — the
+    * TPC-H q21 pattern randomized: rows of a multi-row-per-key table
+    * that (a) pass a random predicate, (b) have a DIFFERENT sibling row
+    * under the same key (EXISTS), and (c) have no sibling satisfying a
+    * second random predicate (NOT EXISTS). The Spark side compiles the
+    * correlation explicitly — LEFT SEMI for the witness, LEFT ANTI for
+    * the guard, key-equi joins with the row-inequality as residual (the
+    * q21_waiting_supplier discipline); the oracle runs the same logic
+    * as correlated subqueries, so a semi/anti residual mis-compile, a
+    * dropped witness, or a leaked guard row all diverge. */
+  private def genDoubleCorr(r: Random, name: String): FuzzQuery = {
+    // multi-row-per-key tables: (table, corr key, row discriminator)
+    val (tn, key, disc) = pick(r, Seq(
+      ("lineitem", "l_orderkey", "l_linenumber"),
+      ("lineitem", "l_partkey", "l_orderkey"),
+      ("events", "user_id", "event_id"),
+      ("orders", "o_custkey", "o_orderkey")))
+    val t = tbl(tn)
+    val p1 = preds(r, t)
+    val p3 = preds(r, t)
+    val outCols = (Seq(key, disc) ++
+      subset(r, t.cols.map(_.name).filterNot(Set(key, disc)), 2)).distinct
+    // ref("events") carries its own alias; re-alias for the three scopes
+    def refAs(a: String): String =
+      if (tn == "events")
+        s"(SELECT * REPLACE (epoch_us(ts) * 1000 AS ts) FROM events) AS $a"
+      else s"$tn AS $a"
+    // unqualified columns in each subquery resolve innermost-first (the
+    // SQL scoping rule), so only the correlation comparisons qualify
+    val sql = s"SELECT ${outCols.mkString(", ")} FROM ${refAs("e1")} " +
+      s"WHERE (${p1.sql}) " +
+      s"AND EXISTS (SELECT 1 FROM ${refAs("e2")} " +
+      s"WHERE e2.$key = e1.$key AND e2.$disc <> e1.$disc) " +
+      s"AND NOT EXISTS (SELECT 1 FROM ${refAs("e3")} " +
+      s"WHERE e3.$key = e1.$key AND e3.$disc <> e1.$disc " +
+      s"AND (${p3.sql})) " +
+      orderSql(outCols)
+    FuzzQuery(name, (s, dir) => {
+      val all = read(s, dir, tn)
+      val base = all.filter(p1.c)
+      val witness = all.select(col(key).as("w_k"), col(disc).as("w_d"))
+      val guard = all.filter(p3.c)
+        .select(col(key).as("g_k"), col(disc).as("g_d"))
+      base
+        .join(witness, col(key) === col("w_k") && col(disc) =!= col("w_d"),
+          "left_semi")
+        .join(guard, col(key) === col("g_k") && col(disc) =!= col("g_d"),
+          "left_anti")
+        .select(outCols.map(col): _*)
+        .orderBy(orderCols(outCols): _*)
+    }, sql, "double_corr")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -1959,7 +2012,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(36) match {
+      r.nextInt(37) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -1995,7 +2048,8 @@ object Fuzz {
         case 32 => genIntervalFamily(r, name)
         case 33 => genChangeset(r, name)
         case 34 => genProfile(r, name)
-        case _ => genCalendarRollup(r, name)
+        case 35 => genCalendarRollup(r, name)
+        case _ => genDoubleCorr(r, name)
       }
     }
   }

@@ -39,7 +39,7 @@ class FuzzSpec extends SparkSpec {
   test("every template and coin-flip branch executes on Spark (sf0.001)") {
     val qs = Fuzz.corpus(42L, 200)
     val byTemplate = qs.groupBy(_.template)
-    // all 36 generator templates must be present in the pinned corpus...
+    // all 37 generator templates must be present in the pinned corpus...
     assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
       "window", "setop", "distinct", "semi_anti",
       "full_join", "join3", "case_str", "session", "hopping", "rollup",
@@ -47,7 +47,7 @@ class FuzzSpec extends SparkSpec {
       "time_bucket", "exists_proj", "rec_spine", "cte_reuse", "array_lane",
       "spgemm", "graph_iter", "hybrid_skew", "sketch_bound", "sketch_state",
       "outer_interval", "cc_fixpoint", "cdc_extremum", "interval_family",
-      "changeset", "profile", "calendar_rollup"),
+      "changeset", "profile", "calendar_rollup", "double_corr"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
     // ...and one query per (template, branch) must execute as a Spark
     // plan — a Spark-only planning regression in any generator surfaces
