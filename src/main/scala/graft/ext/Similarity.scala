@@ -971,6 +971,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Train the composed index's three artifacts from one corpus: coarse
+    * centroids, PQ codebooks, and the FUSED (vec_id, centroid_id, codes)
+    * table. Single source of truth for the build — AnnIndex's persisted
+    * layout, the incremental-admission and ingest-dedup oracled queries,
+    * and their specs all build through here, so the fused-index shape
+    * can never silently diverge between them. */
+  def trainAndFuse(corpus: DataFrame, nlist: Int = 0,
+                   m: Int = pqM, ksub: Int = pqKsub)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val cent = ivfTrainedCentroids(corpus, nl)
+    val cb = pqCodebooks(corpus, m, ksub)
+    val fused = pqEncode(corpus, cb, m)
+      .join(ivfTrainedAssign(corpus, cent)
+        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    (cent, cb, fused)
+  }
+
   /** Semantic-dup flags for an incoming batch against a STANDING corpus:
     * each batch member is probed through the composed IVF×PQ index
     * (`ivfPqAnnJoin` with the batch as the external query panel) and
@@ -1650,11 +1668,7 @@ object SimilarityQueries extends QModule {
       val batch = emb.filter(col("vec_id") % 10 === 3)
       val nl = autoNlist(standing.count())
       val np = autoNprobe(nl)
-      val cent = ivfTrainedCentroids(standing, nl)
-      val cb = pqCodebooks(standing)
-      val standingIdx = pqEncode(standing, cb)
-        .join(ivfTrainedAssign(standing, cent)
-          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      val (cent, cb, standingIdx) = trainAndFuse(standing, nl)
       val admitted = graft.sources.AnnIndex.admit(
         graft.sources.AnnIndex.IvfPq(cent, cb, standingIdx), batch)
       ivfPqTopK(emb, 0L, 10, nlist = nl, nprobe = np,
@@ -1782,11 +1796,7 @@ object SimilarityQueries extends QModule {
       val batch = emb.filter(col("vec_id") % 10 === 3)
       val nl = autoNlist(standing.count())
       val np = autoNprobe(nl)
-      val cent = ivfTrainedCentroids(standing, nl)
-      val cb = pqCodebooks(standing)
-      val idx = pqEncode(standing, cb)
-        .join(ivfTrainedAssign(standing, cent)
-          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      val (cent, cb, idx) = trainAndFuse(standing, nl)
       semanticDupFlags(batch, standing, k = 5, thresholdE9 = 400000000L,
         nlist = nl, nprobe = np,
         centroids = Some(cent), codebooks = Some(cb), index = Some(idx))

@@ -21,26 +21,29 @@ import org.apache.spark.sql.functions._
   * Persisted layout (one root dir per corpus):
   *   - `centroids/`  (centroid_id, ce6)            — nlist ≈ √n rows
   *   - `codebooks/`  (m, code, ce6)                — m·ksub rows
-  *   - `index/`      (vec_id, codes) PARTITIONED BY centroid_id
-  * The `index` table FUSES the assignment⋈codes join at build time AND
-  * materializes the inverted lists as hive partitions: the probe's join
-  * against its nprobe probed lists reaches the scan as a dynamic
-  * partition-pruning filter (plan-pinned in AnnIndexSpec), so every
-  * non-probed list is skipped at file-listing time — probe I/O is
-  * nprobe/nlist of the 16×-compressed index REGARDLESS of corpus size,
-  * the on-disk analogue of an inverted-index lookup. Probe path: pruned
-  * index scan ⋈ broadcast(probed) → native ADC → top-k·refine → exact
-  * re-rank — zero corpus-sized joins or shuffles at query time.
+  *   - `index/`      (vec_id, codes) [PARTITIONED BY centroid_id at scale]
+  * The `index` table FUSES the assignment⋈codes join at build time
+  * (single build definition: `Similarity.trainAndFuse`) and, above
+  * `partitionThreshold`, materializes the inverted lists as hive
+  * partitions: the probe's join against its nprobe probed lists reaches
+  * the scan as a dynamic partition-pruning filter (plan-pinned in
+  * AnnIndexSpec), so every non-probed list is skipped at file-listing
+  * time — probe I/O is nprobe/nlist of the 16×-compressed index
+  * REGARDLESS of corpus size, the on-disk analogue of an inverted-index
+  * lookup. Probe path: pruned index scan ⋈ broadcast(probed) → native
+  * ADC → top-k·refine → exact re-rank — zero corpus-sized joins or
+  * shuffles at query time.
   *
   * Same cross-JVM safety contract as `Bucketed.ensureBucketed`: the
-  * build stages under a process-unique path and renames into place
-  * atomically; a complete layout left by another process is adopted,
-  * never deleted. A `meta/` row pins the training parameters AND the
-  * corpus row count — a parameter change or a different corpus at the
-  * same path triggers a rebuild instead of serving a stale index.
-  * Training is integer-exact and deterministic, so a persisted index is
-  * bit-identical to an in-query build and the SAME oracle SQL verifies
-  * both paths (sim_ann_ivfpq vs sim_ann_ivfpq_join in Verify).
+  * build stages under a process-unique path and renames into place; a
+  * complete layout left by another process is adopted. The `meta/`
+  * fingerprint pins the training parameters, the layout, the corpus row
+  * count AND a content signature (one hash-sum pass over (vec_id,
+  * embedding)) — a parameter change, a layout change, or a regenerated
+  * corpus with the same row count all trigger a rebuild instead of
+  * serving a stale index. Training is integer-exact and deterministic,
+  * so a persisted index is bit-identical to an in-query build and the
+  * SAME oracle SQL verifies both paths.
   */
 object AnnIndex {
 
@@ -67,11 +70,11 @@ object AnnIndex {
     * one map-shaped scan of the batch — the ANN analogue of
     * `Dedup.incremental`'s fingerprint admission. Quantizers drift as
     * the corpus distribution drifts; re-train on the epoch schedule
-    * (fingerprint forces the rebuild) — recall on admitted batches
-    * degrades only as far as the distribution does, the standard IVF
-    * serving trade. Oracled end-to-end by `sim_ann_ivfpq_incr` (train on
-    * the standing 9/10 of the corpus, admit the held-out 1/10, probe the
-    * union); batch-vs-wholesale parity pinned in AnnIndexSpec. */
+    * (`retrain`) — recall on admitted batches degrades only as far as
+    * the distribution does, the standard IVF serving trade. Oracled
+    * end-to-end by `sim_ann_ivfpq_incr` (train on the standing 9/10 of
+    * the corpus, admit the held-out 1/10, probe the union);
+    * batch-vs-wholesale parity pinned in AnnIndexSpec. */
   def admit(idx: IvfPq, newEmb: DataFrame,
             m: Int = Similarity.pqM): DataFrame =
     Similarity.pqEncode(newEmb, idx.codebooks, m)
@@ -96,57 +99,85 @@ object AnnIndex {
 
   /** Initialize a SELF-MAINTAINING ingest root: the trained index plus
     * the corpus vector table (`vectors/` — the exact-re-rank side the
-    * codes can't provide) under one directory, ready for `ingest`. */
+    * codes can't provide) under one directory, ready for `ingest`.
+    *
+    * Re-initializing an EXISTING ingest root rebuilds from the vector
+    * table, not from `emb`: after admissions the corpus of record is
+    * `vectors/` (standing + every admitted batch), and rebuilding the
+    * index from anything narrower would leave vectors the index can't
+    * see — permanently un-detectable duplicates. A parameter change on
+    * a grown root therefore behaves exactly like `retrain`. */
   def initIngest(emb: DataFrame, root: java.io.File,
                  m: Int = Similarity.pqM,
                  ksub: Int = Similarity.pqKsub,
                  partitioned: Option[Boolean] = None): Unit = {
-    ensureIvfPqFor(emb, root, m, ksub, partitioned)
+    val s = emb.sparkSession
     val vdir = new java.io.File(root, "vectors")
-    if (!new java.io.File(vdir, "_SUCCESS").exists())
+    if (new java.io.File(vdir, "_SUCCESS").exists()) {
+      ensureIvfPqFor(s.read.parquet(vdir.getPath), root, m, ksub, partitioned)
+    } else {
+      ensureIvfPqFor(emb, root, m, ksub, partitioned)
       emb.select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(vdir.getPath)
+    }
   }
 
   /** One ingest step of the self-maintaining index: probe the incoming
     * batch against the CURRENT corpus (standing + everything admitted by
     * earlier steps), flag semantic duplicates, ADMIT the survivors
     * (assignment + encoding against the fixed quantizers — never a
-    * retrain), and append them to both the index and the vector table.
+    * retrain), and append them to both the vector table and the index.
     * Returns the batch's (vec_id, is_dup) verdicts. State is the root
     * directory itself: a batch-2 duplicate of a batch-1 survivor is
-    * caught because the survivor is already in the index
-    * (AnnIndexSpec pins exactly that). At 100 TB this is the streaming
-    * admission loop — each step costs one probe-pruned scan plus two
-    * parquet appends proportional to the batch, and the quantizers
-    * refresh on the epoch schedule via the fingerprint rebuild.
+    * caught because the survivor is already in the index (AnnIndexSpec
+    * pins exactly that). At 100 TB this is the streaming admission
+    * loop — each step costs one probe-pruned scan plus two parquet
+    * appends proportional to the batch, and the quantizers refresh on
+    * the epoch schedule via `retrain`.
     *
     * Single-writer contract (a streaming foreachBatch sink satisfies it
     * naturally); caller guarantees vec_ids unique across the corpus and
-    * all batches. The verdicts and survivors are MATERIALIZED before
-    * either append, so the probe can never observe the batch itself in
-    * the index. nprobe derives from the TRAINED list count, not the
-    * growing corpus size — the quantizer geometry is fixed between
-    * retrains. */
+    * all batches. Verdicts are COLLECTED (batch-sized — bounded by the
+    * micro-batch) before either append, so the probe can never observe
+    * the batch itself in the index and no checkpointed blocks accumulate
+    * across a long-running stream. nprobe derives from the TRAINED list
+    * count, not the growing corpus size.
+    *
+    * Crash/replay semantics: pass the foreachBatch `batchId` to make
+    * redelivery effectively-once — completed batches persist their
+    * verdicts under `ingested/batch_<id>` (written LAST) and a replay
+    * returns them without re-appending. Appends are ordered vectors
+    * FIRST: a crash between the two appends leaves an orphan vector row
+    * (harmless — verdicts derive from max-cosine and never flip on
+    * duplicates, and `retrain` dedups the table), never an index row
+    * whose exact-re-rank vector is missing, which would silently
+    * disable dup detection for that batch. */
   def ingest(root: java.io.File, batch: DataFrame, k: Int = 5,
              thresholdE9: Long = 400000000L,
-             m: Int = Similarity.pqM): DataFrame = {
+             m: Int = Similarity.pqM,
+             batchId: Option[Long] = None): DataFrame = {
     val s = batch.sparkSession
+    import s.implicits._
+    val done = batchId.map(id => new java.io.File(root, s"ingested/batch_$id"))
+    val replayed = done.filter(d => new java.io.File(d, "_SUCCESS").exists())
+    if (replayed.isDefined)
+      return s.read.parquet(replayed.get.getPath).orderBy(col("vec_id"))
     val idx = IvfPq(
       s.read.parquet(s"$root/centroids"),
       s.read.parquet(s"$root/codebooks"),
       s.read.parquet(s"$root/index"))
     val vectors = s.read.parquet(s"$root/vectors")
     val nl = idx.centroids.count().toInt
-    val flags = Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
+    val verdicts = Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
         nlist = nl, nprobe = Similarity.autoNprobe(nl),
         centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
         index = Some(idx.index))
-      .localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val dupIds = verdicts.collect { case (id, true) => id }
     val survivors = batch
-      .join(flags.filter(col("is_dup")).select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      .join(dupIds.toSeq.toDF("vec_id"), Seq("vec_id"), "left_anti")
+    survivors.select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$root/vectors")
     val newRows = admit(idx, survivors, m)
     val partitionedLayout = Option(new java.io.File(root, "index").listFiles())
       .exists(_.exists(_.getName.startsWith("centroid_id=")))
@@ -155,9 +186,9 @@ object AnnIndex {
         .write.mode("append").partitionBy("centroid_id")
         .parquet(s"$root/index")
     else newRows.write.mode("append").parquet(s"$root/index")
-    survivors.select(col("vec_id"), col("embedding"))
-      .write.mode("append").parquet(s"$root/vectors")
-    flags
+    val out = verdicts.toSeq.toDF("vec_id", "is_dup")
+    done.foreach(d => out.write.mode("overwrite").parquet(d.getPath))
+    out.orderBy(col("vec_id"))
   }
 
   /** Epoch retrain of an ingest root: rebuild quantizers, fingerprint
@@ -166,18 +197,32 @@ object AnnIndex {
     * counterpart of `ingest` — admissions keep the quantizers fixed so
     * each batch is one map-shaped pass, and the distribution drift they
     * accumulate is paid down here, on the epoch cadence, with one full
-    * (re)build. Same single-writer contract as `ingest`. */
+    * (re)build. Also heals any duplicate vector rows a crash-replay may
+    * have left (they never affect verdicts — see `ingest` — but the
+    * row-count invariant is worth restoring). Same single-writer
+    * contract as `ingest`. */
   def retrain(s: SparkSession, root: java.io.File,
               m: Int = Similarity.pqM,
               ksub: Int = Similarity.pqKsub,
               partitioned: Option[Boolean] = None): IvfPq = {
-    val vectors = s.read.parquet(s"$root/vectors")
     val tmp = new java.io.File(root.getParentFile,
       root.getName + s".retrain.${ProcessHandle.current().pid()}")
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    val raw = s.read.parquet(s"$root/vectors")
+    val healVectors = raw.count() != raw.dropDuplicates("vec_id").count()
+    val vectors =
+      if (!healVectors) raw
+      else {
+        raw.dropDuplicates("vec_id")
+          .write.parquet(s"$tmp/vectors")
+        s.read.parquet(s"$tmp/vectors")
+      }
     ensureIvfPqFor(vectors, tmp, m, ksub, partitioned)
-    // swap the rebuilt artifacts in; the vector table never moves
-    for (d <- Seq("centroids", "codebooks", "index", "meta")) {
+    // swap the rebuilt artifacts in; the vector table moves only when
+    // it was healed
+    val dirs = Seq("centroids", "codebooks", "index", "meta") ++
+      (if (healVectors) Seq("vectors") else Nil)
+    for (d <- dirs) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root, d))
       require(new java.io.File(tmp, d).renameTo(new java.io.File(root, d)),
         s"retrain swap failed for $d under $root")
@@ -199,14 +244,23 @@ object AnnIndex {
                      ksub: Int = Similarity.pqKsub,
                      partitioned: Option[Boolean] = None): IvfPq = {
     val s = emb.sparkSession
-    val n = emb.count()
+    // ONE pass computes the row count and a content signature (order-
+    // independent hash-sum over (vec_id, embedding)): the fingerprint
+    // must change when the corpus is REGENERATED at the same size —
+    // count alone would adopt a stale index over different data and the
+    // oracle (which retrains from the fresh data) would diverge
+    val fpRow = emb.agg(count(lit(1)), sum(hash(col("vec_id"),
+      col("embedding")).cast("long"))).head()
+    val n = fpRow.getLong(0)
+    val sig = if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)
     val parts = partitioned.getOrElse(n >= partitionThreshold)
     // layout is part of the fingerprint: a root built under the other
-    // layout (or the pre-partitioning v1 format) rebuilds rather than
-    // serving without its contract
+    // layout (or the pre-partitioning v1/v2 formats) rebuilds rather
+    // than serving without its contract
     val fingerprint =
-      s"v2 layout=${if (parts) "partitioned" else "flat"} " +
-        s"n=$n m=$m ksub=$ksub ivfIters=${Similarity.ivfKmeansIters} " +
+      s"v3 layout=${if (parts) "partitioned" else "flat"} " +
+        s"n=$n sig=$sig m=$m ksub=$ksub " +
+        s"ivfIters=${Similarity.ivfKmeansIters} " +
         s"pqIters=${Similarity.pqKmeansIters}"
     def metaOk(r: java.io.File): Boolean = {
       val f = new java.io.File(r, "meta/FINGERPRINT")
@@ -217,8 +271,7 @@ object AnnIndex {
       val stage = new java.io.File(
         root.getParentFile, root.getName + s".stage.${ProcessHandle.current().pid()}")
       org.apache.commons.io.FileUtils.deleteQuietly(stage)
-      val cent = Similarity.ivfTrainedCentroids(emb)
-      val cb = Similarity.pqCodebooks(emb, m, ksub)
+      val (cent, cb, fused) = Similarity.trainAndFuse(emb, 0, m, ksub)
       cent.write.parquet(s"$stage/centroids")
       cb.select(col("m"), col("code"), col("ce6"))
         .write.parquet(s"$stage/codebooks")
@@ -229,9 +282,6 @@ object AnnIndex {
       // partition pruning; AnnIndexSpec pins the dynamicpruning filter
       // in the scan). One pre-write repartition keeps one file per
       // list. Below partitionThreshold the flat layout wins (scaladoc).
-      val fused = Similarity.pqEncode(emb, cb, m)
-        .join(Similarity.ivfTrainedAssign(emb, cent)
-          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
       if (parts)
         fused.repartition(col("centroid_id"))
           .write.partitionBy("centroid_id").parquet(s"$stage/index")
@@ -242,17 +292,25 @@ object AnnIndex {
       java.nio.file.Files.writeString(
         new java.io.File(stage, "meta/FINGERPRINT").toPath, fingerprint,
         java.nio.charset.StandardCharsets.UTF_8)
-      if (!metaOk(root)) { // recheck: another process may have finished
-        // an ingest root carries the corpus vector table alongside the
-        // index artifacts; a rebuild must never take it down with the
-        // stale index — carry it into the stage before the swap
-        val vec = new java.io.File(root, "vectors")
-        if (new java.io.File(vec, "_SUCCESS").exists())
-          vec.renameTo(new java.io.File(stage, "vectors"))
-        org.apache.commons.io.FileUtils.deleteQuietly(root)
-        if (!stage.renameTo(root))
-          require(metaOk(root),
-            s"ANN index rename failed and no complete winner at $root")
+      // swap-in protocol, racing builders tolerated: try the rename
+      // FIRST (fails while any root exists), and only delete a root
+      // that still flunks the fingerprint at that moment — a COMPLETE
+      // layout another process just renamed in is adopted, not deleted.
+      // An ingest root's corpus vector table is carried into the stage
+      // before any delete, and the carry must SUCCEED or we abort —
+      // falling through would destroy the only copy of every admitted
+      // batch.
+      if (!stage.renameTo(root)) {
+        if (!metaOk(root)) {
+          val vec = new java.io.File(root, "vectors")
+          if (new java.io.File(vec, "_SUCCESS").exists())
+            require(vec.renameTo(new java.io.File(stage, "vectors")),
+              s"could not preserve $vec across the index rebuild")
+          org.apache.commons.io.FileUtils.deleteQuietly(root)
+          if (!stage.renameTo(root))
+            require(metaOk(root),
+              s"ANN index rename failed and no complete winner at $root")
+        }
       }
       org.apache.commons.io.FileUtils.deleteQuietly(stage)
     }

@@ -61,32 +61,52 @@ object Bucketed {
     val s = df.sparkSession
     if (s.catalog.tableExists(table)) return table
     val dir = new java.io.File(path)
+    // adoption is FINGERPRINT-gated, not just completeness-gated: a
+    // layout written under a different bucket count would make Spark
+    // trust wrong filename bucket ids and the exchange-elided SMJ would
+    // co-locate wrong rows (silently wrong results, not an error); a
+    // different schema/key/row count means different data entirely. The
+    // fingerprint file is written into the stage AFTER the data, so its
+    // presence at the final path implies a complete layout.
+    val fingerprint =
+      s"v2 buckets=$buckets key=$key n=${df.count()} schema=${df.schema.toDDL}"
+    def metaOk: Boolean = {
+      val f = new java.io.File(dir, "_GRAFT_BUCKETS")
+      f.exists() && java.nio.file.Files.readString(
+        f.toPath, java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+    }
     def adopt(): Unit = s.sql(
       s"""CREATE TABLE $table (${df.schema.toDDL}) USING parquet
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
          |LOCATION '$path'""".stripMargin)
-    if (new java.io.File(dir, "_SUCCESS").exists()) { adopt(); return table }
+    if (metaOk) { adopt(); return table }
     // stage under a path unique to this JVM, then rename into place
     val pid = ProcessHandle.current().pid()
-    val stagePath = s"$path.stage.$pid"
+    val stage = new java.io.File(s"$path.stage.$pid")
     val stageTable = s"${table}_stage_$pid"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagePath))
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
     df.repartition(buckets, col(key))
       .write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
-      .option("path", stagePath)
+      .option("path", stage.getPath)
       .saveAsTable(stageTable)
     s.sql(s"DROP TABLE $stageTable") // external: catalog entry only, files stay
-    // stale INCOMPLETE layout (no _SUCCESS — a crashed writer): safe to
-    // clear; a complete one appearing now means another process won the
-    // race — adopt theirs and discard ours
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir)
-      if (!new java.io.File(stagePath).renameTo(dir))
-        require(new java.io.File(dir, "_SUCCESS").exists(),
-          s"bucketed layout rename failed and no winner present at $path")
+    java.nio.file.Files.writeString(
+      new java.io.File(stage, "_GRAFT_BUCKETS").toPath, fingerprint,
+      java.nio.charset.StandardCharsets.UTF_8)
+    // swap-in, racing builders tolerated: rename FIRST (fails while any
+    // dir exists at the path); only delete a layout that still flunks
+    // the fingerprint at that moment — a matching one another process
+    // just renamed in is adopted, never deleted
+    if (!stage.renameTo(dir)) {
+      if (!metaOk) {
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        if (!stage.renameTo(dir))
+          require(metaOk,
+            s"bucketed layout rename failed and no matching winner at $path")
+      }
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagePath))
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
     adopt()
     table
   }

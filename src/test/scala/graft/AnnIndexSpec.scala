@@ -99,16 +99,16 @@ class AnnIndexSpec extends SparkSpec {
     val emb = t(spark, dir, "embeddings")
     val standing = emb.filter(col("vec_id") % 10 =!= 3)
     val batch = emb.filter(col("vec_id") % 10 === 3)
-    val cent = Similarity.ivfTrainedCentroids(standing)
-    val cb = Similarity.pqCodebooks(standing)
-    def fuse(part: org.apache.spark.sql.DataFrame) =
-      Similarity.pqEncode(part, cb).join(
-        Similarity.ivfTrainedAssign(part, cent)
-          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
-    val idx = AnnIndex.IvfPq(cent, cb, fuse(standing))
+    val (cent, cb, standingIdx) = Similarity.trainAndFuse(standing)
+    val idx = AnnIndex.IvfPq(cent, cb, standingIdx)
     val admitted = AnnIndex.admit(idx, batch)
     assert(admitted.count() === batch.count())
-    assert(rows(idx.index.unionByName(admitted)) === rows(fuse(emb)))
+    // the wholesale arm encodes EVERYTHING against the same trained
+    // quantizers: same centroids/codebooks, the full frame fused
+    val wholesale = Similarity.pqEncode(emb, cb).join(
+      Similarity.ivfTrainedAssign(emb, cent)
+        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    assert(rows(idx.index.unionByName(admitted)) === rows(wholesale))
     val lists = cent.select("centroid_id").collect().map(_.getLong(0)).toSet
     val admittedLists = admitted.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSet
@@ -185,6 +185,53 @@ class AnnIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
   }
 
+  test("regenerated corpus with the SAME row count triggers a rebuild (content signature)") {
+    // count-only fingerprints adopt a stale index over different data;
+    // the content signature (hash-sum over (vec_id, embedding)) must
+    // force the rebuild when the data changes under the same size
+    val emb = t(spark, dir, "embeddings")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_sig")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    try {
+      AnnIndex.ensureIvfPqFor(emb, root)
+      val fp = new java.io.File(root, "meta/FINGERPRINT")
+      val before = java.nio.file.Files.readString(fp.toPath,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // same count, shifted ids = regenerated data
+      val regenerated = emb.select((col("vec_id") + 1L).as("vec_id"),
+        col("embedding"))
+      AnnIndex.ensureIvfPqFor(regenerated, root)
+      val after = java.nio.file.Files.readString(fp.toPath,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(before !== after, "content change did not refresh the index")
+      // counts equal on both sides — the sig field alone carries the change
+      assert(before.split(" sig=")(0) === after.split(" sig=")(0))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
+  test("ingest replay with the same batchId is a no-op returning the original verdicts") {
+    val emb = t(spark, dir, "embeddings")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_replay")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    try {
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root)
+      val batch = emb.filter(col("vec_id") % 10 === 3)
+      val first = orderedRows(AnnIndex.ingest(root, batch, batchId = Some(7L)))
+      val nVec = spark.read.parquet(s"$root/vectors").count()
+      val nIdx = spark.read.parquet(s"$root/index").count()
+      // redelivery of the SAME micro-batch (foreachBatch restart): the
+      // persisted verdicts come back and nothing is re-appended
+      val replay = orderedRows(AnnIndex.ingest(root, batch, batchId = Some(7L)))
+      assert(replay === first)
+      assert(spark.read.parquet(s"$root/vectors").count() === nVec,
+        "replay re-appended vectors")
+      assert(spark.read.parquet(s"$root/index").count() === nIdx,
+        "replay re-appended index rows")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("a stale fingerprint triggers a rebuild") {
     AnnIndex.ensureIvfPq(spark, dir)
     val fp = new java.io.File(root, "meta/FINGERPRINT")
@@ -193,7 +240,7 @@ class AnnIndexSpec extends SparkSpec {
     val idx = AnnIndex.ensureIvfPq(spark, dir)
     val txt = java.nio.file.Files.readString(fp.toPath,
       java.nio.charset.StandardCharsets.UTF_8)
-    assert(txt.startsWith("v2 "), s"fingerprint not refreshed: $txt")
+    assert(txt.startsWith("v3 "), s"fingerprint not refreshed: $txt")
     assert(idx.index.count() === t(spark, dir, "embeddings").count())
   }
 }

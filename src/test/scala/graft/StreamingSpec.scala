@@ -806,12 +806,8 @@ class StreamingSpec extends SparkSpec {
       .select($"vec_id", $"embedding").as[VecRow].collect()
     val nl = Similarity.autoNlist(standing.count())
     val np = Similarity.autoNprobe(nl)
-    val cent = Similarity.ivfTrainedCentroids(standing, nl)
-    val cb = Similarity.pqCodebooks(standing)
-    val idx = Similarity.pqEncode(standing, cb)
-      .join(Similarity.ivfTrainedAssign(standing, cent)
-        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
-      .localCheckpoint()
+    val (cent, cb, idx0) = Similarity.trainAndFuse(standing, nl)
+    val idx = idx0.localCheckpoint()
     def flags(df: org.apache.spark.sql.DataFrame): Seq[(Long, Boolean)] =
       Similarity.semanticDupFlags(df, standing, k = 5,
           thresholdE9 = 400000000L, nlist = nl, nprobe = np,
