@@ -142,8 +142,19 @@ object Bench {
     // "active" = pins compared; "sf_mismatch" = bench ran at a different SF
     // so pins don't apply; "unreadable: …" = the guard could NOT run, and
     // an empty "regressions" object this run proves nothing.
-    val (baseStatus, regs) = baseline() match {
+    // suite-median ratio vs pins: the host-drift discriminator. A real
+    // regression inflates ITS row far above the suite median; a slow
+    // host window (co-tenant contention, the r5-r8/r11/r12 pattern)
+    // inflates round-2-era untouched rows and new rows alike, so the
+    // median itself rises. Emitted as evidence next to the per-row
+    // adjudications — a "confirmed" row at 1.6x under a 1.4x suite
+    // median reads very differently from one under a 1.0x median.
+    val (baseStatus, medianRatio, regs) = baseline() match {
       case Right((bSf, bQs)) if bSf == sfDir =>
+        val ratios = ok.collect {
+          case (k, v) if bQs.contains(k) => v / bQs(k) }.sorted
+        val med = if (ratios.isEmpty) -1.0
+          else ratios(ratios.size / 2)
         val r = ok.collect {
           case (k, v) if bQs.get(k).exists(b => v > 1.5 * b) =>
             val pin = bQs(k)
@@ -154,12 +165,12 @@ object Bench {
               s""""recheck_passes":${arr(rps)},"recheck":${num(recheck)},""" +
               s""""adjudication":"$verdict"}"""
         }.mkString("{", ",", "}")
-        ("active", r)
-      case Right(_)  => ("sf_mismatch", "{}")
-      case Left(why) => ("unreadable: " + why, "{}")
+        ("active", med, r)
+      case Right(_)  => ("sf_mismatch", -1.0, "{}")
+      case Left(why) => ("unreadable: " + why, -1.0, "{}")
     }
     val loadEnd = loadAvg()
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"baseline":"$baseStatus","regressions":$regs,"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"baseline":"$baseStatus","suite_median_ratio":${num(medianRatio)},"regressions":$regs,"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"sf":"$sfDir"}""")
     spark.stop()
     // a broken headliner fails the bench run outright (after the JSON line
     // above has named it) instead of shipping a silently-shrunken total
