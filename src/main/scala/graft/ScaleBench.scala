@@ -124,6 +124,47 @@ object ScaleBench {
     * centroids and the curve degenerates to scanning everything).
     * Deterministic, seedless, SQL-only; distinct rotations require
     * factor ≤ dim (64). */
+  /** Past the ×64 rotation ceiling: chunk c = k div 64 composes the
+    * rotation (k mod 64) with a deterministic per-chunk perturbation of
+    * coordinate 0 (+c·0.001, exactly representable shifts far below any
+    * vector norm), so every copy is still a DISTINCT vector while the
+    * within-copy similarity structure stays intact. This is the synthetic
+    * multi-million-vector corpus for the flat-vs-partitioned index
+    * crossover (annbuild mode) — ×4096 of sf0.1 = 8.2 M vectors, the
+    * first locally reachable size where the index outgrows a page-cached
+    * working set and list pruning can win on physical I/O. */
+  def scaledEmbeddingsBig(spark: SparkSession, emb: DataFrame,
+                          factor: Int): DataFrame = {
+    if (factor <= 64) return scaledEmbeddings(spark, emb, factor)
+    val nBase = emb.count()
+    emb.crossJoin(spark.range(factor.toLong).select(col("id").as("k")))
+      .select(
+        (col("vec_id") + col("k") * nBase).as("vec_id"),
+        expr("""transform(
+               |  CASE WHEN k % 64 = 0 THEN embedding ELSE
+               |    concat(slice(embedding, CAST(k % 64 AS INT) + 1,
+               |                 size(embedding) - CAST(k % 64 AS INT)),
+               |           slice(embedding, 1, CAST(k % 64 AS INT))) END,
+               |  (x, i) -> IF(i = 0,
+               |    CAST(x + (k div 64) * CAST(0.001 AS FLOAT) AS FLOAT), x))
+               |""".stripMargin).as("embedding"),
+        col("label"))
+  }
+
+  /** Drop the OS page cache (sync + /proc/sys/vm/drop_caches; needs
+    * root). Returns whether the drop took — recorded in the output line,
+    * so a "cold" number can never silently be a warm one. Evicts clean
+    * cached pages only (a pure measurement knob, no persistent state);
+    * used by annbuild mode to measure probes at physical-I/O cost, which
+    * a 125 GiB page cache otherwise hides for any locally buildable
+    * index. */
+  private def dropPageCache(): Boolean =
+    try {
+      new ProcessBuilder("sync").start().waitFor()
+      new ProcessBuilder("sh", "-c", "echo 3 > /proc/sys/vm/drop_caches")
+        .start().waitFor() == 0
+    } catch { case _: Throwable => false }
+
   def scaledEmbeddings(spark: SparkSession, emb: DataFrame, factor: Int): DataFrame = {
     require(factor <= 64, s"distinct rotations need factor <= dim 64, got $factor")
     val nBase = emb.count()
@@ -927,8 +968,21 @@ object ScaleBench {
       val embBase = Tables.t(spark, dir, "embeddings")
       val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       for (f <- factors) {
-        val emb = scaledEmbeddings(spark, embBase, f).localCheckpoint()
+        // parquet-backed scaled corpus: build, warm-open and probes all
+        // read from disk like a deployment. (The r12 curve fingerprint-
+        // scanned a localCheckpointed frame — memory-speed — and its
+        // warm_ensure_sec was a same-JVM fingerprint-cache hit that
+        // understated real warm-open; both fixed here.)
+        val corpusDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_annbuild_corpus_${dirTag}_x$f")
+        org.apache.commons.io.FileUtils.deleteQuietly(corpusDir)
+        scaledEmbeddingsBig(spark, embBase, f)
+          .write.parquet(corpusDir.getPath)
+        val emb = spark.read.parquet(corpusDir.getPath)
         val n = emb.count()
+        val nl = Similarity.autoNlist(n)
+        val np = Similarity.autoNprobe(nl)
         // both layouts per factor: flat (small-corpus default) and
         // centroid_id-partitioned (the at-scale default with
         // listing-time list pruning) — the curve is the evidence behind
@@ -938,32 +992,66 @@ object ScaleBench {
             System.getProperty("java.io.tmpdir"),
             s"graft_annbuild_${dirTag}_${layout}_x$f")
           org.apache.commons.io.FileUtils.deleteQuietly(root)
+          AnnIndex.clearFingerprintCache()
           val t0 = System.nanoTime()
           AnnIndex.ensureIvfPqFor(emb, root, partitioned = Some(parts))
           val buildSec = (System.nanoTime() - t0) / 1e9
+          // warm-open = what a FRESH process pays against an existing
+          // root: the fingerprint corpus scan (memo cleared, frame
+          // re-read) + parquet opens
+          AnnIndex.clearFingerprintCache()
+          val embFresh = spark.read.parquet(corpusDir.getPath)
           val t1 = System.nanoTime()
-          val idx = AnnIndex.ensureIvfPqFor(emb, root,
-            partitioned = Some(parts)) // warm: open only
+          val idx = AnnIndex.ensureIvfPqFor(embFresh, root,
+            partitioned = Some(parts))
           val warmSec = (System.nanoTime() - t1) / 1e9
-          val probeSec = (1 to 2).map { _ =>
+          def probePass(): Double = {
             val t2 = System.nanoTime()
             (0L until 5L).foreach { q =>
-              Similarity.ivfPqTopK(emb, q, 10,
+              Similarity.ivfPqTopK(emb, q, 10, nlist = nl, nprobe = np,
                 centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
                 index = Some(idx.index)).queryExecution.toRdd.count()
             }
             (System.nanoTime() - t2) / 1e9 / 5
-          }.min
-          val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(root)
+          }
+          // the pruned index scan in ISOLATION — the only term where the
+          // two layouts differ (the full probe adds layout-independent
+          // costs: query fetch, ADC, exact re-rank over the corpus file)
+          def scanPass(): Double = {
+            val t3 = System.nanoTime()
+            (0L until 5L).foreach { q =>
+              idx.index.join(
+                  broadcast(Similarity.probedLists(idx.centroids, emb, q, np)),
+                  Seq("centroid_id"))
+                .queryExecution.toRdd.count()
+            }
+            (System.nanoTime() - t3) / 1e9 / 5
+          }
+          val probeWarm = (1 to 2).map(_ => probePass()).min
+          val scanWarm = (1 to 2).map(_ => scanPass()).min
+          // cold = physical-I/O cost: page cache dropped before the pass
+          // (whether the drop took is in the record — a failed drop means
+          // cold==warm and proves nothing)
+          val coldOk = dropPageCache()
+          val probeCold = probePass()
+          dropPageCache()
+          val scanCold = scanPass()
+          val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
+            new java.io.File(root, "index"))
           org.apache.commons.io.FileUtils.deleteQuietly(root)
           s""""$layout":{"build_sec":${num(buildSec)},""" +
             s""""warm_ensure_sec":${num(warmSec)},""" +
-            s""""probe_sec_per_q":${num(probeSec)},"index_bytes":$bytes}"""
+            s""""probe_sec_per_q":${num(probeWarm)},""" +
+            s""""probe_cold_sec_per_q":${num(probeCold)},""" +
+            s""""scan_sec_per_q":${num(scanWarm)},""" +
+            s""""scan_cold_sec_per_q":${num(scanCold)},""" +
+            s""""cache_dropped":$coldOk,"index_bytes":$bytes}"""
         }
         val flat = arm("flat", parts = false)
         val part = arm("partitioned", parts = true)
         println(s"""{"op":"annbuild","factor":$f,"n_vectors":$n,""" +
-          flat + "," + part + "}")
+          s""""nlist":$nl,"nprobe":$np,""" + flat + "," + part + "}")
+        org.apache.commons.io.FileUtils.deleteQuietly(corpusDir)
       }
       spark.stop()
       return

@@ -499,7 +499,12 @@ object StreamBench {
           // 4 micro-batches per replay (vec_id ends in 0,4,8,2,6 — split
           // by a rotating residue to keep batches deterministic)
           (0 until 4).map { b =>
-            val batch = replay.filter(pmod(col("vec_id") / 4, lit(4)) === b)
+            // INTEGER division (`div`): Column./ is double division, and
+            // the residue class would only split exactly while ids stay
+            // ≡0 (mod 4) and the offset divisible by 4 — a changed
+            // residue would produce fractional pmod values matching no
+            // batch and silently drop rows from the stream
+            val batch = replay.filter(pmod(expr("vec_id div 4"), lit(4)) === b)
             val tb = System.nanoTime()
             val flags = AnnIndex.ingest(root, batch)
             val dup = flags.filter(col("is_dup")).count()

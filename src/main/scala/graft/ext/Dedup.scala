@@ -139,28 +139,22 @@ object Dedup {
     * executor-local blocks, fastest, fine for local mode and short jobs,
     * but truncated lineage means an executor loss mid-loop fails the job
     * UNRECOVERABLY. On a multi-executor cluster pass `reliable = true`:
-    * rounds checkpoint through the SparkContext checkpoint dir (set it
-    * to durable storage — HDFS/object store — first; a local temp dir is
-    * auto-provisioned only as a single-JVM fallback), so lost executors
-    * recompute from the last durable round instead of dying.
+    * rounds persist as parquet under the SparkContext checkpoint dir
+    * (set it to durable storage — HDFS/object store — first; a local
+    * temp dir is the single-JVM fallback), so lost executors recompute
+    * from the last durable round instead of dying; superseded rounds are
+    * deleted as the loop advances, so disk is O(1) in the round count
+    * (see [[graft.operators.LoopCkpt]]).
     *
     * The result is the UNIQUE fixpoint, so it is algorithm-independent
     * and replayable in the oracle as a recursive transitive closure. */
   def dupClusters(pairs: DataFrame, reliable: Boolean = false,
                   jump: Boolean = false,
                   maxRounds: Int = 1000): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame =
-      if (!reliable) df.localCheckpoint()
-      else {
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(
-            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-        df.checkpoint()
-      }
+    val lc = new graft.operators.LoopCkpt(pairs.sparkSession, reliable)
     val fwd = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
-    val edges = ckpt(fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))))
-    var lab = ckpt(edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
+    val edges = lc.pin(fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))))
+    var lab = lc.round(edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
       .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("rep")))
     var changed = 1L
     var rounds = 0
@@ -181,8 +175,8 @@ object Dedup {
       // in jump mode stepped feeds BOTH sides of the pointer self-join —
       // checkpoint it so the neighbor join+agg computes once per round,
       // not twice (the jump's budget is one extra self-join, nothing more)
-      val stepped = if (jump) ckpt(stepped0) else stepped0
-      val next = ckpt(
+      val stepped = if (jump) lc.round(stepped0) else stepped0
+      val next = lc.round(
         if (!jump) stepped.select(col("doc_id"), col("rep1").as("rep"),
           (col("rep1") < col("prev")).as("chg"))
         else {

@@ -840,6 +840,23 @@ object Similarity {
     * artifacts (centroids, assignment, codebooks, codes) are train-once
     * handles with the same materialization precondition as
     * `ivfTrainedTopK`. */
+  /** Probe selection in isolation: the `nprobe` inverted-list ids whose
+    * trained centroid has the highest integer dot with the query vector —
+    * the sub-step `ivfPqTopK` runs before touching the index, exposed so
+    * the bench harness can measure the PRUNED INDEX SCAN as its own
+    * component (the term where the flat and partitioned layouts actually
+    * differ; the full probe adds layout-independent costs on top). */
+  def probedLists(centroids: DataFrame, embeddings: DataFrame,
+                  queryVecId: Long, nprobe: Int): DataFrame = {
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(e6Vec("embedding").as("qe6"))
+    centroids.crossJoin(broadcast(qv))
+      .withColumn("dotv", expr(intDot("ce6", "qe6")))
+      .orderBy(col("dotv").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+  }
+
   def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                 nlist: Int = 0, nprobe: Int = 0,
                 m: Int = pqM, ksub: Int = pqKsub, refine: Int = 8,
@@ -860,13 +877,7 @@ object Similarity {
       val enc = codes.getOrElse(pqEncode(embeddings, cb, m))
       enc.join(assignedDf.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
     }
-    val qv = embeddings.filter(col("vec_id") === queryVecId)
-      .select(e6Vec("embedding").as("qe6"))
-    val probed = cent.crossJoin(broadcast(qv))
-      .withColumn("dotv", expr(intDot("ce6", "qe6")))
-      .orderBy(col("dotv").desc, col("centroid_id").asc)
-      .limit(np)
-      .select(col("centroid_id"))
+    val probed = probedLists(cent, embeddings, queryVecId, np)
     val listed = joined.join(broadcast(probed), Seq("centroid_id"))
     val cand = pqAdcCandidates(listed, cb, embeddings, queryVecId,
       m, ksub, k * refine)
@@ -971,18 +982,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Above this corpus size the quantizers train on a deterministic
+    * SAMPLE (the FAISS posture: Lloyd over the full corpus is O(n·nlist)
+    * per round — a 10⁸-row corpus would spend hours training what a
+    * 65k sample estimates as well, since k-means centroids converge on
+    * the sample distribution, not the sample size). Sampling is a
+    * deterministic md5-stride over vec_id (the engine-portable 60-bit
+    * md5 prefix the dedup tier already hash-proves against DuckDB), so
+    * the trained index is replayable; the cap is part of the persisted
+    * fingerprint (AnnIndex v4). Everything AFTER training — assignment
+    * and PQ encoding — still covers the FULL corpus (map-only codegen
+    * passes). Every oracled corpus is far below the cap, so the oracle
+    * CTEs' full-corpus Lloyd replay is unchanged where it is checked. */
+  val trainSampleCap = 65536L
+
+  /** Deterministic ≈cap-sized training sample: keep vec_ids whose 60-bit
+    * md5 prefix lands in a 1/stride residue class. Hash-based (not a
+    * vec_id prefix) so generated corpora with structured id ranges don't
+    * bias the sample toward one id region. */
+  private[graft] def trainSample(corpus: DataFrame, n: Long,
+                                 cap: Long = trainSampleCap): DataFrame =
+    if (n <= cap) corpus
+    else corpus.filter(pmod(
+      expr("conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10)")
+        .cast("long"), lit(n / cap)) === 0)
+
   /** Train the composed index's three artifacts from one corpus: coarse
     * centroids, PQ codebooks, and the FUSED (vec_id, centroid_id, codes)
     * table. Single source of truth for the build — AnnIndex's persisted
     * layout, the incremental-admission and ingest-dedup oracled queries,
     * and their specs all build through here, so the fused-index shape
-    * can never silently diverge between them. */
+    * can never silently diverge between them. Corpora above
+    * [[trainSampleCap]] train the quantizers on the deterministic sample
+    * (localCheckpointed once so the two Lloyd loops don't rescan the
+    * corpus per round); nlist still derives from the FULL corpus size —
+    * list granularity is a property of what the index serves, not of
+    * what trained it. */
   def trainAndFuse(corpus: DataFrame, nlist: Int = 0,
                    m: Int = pqM, ksub: Int = pqKsub)
       : (DataFrame, DataFrame, DataFrame) = {
-    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
-    val cent = ivfTrainedCentroids(corpus, nl)
-    val cb = pqCodebooks(corpus, m, ksub)
+    val n = corpus.count()
+    val nl = if (nlist > 0) nlist else autoNlist(n)
+    val train =
+      if (n <= trainSampleCap) corpus
+      else trainSample(corpus, n).localCheckpoint()
+    val cent = ivfTrainedCentroids(train, nl)
+    val cb = pqCodebooks(train, m, ksub)
     val fused = pqEncode(corpus, cb, m)
       .join(ivfTrainedAssign(corpus, cent)
         .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))

@@ -37,8 +37,9 @@ object Graph extends QModule {
     *
     * The edge/degree tables are checkpointed ONCE at entry and the rank
     * table once per iteration (same `reliable` contract as
-    * `Dedup.dupClusters`: localCheckpoint for local/short jobs,
-    * SparkContext-checkpoint on a cluster). Without this, unrolling K
+    * `Dedup.dupClusters` — see [[LoopCkpt]]: localCheckpoint for
+    * local/short jobs, durable parquet rounds with O(1)-in-K disk
+    * lifecycle on a cluster). Without this, unrolling K
     * iterations embeds K copies of the upstream edge derivation (here a
     * lineitem scan + distinct) and a depth-K join lineage in ONE plan;
     * whether Spark's exchange reuse deduplicates those copies is
@@ -50,17 +51,9 @@ object Graph extends QModule {
   def pagerankFixedPoint(edges0: DataFrame, iters: Int,
                          microInit: Long = 1000000L,
                          reliable: Boolean = false): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame =
-      if (!reliable) df.localCheckpoint()
-      else {
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(
-            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-        df.checkpoint()
-      }
-    val edges = ckpt(edges0)
-    val deg = ckpt(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val lc = new LoopCkpt(edges0.sparkSession, reliable)
+    val edges = lc.pin(edges0)
+    val deg = lc.pin(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     var rank = deg.select(col("src").as("node"), lit(microInit).as("r"))
     for (i <- 1 to iters) {
       val next = rank
@@ -73,7 +66,7 @@ object Graph extends QModule {
           (lit(150000L) + expr("(85 * in_sum) div 100")).as("r"))
       // the final iteration stays lazy: the caller composes (orderBy,
       // further joins) on a plan whose inputs are all materialized
-      rank = if (i < iters) ckpt(next) else next
+      rank = if (i < iters) lc.round(next) else next
     }
     rank.select(col("node"), col("r").as("rank_fp"))
   }

@@ -55,7 +55,23 @@ object AnnIndex {
   private val fingerprintCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  /** Train-or-load the IVF×PQ index for the `embeddings` table of `dir`. */
+  /** Test/bench hook: forget memoized fingerprints so the next `ensure`
+    * pays the real corpus scan — what a fresh JVM pays on warm open.
+    * ScaleBench's `warm_ensure_sec` clears this before measuring (the
+    * r12 number was a same-JVM cache hit that understated warm-open). */
+  private[graft] def clearFingerprintCache(): Unit = fingerprintCache.clear()
+
+  /** Train-or-load the IVF×PQ index for the `embeddings` table of `dir`.
+    *
+    * DEPLOYMENT NOTE — the tmpdir root below is the SANDBOX convenience
+    * form only (local bench/oracle runs, where the index is a cache and
+    * a lost one rebuilds). The production surface is
+    * [[ensureIvfPqFor]]`(emb, root = <durable shared storage>)` /
+    * [[initIngest]]`(emb, root = ...)` with the root on storage every
+    * executor and every successor JVM can reach (HDFS/NFS-backed mount);
+    * the fingerprint contract makes a relocated or copied root ADOPTED
+    * in place, never rebuilt (RelocatedRootSpec pins that), so moving an
+    * index onto durable storage is a plain directory copy. */
   def ensureIvfPq(s: SparkSession, dir: String,
                   m: Int = Similarity.pqM,
                   ksub: Int = Similarity.pqKsub): IvfPq =
@@ -142,58 +158,102 @@ object AnnIndex {
     *
     * Single-writer contract (a streaming foreachBatch sink satisfies it
     * naturally); caller guarantees vec_ids unique across the corpus and
-    * all batches. Verdicts are COLLECTED (batch-sized — bounded by the
-    * micro-batch) before either append, so the probe can never observe
-    * the batch itself in the index and no checkpointed blocks accumulate
-    * across a long-running stream. nprobe derives from the TRAINED list
-    * count, not the growing corpus size.
+    * all batches. The verdict path is fully DISTRIBUTED: verdicts are
+    * persisted to parquet (one batch-sized write — never a driver
+    * collect, so the same entry point serves a 10⁸-row bulk backfill)
+    * BEFORE either append, and both appends derive from that persisted
+    * copy — so the probe can never observe the batch itself in the index
+    * (a lazy re-evaluation after the vector append would flag batch
+    * members as duplicates of themselves) and no checkpointed blocks
+    * accumulate across a long-running stream. nprobe derives from the
+    * TRAINED list count, not the growing corpus size.
     *
-    * Crash/replay semantics: pass the foreachBatch `batchId` to make
-    * redelivery effectively-once — completed batches persist their
-    * verdicts under `ingested/batch_<id>` (written LAST) and a replay
-    * returns them without re-appending. Appends are ordered vectors
-    * FIRST: a crash between the two appends leaves an orphan vector row
-    * (harmless — verdicts derive from max-cosine and never flip on
-    * duplicates, and `retrain` dedups the table), never an index row
-    * whose exact-re-rank vector is missing, which would silently
-    * disable dup detection for that batch. */
+    * Crash/replay semantics (effectively-once): the verdict parquet
+    * doubles as the BATCH-START MARKER — it is written to
+    * `ingested/batch_<id>.pending` before any append and renamed to
+    * `ingested/batch_<id>` only after both appends commit. A replay of a
+    * finalized batch returns the stored verdicts without touching the
+    * tables. A replay that finds the pending marker knows appends may
+    * have partially applied and HEALS: each append is re-derived from
+    * the pinned verdicts and applied only if the tables don't already
+    * contain the batch's survivors (a semi-join membership probe — paid
+    * only on the rare crash-replay path), then the marker is finalized.
+    * A pending dir without `_SUCCESS` (crash mid-verdict-write) is
+    * discarded and the batch runs fresh — nothing was appended. Each
+    * append is atomic at job-commit granularity (Spark's committed files
+    * become visible at job commit; `_temporary` is never read), so
+    * "present" vs "absent" is a clean binary and a replay can never
+    * re-append survivors — the nVec==nIdx invariant holds through any
+    * crash point, not just the between-appends window. */
   def ingest(root: java.io.File, batch: DataFrame, k: Int = 5,
              thresholdE9: Long = 400000000L,
              m: Int = Similarity.pqM,
              batchId: Option[Long] = None): DataFrame = {
     val s = batch.sparkSession
-    import s.implicits._
     val done = batchId.map(id => new java.io.File(root, s"ingested/batch_$id"))
     val replayed = done.filter(d => new java.io.File(d, "_SUCCESS").exists())
     if (replayed.isDefined)
       return s.read.parquet(replayed.get.getPath).orderBy(col("vec_id"))
-    val idx = IvfPq(
-      s.read.parquet(s"$root/centroids"),
-      s.read.parquet(s"$root/codebooks"),
-      s.read.parquet(s"$root/index"))
-    val vectors = s.read.parquet(s"$root/vectors")
-    val nl = idx.centroids.count().toInt
-    val verdicts = Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
-        nlist = nl, nprobe = Similarity.autoNprobe(nl),
-        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
-        index = Some(idx.index))
-      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
-    val dupIds = verdicts.collect { case (id, true) => id }
+    val pending = done
+      .map(d => new java.io.File(d.getParentFile, d.getName + ".pending"))
+      .getOrElse(new java.io.File(root,
+        s"ingested/adhoc_${java.util.UUID.randomUUID().toString.take(12)}"))
+    val healing = new java.io.File(pending, "_SUCCESS").exists()
+    if (!healing) {
+      val idx = IvfPq(
+        s.read.parquet(s"$root/centroids"),
+        s.read.parquet(s"$root/codebooks"),
+        s.read.parquet(s"$root/index"))
+      val vectors = s.read.parquet(s"$root/vectors")
+      val nl = idx.centroids.count().toInt
+      Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
+          nlist = nl, nprobe = Similarity.autoNprobe(nl),
+          centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+          index = Some(idx.index))
+        .write.mode("overwrite").parquet(pending.getPath)
+    }
+    val verdicts = s.read.parquet(pending.getPath)
     val survivors = batch
-      .join(dupIds.toSeq.toDF("vec_id"), Seq("vec_id"), "left_anti")
-    survivors.select(col("vec_id"), col("embedding"))
-      .write.mode("append").parquet(s"$root/vectors")
-    val newRows = admit(idx, survivors, m)
-    val partitionedLayout = Option(new java.io.File(root, "index").listFiles())
-      .exists(_.exists(_.getName.startsWith("centroid_id=")))
-    if (partitionedLayout)
-      newRows.repartition(col("centroid_id"))
-        .write.mode("append").partitionBy("centroid_id")
-        .parquet(s"$root/index")
-    else newRows.write.mode("append").parquet(s"$root/index")
-    val out = verdicts.toSeq.toDF("vec_id", "is_dup")
-    done.foreach(d => out.write.mode("overwrite").parquet(d.getPath))
-    out.orderBy(col("vec_id"))
+      .join(verdicts.filter(col("is_dup")).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    val survivorIds = verdicts.filter(!col("is_dup")).select(col("vec_id"))
+    // on the heal path, check whether an append already committed before
+    // re-applying it; a partial overlap would mean a torn append and is
+    // a loud failure, never a silent re-append
+    def applied(table: String): Boolean = {
+      if (!healing) return false
+      val expected = survivorIds.count()
+      val present = s.read.parquet(s"$root/$table")
+        .join(survivorIds, Seq("vec_id"), "left_semi").count()
+      require(present == 0L || present == expected,
+        s"torn $table append for batch ${batchId.getOrElse(-1L)}: " +
+          s"$present of $expected survivors present")
+      present == expected && expected > 0L
+    }
+    if (!applied("vectors"))
+      survivors.select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(s"$root/vectors")
+    if (!applied("index")) {
+      val idx = IvfPq(
+        s.read.parquet(s"$root/centroids"),
+        s.read.parquet(s"$root/codebooks"),
+        s.read.parquet(s"$root/index"))
+      val newRows = admit(idx, survivors, m)
+      val partitionedLayout = Option(new java.io.File(root, "index").listFiles())
+        .exists(_.exists(_.getName.startsWith("centroid_id=")))
+      if (partitionedLayout)
+        newRows.repartition(col("centroid_id"))
+          .write.mode("append").partitionBy("centroid_id")
+          .parquet(s"$root/index")
+      else newRows.write.mode("append").parquet(s"$root/index")
+    }
+    // finalize LAST: the rename is the only step that makes a replay
+    // return without healing
+    done.foreach { d =>
+      require(pending.renameTo(d),
+        s"could not finalize ingest marker $d")
+    }
+    s.read.parquet(done.getOrElse(pending).getPath).orderBy(col("vec_id"))
   }
 
   /** Epoch retrain of an ingest root: rebuild quantizers, fingerprint
@@ -271,10 +331,11 @@ object AnnIndex {
     // layout (or the pre-partitioning v1/v2 formats) rebuilds rather
     // than serving without its contract
     val fingerprint =
-      s"v3 layout=${if (parts) "partitioned" else "flat"} " +
+      s"v4 layout=${if (parts) "partitioned" else "flat"} " +
         s"n=$n sig=$sig m=$m ksub=$ksub " +
         s"ivfIters=${Similarity.ivfKmeansIters} " +
-        s"pqIters=${Similarity.pqKmeansIters}"
+        s"pqIters=${Similarity.pqKmeansIters} " +
+        s"trainCap=${Similarity.trainSampleCap}"
     def metaOk(r: java.io.File): Boolean = {
       val f = new java.io.File(r, "meta/FINGERPRINT")
       f.exists() && java.nio.file.Files.readString(
