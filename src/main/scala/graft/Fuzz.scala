@@ -2004,6 +2004,39 @@ object Fuzz {
     }, sql, "double_corr")
   }
 
+  /** T38: randomized semantic-ingest differential — the self-maintaining
+    * ANN index's admission kernel under a random standing/batch split,
+    * duplicate threshold, k, and probe width. The Spark side runs the
+    * REAL stateful lifecycle (fresh ingest root, initIngest on the
+    * standing residue, one ingest step — persisted verdicts, distributed
+    * survivor anti-join and appends), so a divergence between the
+    * stateful path and the stateless kernel surfaces here too; the
+    * oracle replays the from-scratch training + per-member probe +
+    * threshold in SQL (the SAME parameterized text the registry row
+    * dedup_semantic_ingest pins at 10/3/4e8/5/derived, so the fuzz
+    * family and the fixed row can never drift apart). nprobe coin-flips
+    * between the derived 3/8-of-nlist formula and an explicit override
+    * (the recall/cost serving knob a deployment actually turns). */
+  private def genSemanticIngest(r: Random, name: String): FuzzQuery = {
+    val mod = pick(r, Seq(7, 9, 11, 13))
+    val res = r.nextInt(mod)
+    val thr = pick(r, Seq(250000000L, 400000000L, 550000000L, 700000000L))
+    val k = 1 + r.nextInt(6)
+    val np = if (r.nextBoolean()) 0 else 6 + r.nextInt(10)
+    val sql = graft.ext.SimilarityQueries.duckSemanticIngest(
+      mod, res, thr, k, np)
+    FuzzQuery(name, (s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val standing = emb.filter(col("vec_id") % mod =!= res)
+      val batch = emb.filter(col("vec_id") % mod === res)
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_fuzz_ingest_$name")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      graft.sources.AnnIndex.initIngest(standing, root)
+      graft.sources.AnnIndex.ingest(root, batch, k, thr, nprobe = np)
+    }, sql, "semantic_ingest")
+  }
+
   // ---- corpus --------------------------------------------------------------
 
   /** The deterministic corpus for (seed, n): same seed → same queries,
@@ -2012,7 +2045,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(37) match {
+      r.nextInt(38) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -2049,7 +2082,8 @@ object Fuzz {
         case 33 => genChangeset(r, name)
         case 34 => genProfile(r, name)
         case 35 => genCalendarRollup(r, name)
-        case _ => genDoubleCorr(r, name)
+        case 36 => genDoubleCorr(r, name)
+        case _ => genSemanticIngest(r, name)
       }
     }
   }

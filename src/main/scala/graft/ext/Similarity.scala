@@ -1082,6 +1082,237 @@ object SimilarityQueries extends QModule {
 
   private val duckCosine = duckCos("a.embedding", "b.embedding")
 
+  /** Ingest-time semantic dedup as DuckDB SQL, parameterized by the
+    * standing/batch split (vec_id % mod == res is the batch), the
+    * duplicate threshold, k, and an optional nprobe override (0 =
+    * the derived 3/8-of-nlist formula). Shared by the
+    * dedup_semantic_ingest registry row (10/3/4e8/5/derived) and the
+    * Fuzz T38 generator, which randomizes every parameter - so the
+    * oracle text and the registry row can never drift apart. */
+  private[graft] def duckSemanticIngest(mod: Int, res: Int,
+      thresholdE9: Long, k: Int, nprobe: Int): String = {
+    val npSql = if (nprobe > 0) nprobe.toString else "np"
+    s"""
+      WITH base AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings WHERE vec_id % $mod <> $res) t0),
+      pbase AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings WHERE vec_id % $mod = $res) t0),
+      iprm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings WHERE vec_id % $mod <> $res) t),
+      c0 AS (
+        SELECT vec_id AS centroid_id, ve6 AS ce6
+        FROM base, iprm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      ${duckLloydRounds(ivfKmeansIters)}
+      aF AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT b.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base b CROSS JOIN c$ivfKmeansIters c) t
+        WHERE rk = 1),
+      probes AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.vec_id AS query_id, c.centroid_id, p.np,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(c.ce6, q.ve6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM pbase q CROSS JOIN c$ivfKmeansIters c CROSS JOIN iprm p) t
+        WHERE rk <= $npSql),
+      nbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM base),
+      subs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pnbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM pbase),
+      psubs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM pnbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pprm AS (
+        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
+        FROM embeddings WHERE vec_id % $mod <> $res),
+      p0 AS (
+        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        FROM subs, pprm
+        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+      ${duckPqRounds(pqKmeansIters)}
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_sum(list_transform(list_zip(s.sub, c.ce6),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   c.code ASC) AS rk
+          FROM subs s JOIN p$pqKmeansIters c ON s.m = c.m) t
+        WHERE rk = 1),
+      qdt AS (
+        SELECT s.vec_id AS query_id, c.m, c.code,
+               CAST(list_sum(list_transform(list_zip(s.sub, c.ce6),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM psubs s JOIN p$pqKmeansIters c ON s.m = c.m),
+      adc AS (
+        SELECT d.query_id, e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
+        FROM enc e
+        JOIN qdt d ON e.m = d.m AND e.code = d.code
+        JOIN aF a ON a.vec_id = e.vec_id
+        JOIN probes pr ON pr.query_id = d.query_id
+                      AND pr.centroid_id = a.centroid_id
+        WHERE e.vec_id <> d.query_id
+        GROUP BY d.query_id, e.vec_id),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   adc ASC, vec_id ASC) AS ark
+          FROM adc) t
+        WHERE ark <= ${k * 8}),
+      hits AS (
+        SELECT query_id, MAX(cosine_e9) AS best FROM (
+          SELECT c.query_id,
+                 CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT)
+                   AS cosine_e9,
+                 row_number() OVER (PARTITION BY c.query_id ORDER BY
+                   CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT) DESC,
+                   b.vec_id ASC) AS rk
+          FROM cand c
+          JOIN embeddings b ON b.vec_id = c.vec_id
+          JOIN embeddings q ON q.vec_id = c.query_id) t
+        WHERE rk <= $k GROUP BY query_id)
+      SELECT p.vec_id, coalesce(h.best >= $thresholdE9, FALSE) AS is_dup
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % $mod = $res) p
+      LEFT JOIN hits h ON h.query_id = p.vec_id
+      ORDER BY p.vec_id
+    """
+  }
+
+  /** Full-corpus composed IVF×PQ probe as DuckDB SQL, parameterized by
+    * the query vector id: replays BOTH trainings (generated Lloyd + PQ
+    * rounds over one integerized base), derived nlist/nprobe, probe
+    * selection, the list-restricted ADC scan and the exact re-rank.
+    * Shared by sim_ann_ivfpq (qid 0, probing the persisted index) and
+    * sim_ann_ivfpq_retrain (qid 3, whose Spark side arrives at the SAME
+    * full-corpus index through the ingest lifecycle: init on the
+    * standing 9/10 -> admit two batches -> epoch retrain) - one SQL
+    * verifies that the lifecycle converges to the from-scratch build. */
+  private def duckFullIvfPqProbe(qid: Int): String = s"""
+      WITH base AS (
+        SELECT vec_id, ve6,
+               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
+                                  AS BIGINT) AS DOUBLE)),
+                        CAST(1e-12 AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
+              FROM embeddings) t0),
+      iprm AS (
+        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
+               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
+        FROM (SELECT greatest(16, least(4096,
+                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
+                     COUNT(*) AS n
+              FROM embeddings) t),
+      c0 AS (
+        SELECT vec_id AS centroid_id, ve6 AS ce6
+        FROM base, iprm s
+        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+      ${duckLloydRounds(ivfKmeansIters)}
+      aF AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT b.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
+                   c.centroid_id ASC) AS rk
+          FROM base b CROSS JOIN c$ivfKmeansIters c) t
+        WHERE rk = 1),
+      qiv AS (SELECT ve6 AS qe6 FROM base WHERE vec_id = $qid),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT centroid_id, p.np,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
+                   centroid_id ASC) AS rk
+          FROM c$ivfKmeansIters CROSS JOIN qiv CROSS JOIN iprm p) t
+        WHERE rk <= np),
+      nbase AS (
+        SELECT vec_id,
+               list_transform(ve6,
+                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
+        FROM base),
+      subs AS (
+        SELECT vec_id, CAST(mi AS INT) AS m,
+               list_slice(ne6, mi * ${pqDim / pqM} + 1,
+                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
+        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+      pprm AS (
+        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
+        FROM embeddings),
+      p0 AS (
+        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        FROM subs, pprm
+        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+      ${duckPqRounds(pqKmeansIters)}
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_sum(list_transform(list_zip(s.sub, c.ce6),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   c.code ASC) AS rk
+          FROM subs s JOIN p${pqKmeansIters} c ON s.m = c.m) t
+        WHERE rk = 1),
+      qs AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = $qid),
+      dt AS (
+        SELECT c.m, c.code,
+               CAST(list_sum(list_transform(list_zip(q.qsub, c.ce6),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM p${pqKmeansIters} c JOIN qs q ON c.m = q.m),
+      adc AS (
+        SELECT e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
+        FROM enc e
+        JOIN dt d ON e.m = d.m AND e.code = d.code
+        JOIN aF a ON a.vec_id = e.vec_id
+        JOIN probed pr ON a.centroid_id = pr.centroid_id
+        WHERE e.vec_id <> $qid
+        GROUP BY e.vec_id),
+      cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${10 * 8})
+      SELECT vec_id, cosine_e9 FROM (
+        SELECT b.vec_id, CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
+        FROM embeddings b JOIN cand USING (vec_id)
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = $qid) a(embedding)
+        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
+    """
+
   /** One SQL CTE pair (assign + recenter) per Lloyd round — generated
     * from the SAME iteration count the Spark side trains with, so the
     * oracle replays training verbatim at any `iters`. */
@@ -1492,93 +1723,7 @@ object SimilarityQueries extends QModule {
       ivfPqTopK(t(s, dir, "embeddings"), 0L, 10,
         centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
         index = Some(idx.index))
-    }, sql = Some(s"""
-      WITH base AS (
-        SELECT vec_id, ve6,
-               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
-                                  AS BIGINT) AS DOUBLE)),
-                        CAST(1e-12 AS DOUBLE)) AS nrm
-        FROM (SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
-              FROM embeddings) t0),
-      iprm AS (
-        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
-               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
-        FROM (SELECT greatest(16, least(4096,
-                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
-                     COUNT(*) AS n
-              FROM embeddings) t),
-      c0 AS (
-        SELECT vec_id AS centroid_id, ve6 AS ce6
-        FROM base, iprm s
-        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
-      ${duckLloydRounds(ivfKmeansIters)}
-      aF AS (
-        SELECT vec_id, centroid_id FROM (
-          SELECT b.vec_id, c.centroid_id,
-                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
-                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
-                   c.centroid_id ASC) AS rk
-          FROM base b CROSS JOIN c$ivfKmeansIters c) t
-        WHERE rk = 1),
-      qiv AS (SELECT ve6 AS qe6 FROM base WHERE vec_id = 0),
-      probed AS (
-        SELECT centroid_id FROM (
-          SELECT centroid_id, p.np,
-                 row_number() OVER (ORDER BY
-                   list_sum(list_transform(list_zip(ce6, qe6), p -> p[1] * p[2])) DESC,
-                   centroid_id ASC) AS rk
-          FROM c$ivfKmeansIters CROSS JOIN qiv CROSS JOIN iprm p) t
-        WHERE rk <= np),
-      nbase AS (
-        SELECT vec_id,
-               list_transform(ve6,
-                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
-        FROM base),
-      subs AS (
-        SELECT vec_id, CAST(mi AS INT) AS m,
-               list_slice(ne6, mi * ${pqDim / pqM} + 1,
-                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
-        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
-      pprm AS (
-        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
-        FROM embeddings),
-      p0 AS (
-        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
-        FROM subs, pprm
-        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
-      ${duckPqRounds(pqKmeansIters)}
-      enc AS (
-        SELECT vec_id, m, code FROM (
-          SELECT s.vec_id, s.m, c.code,
-                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-                   list_sum(list_transform(list_zip(s.sub, c.ce6),
-                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
-                   c.code ASC) AS rk
-          FROM subs s JOIN p${pqKmeansIters} c ON s.m = c.m) t
-        WHERE rk = 1),
-      qs AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
-      dt AS (
-        SELECT c.m, c.code,
-               CAST(list_sum(list_transform(list_zip(q.qsub, c.ce6),
-                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
-        FROM p${pqKmeansIters} c JOIN qs q ON c.m = q.m),
-      adc AS (
-        SELECT e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
-        FROM enc e
-        JOIN dt d ON e.m = d.m AND e.code = d.code
-        JOIN aF a ON a.vec_id = e.vec_id
-        JOIN probed pr ON a.centroid_id = pr.centroid_id
-        WHERE e.vec_id <> 0
-        GROUP BY e.vec_id),
-      cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${10 * 8})
-      SELECT vec_id, cosine_e9 FROM (
-        SELECT b.vec_id, CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
-        FROM embeddings b JOIN cand USING (vec_id)
-        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a(embedding)
-        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
-    """), headline = true),
+    }, sql = Some(duckFullIvfPqProbe(0)), headline = true),
 
     // Batch ANN join over the composed IVF×PQ index: every 20th vector is
     // a held-out query; each gets its approximate top-5 through the SAME
@@ -1845,128 +1990,41 @@ object SimilarityQueries extends QModule {
       semanticDupFlags(batch, standing, k = 5, thresholdE9 = 400000000L,
         nlist = nl, nprobe = np,
         centroids = Some(cent), codebooks = Some(cb), index = Some(idx))
-    }, sql = Some(s"""
-      WITH base AS (
-        SELECT vec_id, ve6,
-               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
-                                  AS BIGINT) AS DOUBLE)),
-                        CAST(1e-12 AS DOUBLE)) AS nrm
-        FROM (SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
-              FROM embeddings WHERE vec_id % 10 <> 3) t0),
-      pbase AS (
-        SELECT vec_id, ve6,
-               greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
-                                  AS BIGINT) AS DOUBLE)),
-                        CAST(1e-12 AS DOUBLE)) AS nrm
-        FROM (SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
-              FROM embeddings WHERE vec_id % 10 = 3) t0),
-      iprm AS (
-        SELECT nl, greatest(6, (nl * 3) // 8) AS np,
-               greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
-        FROM (SELECT greatest(16, least(4096,
-                       CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
-                     COUNT(*) AS n
-              FROM embeddings WHERE vec_id % 10 <> 3) t),
-      c0 AS (
-        SELECT vec_id AS centroid_id, ve6 AS ce6
-        FROM base, iprm s
-        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
-      ${duckLloydRounds(ivfKmeansIters)}
-      aF AS (
-        SELECT vec_id, centroid_id FROM (
-          SELECT b.vec_id, c.centroid_id,
-                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
-                   list_sum(list_transform(list_zip(b.ve6, c.ce6), p -> p[1] * p[2])) DESC,
-                   c.centroid_id ASC) AS rk
-          FROM base b CROSS JOIN c$ivfKmeansIters c) t
-        WHERE rk = 1),
-      probes AS (
-        SELECT query_id, centroid_id FROM (
-          SELECT q.vec_id AS query_id, c.centroid_id, p.np,
-                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_sum(list_transform(list_zip(c.ce6, q.ve6), p -> p[1] * p[2])) DESC,
-                   c.centroid_id ASC) AS rk
-          FROM pbase q CROSS JOIN c$ivfKmeansIters c CROSS JOIN iprm p) t
-        WHERE rk <= np),
-      nbase AS (
-        SELECT vec_id,
-               list_transform(ve6,
-                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
-        FROM base),
-      subs AS (
-        SELECT vec_id, CAST(mi AS INT) AS m,
-               list_slice(ne6, mi * ${pqDim / pqM} + 1,
-                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
-        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
-      pnbase AS (
-        SELECT vec_id,
-               list_transform(ve6,
-                 v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
-        FROM pbase),
-      psubs AS (
-        SELECT vec_id, CAST(mi AS INT) AS m,
-               list_slice(ne6, mi * ${pqDim / pqM} + 1,
-                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
-        FROM pnbase, UNNEST(range(0, ${pqM})) t(mi)),
-      pprm AS (
-        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
-        FROM embeddings WHERE vec_id % 10 <> 3),
-      p0 AS (
-        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
-        FROM subs, pprm
-        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
-      ${duckPqRounds(pqKmeansIters)}
-      enc AS (
-        SELECT vec_id, m, code FROM (
-          SELECT s.vec_id, s.m, c.code,
-                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-                   list_sum(list_transform(list_zip(s.sub, c.ce6),
-                                           p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
-                   c.code ASC) AS rk
-          FROM subs s JOIN p$pqKmeansIters c ON s.m = c.m) t
-        WHERE rk = 1),
-      qdt AS (
-        SELECT s.vec_id AS query_id, c.m, c.code,
-               CAST(list_sum(list_transform(list_zip(s.sub, c.ce6),
-                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
-        FROM psubs s JOIN p$pqKmeansIters c ON s.m = c.m),
-      adc AS (
-        SELECT d.query_id, e.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc
-        FROM enc e
-        JOIN qdt d ON e.m = d.m AND e.code = d.code
-        JOIN aF a ON a.vec_id = e.vec_id
-        JOIN probes pr ON pr.query_id = d.query_id
-                      AND pr.centroid_id = a.centroid_id
-        WHERE e.vec_id <> d.query_id
-        GROUP BY d.query_id, e.vec_id),
-      cand AS (
-        SELECT query_id, vec_id FROM (
-          SELECT query_id, vec_id,
-                 row_number() OVER (PARTITION BY query_id ORDER BY
-                   adc ASC, vec_id ASC) AS ark
-          FROM adc) t
-        WHERE ark <= ${5 * 8}),
-      hits AS (
-        SELECT query_id, MAX(cosine_e9) AS best FROM (
-          SELECT c.query_id,
-                 CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT)
-                   AS cosine_e9,
-                 row_number() OVER (PARTITION BY c.query_id ORDER BY
-                   CAST(floor(${duckCos("b.embedding", "q.embedding")} * 1e9 + 0.5) AS BIGINT) DESC,
-                   b.vec_id ASC) AS rk
-          FROM cand c
-          JOIN embeddings b ON b.vec_id = c.vec_id
-          JOIN embeddings q ON q.vec_id = c.query_id) t
-        WHERE rk <= 5 GROUP BY query_id)
-      SELECT p.vec_id, coalesce(h.best >= 400000000, FALSE) AS is_dup
-      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 3) p
-      LEFT JOIN hits h ON h.query_id = p.vec_id
-      ORDER BY p.vec_id
-    """)),
+    }, sql = Some(duckSemanticIngest(10, 3, 400000000L, 5, 0))),
+
+    // Epoch-retrain lifecycle, oracled END TO END: init the ingest root
+    // on the standing 9/10 of the corpus, ingest the held-out tenth as
+    // two batches (threshold above max cosine_e9, so every member is
+    // admitted — dup DETECTION is dedup_semantic_ingest's row; this row
+    // pins the index lifecycle), epoch-retrain from the grown vector
+    // table, probe the retrained persisted index. The oracle is the
+    // FROM-SCRATCH full-corpus build + probe (duckFullIvfPqProbe at
+    // query vec 3): retrain's contract is exactly that the lifecycle
+    // converges to the from-scratch index — a stale quantizer left
+    // behind, a batch row missing from the vector table, or a retrain
+    // that re-reads anything narrower than the grown corpus all
+    // hash-diverge here. The root is rebuilt from scratch each run so
+    // the replay is deterministic.
+    Q("sim_ann_ivfpq_retrain", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val standing = emb.filter(col("vec_id") % 10 =!= 3)
+      val batch1 = emb.filter(col("vec_id") % 20 === 3)
+      val batch2 = emb.filter(col("vec_id") % 10 === 3 &&
+        col("vec_id") % 20 =!= 3)
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_annretrain_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      graft.sources.AnnIndex.initIngest(standing, root)
+      graft.sources.AnnIndex.ingest(root, batch1,
+        thresholdE9 = 1000000001L, batchId = Some(1L))
+      graft.sources.AnnIndex.ingest(root, batch2,
+        thresholdE9 = 1000000001L, batchId = Some(2L))
+      val idx = graft.sources.AnnIndex.retrain(s, root)
+      val nl = autoNlist(emb.count())
+      ivfPqTopK(emb, 3L, 10, nlist = nl, nprobe = autoNprobe(nl),
+        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+        index = Some(idx.index))
+    }, sql = Some(duckFullIvfPqProbe(3))),
 
     // Per-language embedding centroid (mean pooling — the "cluster/domain
     // prototype" step of a training-mix pipeline). Elements are e6-quantized

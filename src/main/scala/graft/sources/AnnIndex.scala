@@ -166,7 +166,9 @@ object AnnIndex {
     * (a lazy re-evaluation after the vector append would flag batch
     * members as duplicates of themselves) and no checkpointed blocks
     * accumulate across a long-running stream. nprobe derives from the
-    * TRAINED list count, not the growing corpus size.
+    * TRAINED list count, not the growing corpus size (overridable via
+    * `nprobe` — the recall/cost serving knob; Fuzz T38 randomizes it
+    * against the oracle).
     *
     * Crash/replay semantics (effectively-once): the verdict parquet
     * doubles as the BATCH-START MARKER — it is written to
@@ -188,7 +190,8 @@ object AnnIndex {
   def ingest(root: java.io.File, batch: DataFrame, k: Int = 5,
              thresholdE9: Long = 400000000L,
              m: Int = Similarity.pqM,
-             batchId: Option[Long] = None): DataFrame = {
+             batchId: Option[Long] = None,
+             nprobe: Int = 0): DataFrame = {
     val s = batch.sparkSession
     val done = batchId.map(id => new java.io.File(root, s"ingested/batch_$id"))
     val replayed = done.filter(d => new java.io.File(d, "_SUCCESS").exists())
@@ -207,7 +210,8 @@ object AnnIndex {
       val vectors = s.read.parquet(s"$root/vectors")
       val nl = idx.centroids.count().toInt
       Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
-          nlist = nl, nprobe = Similarity.autoNprobe(nl),
+          nlist = nl,
+          nprobe = if (nprobe > 0) nprobe else Similarity.autoNprobe(nl),
           centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
           index = Some(idx.index))
         .write.mode("overwrite").parquet(pending.getPath)

@@ -232,6 +232,70 @@ class AnnIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
   }
 
+  test("ingest replay after a crash between appends and finalize heals, never re-appends") {
+    // the r12-advice window: a crash AFTER the vectors/index appends but
+    // BEFORE the verdict marker finalizes. A replay of that batchId must
+    // detect the committed appends via the pending marker's membership
+    // probe and finalize WITHOUT appending again — the nVec == nIdx
+    // invariant and the row counts must hold through the window.
+    val emb = t(spark, dir, "embeddings")
+    val iroot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_crash_replay")
+    org.apache.commons.io.FileUtils.deleteQuietly(iroot)
+    try {
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), iroot)
+      val batch = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("embedding"))
+      val flags = AnnIndex.ingest(iroot, batch, batchId = Some(7L))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).sortBy(_._1).toSeq
+      val nVec = spark.read.parquet(s"$iroot/vectors").count()
+      val nIdx = spark.read.parquet(s"$iroot/index").count()
+      assert(nVec === nIdx)
+      // manufacture the crash state: appends committed, marker pending
+      val fin = new java.io.File(iroot, "ingested/batch_7")
+      val pend = new java.io.File(iroot, "ingested/batch_7.pending")
+      assert(fin.renameTo(pend))
+      val replay = AnnIndex.ingest(iroot, batch, batchId = Some(7L))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).sortBy(_._1).toSeq
+      assert(replay === flags, "heal path changed the verdicts")
+      assert(new java.io.File(fin, "_SUCCESS").exists(), "marker not finalized")
+      assert(spark.read.parquet(s"$iroot/vectors").count() === nVec,
+        "heal path re-appended vectors")
+      assert(spark.read.parquet(s"$iroot/index").count() === nIdx,
+        "heal path re-appended index rows")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(iroot)
+  }
+
+  test("a relocated root (directory copy to a new path) is adopted, not rebuilt") {
+    // the deployment story in ensureIvfPq's scaladoc: moving an index
+    // onto durable shared storage is a plain directory copy, because the
+    // fingerprint pins params + corpus content, never the path. A fresh
+    // ensure against the copied root (fingerprint memo cleared — the
+    // fresh-JVM posture) must adopt the files untouched and probe
+    // identically.
+    val emb = t(spark, dir, "embeddings")
+    AnnIndex.ensureIvfPq(spark, dir) // ensure source root exists
+    val moved = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_relocated")
+    org.apache.commons.io.FileUtils.deleteQuietly(moved)
+    try {
+      org.apache.commons.io.FileUtils.copyDirectory(root, moved)
+      def state: Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(moved).map(f => f.getPath -> f.lastModified).toMap
+      }
+      val before = state
+      AnnIndex.clearFingerprintCache()
+      val idx = AnnIndex.ensureIvfPqFor(emb, moved)
+      assert(state === before, "relocated root was rebuilt, not adopted")
+      assert(orderedRows(Similarity.ivfPqTopK(emb, 0L, 10,
+        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+        index = Some(idx.index))) ===
+        orderedRows(Similarity.ivfPqTopK(emb, 0L, 10)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(moved)
+  }
+
   test("a stale fingerprint triggers a rebuild") {
     AnnIndex.ensureIvfPq(spark, dir)
     val fp = new java.io.File(root, "meta/FINGERPRINT")
