@@ -80,7 +80,8 @@ object StreamBench {
     val joinMode = args.contains("join")
     val factors = {
       val fs = args.drop(1).toSeq
-        .filterNot(Set("state", "join", "dedup", "cdc", "neardup", "annins"))
+        .filterNot(Set("state", "join", "dedup", "cdc", "neardup", "annins",
+          "anninsgrow"))
         .map(_.toInt)
       if (fs.nonEmpty) fs else Seq(1, 4, 16)
     }
@@ -480,6 +481,70 @@ object StreamBench {
     // the curve shows per-batch wall time staying flat while the index
     // stops growing, i.e. the loop's cost is the batch probe + an
     // append proportional to SURVIVORS, not to the stream length.
+    // anninsgrow mode: the GROWTH-path complement of annins. The exact-
+    // copy replays of annins saturate by construction (dup rate ~100%
+    // after replay 1 — state stops growing, proving cost ∝ survivors);
+    // here each replay is FRESH (vectors rotated by the replay number)
+    // AND the dup threshold sits above max cosine_e9, so every member is
+    // admitted — pure growth: the probe/flag work is identical (the
+    // threshold gates after the probe), but index_rows and root_bytes
+    // grow by the full batch every step. (At the default 0.4 threshold
+    // this corpus flags ~62% of even rotated vectors — its baseline
+    // pairwise cosine is high — which would measure a mixed path, not
+    // growth.) The curve's claim: per-batch wall stays ~flat (probe is
+    // nprobe/nlist of a growing-but-compressed index; appends ∝ batch)
+    // while the index grows linearly in the replays. first/last batch
+    // walls are emitted so growth-coupled drift is visible in-record.
+    if (args.contains("anninsgrow")) {
+      import graft.sources.AnnIndex
+      val emb = Tables.t(spark, dir, "embeddings")
+      for (f <- factors) {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_sb_anninsgrow_x$f")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        AnnIndex.initIngest(emb.filter(col("vec_id") % 4 =!= 0), root)
+        val held = emb.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        val heldN = held.count()
+        var totalDup = 0L; var totalN = 0L
+        val t0 = System.nanoTime()
+        val batchWalls = (0 until f).flatMap { r =>
+          val rot = r % 64
+          val fresh =
+            if (rot == 0) col("embedding")
+            else expr(s"""concat(
+              slice(embedding, ${rot + 1}, size(embedding) - $rot),
+              slice(embedding, 1, $rot))""")
+          val replay = held.select(
+            (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+            fresh.as("embedding"))
+          (0 until 4).map { b =>
+            val batch = replay.filter(pmod(expr("vec_id div 4"), lit(4)) === b)
+            val tb = System.nanoTime()
+            val flags = AnnIndex.ingest(root, batch,
+              thresholdE9 = 1000000001L)
+            totalDup += flags.filter(col("is_dup")).count()
+            totalN += flags.count()
+            (System.nanoTime() - tb) / 1e9
+          }
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(root)
+        val idxRows = spark.read.parquet(s"$root/index").count()
+        println(s"""{"op":"stream_anninsgrow","factor":$f,"n_input":$totalN,""" +
+          s""""held":$heldN,"batches":${batchWalls.size},""" +
+          s""""wall_sec":${Fmt.num(wall, 3)},""" +
+          s""""batch_sec_first":${Fmt.num(batchWalls.head, 3)},""" +
+          s""""batch_sec_last":${Fmt.num(batchWalls.last, 3)},""" +
+          s""""batch_sec_min":${Fmt.num(batchWalls.min, 3)},""" +
+          s""""batch_sec_max":${Fmt.num(batchWalls.max, 3)},""" +
+          s""""n_dup":$totalDup,"index_rows":$idxRows,""" +
+          s""""root_bytes":$bytes}""")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("annins")) {
       import graft.sources.AnnIndex
       val emb = Tables.t(spark, dir, "embeddings")

@@ -104,19 +104,25 @@ object AnnIndex {
 
   /** Below this corpus size the index stays FLAT. The partitioned
     * layout's win is an I/O property — a probe reads nprobe/nlist of the
-    * index FILES instead of all of them — which only materializes once
-    * the index stops fitting cache; until then the DPP subquery and
-    * per-partition listing/scheduling are pure overhead. Measured
-    * (ScaleBench annbuild, both arms per ×factor, sf0.1 base): flat
-    * probe ≤ partitioned at every locally reachable size — 2k vectors
-    * 0.42 vs 0.48 s/q, 32k 0.38 vs 0.40, 128k 0.45 vs 0.50 — because
-    * even the ×64 index is 2.2 MB, fully page-cached, so pruning saves
-    * no physical I/O. At 10M+ rows (~180 MB+ index, the smallest size
-    * where cold reads appear locally) the balance tips, and at 100 TB —
-    * index in the terabytes on object storage — scanning every list per
-    * probe is not a plan; a deployment there passes
-    * `partitioned = Some(true)` regardless of this default. */
-  val partitionThreshold = 10000000L
+    * index FILES instead of all of them — while the DPP subquery and
+    * per-partition listing/scheduling are a fixed overhead, so there is
+    * a crossover, and it is MEASURED (ScaleBench annbuild, both layouts
+    * per ×factor, sf0.1 base, page cache dropped before the cold
+    * passes — PERF.md §ann-crossover): per-query probe flat vs
+    * partitioned, warm/cold —
+    *   512k vectors (4.8 MB index):  0.73/0.59 vs 0.79/0.63 — flat wins;
+    *   2.05M   (10 MB):  1.31/1.07 vs 1.20/1.12 — partitioned wins warm,
+    *                     pruned-scan component wins cold (0.146 vs 0.167);
+    *   8.19M   (41 MB):  2.82/2.67 vs 2.58/2.11 — partitioned wins
+    *                     everything, cold probe by 21%.
+    * The boundary sits between 512k and 2M locally, so the default
+    * switches at 1M. Local NVMe + a 125 GiB page cache UNDERSTATE the
+    * partitioned win — every measured index re-warms within one pass —
+    * so on cluster object storage (the 100 TB posture: index in the
+    * terabytes, nothing stays cached) the crossover only moves DOWN;
+    * 1M is the conservative local bound, and a deployment may pass
+    * `partitioned = Some(true)` below it. */
+  val partitionThreshold = 1000000L
 
   /** Initialize a SELF-MAINTAINING ingest root: the trained index plus
     * the corpus vector table (`vectors/` — the exact-re-rank side the
@@ -234,8 +240,21 @@ object AnnIndex {
           s"$present of $expected survivors present")
       present == expected && expected > 0L
     }
+    // right-size the append files: a micro-batch written at shuffle
+    // parallelism leaves up to `shuffle.partitions` near-empty files PER
+    // BATCH, and after K batches every later probe pays K× the listing/
+    // footer overhead — the measured anninsgrow ×64 curve crept 2.5→5.3
+    // s/batch from exactly this before the coalesce. One file per ~4M
+    // survivor rows (a few hundred MB of fused rows) keeps a long-lived
+    // ingest root at O(batches) files of real size, and epoch `retrain`
+    // compacts the accumulation away entirely. The survivor count is one
+    // cheap agg over the (batch-sized) pinned verdict parquet.
+    val nSurv = survivorIds.count()
+    val appendFiles = math.max(1L, nSurv / 4000000L +
+      (if (nSurv % 4000000L > 0) 1L else 0L)).toInt
     if (!applied("vectors"))
       survivors.select(col("vec_id"), col("embedding"))
+        .coalesce(appendFiles)
         .write.mode("append").parquet(s"$root/vectors")
     if (!applied("index")) {
       val idx = IvfPq(
@@ -249,7 +268,8 @@ object AnnIndex {
         newRows.repartition(col("centroid_id"))
           .write.mode("append").partitionBy("centroid_id")
           .parquet(s"$root/index")
-      else newRows.write.mode("append").parquet(s"$root/index")
+      else newRows.coalesce(appendFiles)
+        .write.mode("append").parquet(s"$root/index")
     }
     // finalize LAST: the rename is the only step that makes a replay
     // return without healing
