@@ -565,7 +565,12 @@ class PlanHygieneSpec extends SparkSpec {
     // and panel × ≤nlist-centroid broadcasts as their parents — the
     // standing-vs-batch asymmetry changes which rows feed the trainers,
     // not the join shapes
-    "sim_ann_ivfpq_incr", "dedup_semantic_ingest")
+    "sim_ann_ivfpq_incr", "dedup_semantic_ingest",
+    // retrain lifecycle: probes the retrained persisted index through the
+    // same composed shape as sim_ann_ivfpq — 1-row query-vector and ADC
+    // broadcasts only; the init→ingest→retrain stages before the probe
+    // are all equi-joins and appends
+    "sim_ann_ivfpq_retrain")
 
   test("GLOBAL: no cartesian products; nested-loop joins only where a tiny broadcast side is intended") {
     // SweepHarness: an unanalyzable query becomes one named UNRUNNABLE row
