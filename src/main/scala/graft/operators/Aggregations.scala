@@ -349,12 +349,20 @@ object Aggregations extends QModule {
     """)),
 
     // g17's oracled companion: the GK guarantee is that the returned
-    // value holds SOME rank within eps·n of q·n (accuracy 10000 ⇒ eps =
-    // 1e-4). The value's rank interval is [count(<v)+1, count(≤v)], so
-    // the check is interval intersection: count(<v) < (q+eps)·n AND
-    // count(≤v) ≥ (q−eps)·n. Spark verifies against exact ranks (one
-    // broadcast of the 1-row sketch result + one counting pass); the
-    // oracle emits the exact row count and literal TRUEs.
+    // value holds SOME rank within eps·n of the sketch's target rank
+    // (accuracy 10000 ⇒ eps = 1e-4). Two slacks compose: the eps·n
+    // sketch error, and ±1 rank for the INDEX CONVENTION — Spark's
+    // percentile target is the zero-based q·(n−1) position, not q·n, so
+    // the returned value legitimately sits up to one rank below q·n
+    // (measured: at n=6,000 the exact sketch answer has count(≤v) =
+    // q·n − 1 for all three quantiles, and eps·n = 0.6 can't absorb it —
+    // the bound without the ±1 was only ever green because every larger
+    // SF has eps·n > 1). The value's rank interval is
+    // [count(<v)+1, count(≤v)], so the check is interval intersection:
+    // count(<v) < (q+eps)·n + 1 AND count(≤v) ≥ (q−eps)·n − 1. Spark
+    // verifies against exact ranks (one broadcast of the 1-row sketch
+    // result + one counting pass); the oracle emits the exact row count
+    // and literal TRUEs.
     Q("g17b_percentile_bound", (s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -366,8 +374,8 @@ object Aggregations extends QModule {
         val v = element_at($"ap", i)
         val lt = sum(when($"l_extendedprice" < v, 1L).otherwise(0L))
         val le = sum(when($"l_extendedprice" <= v, 1L).otherwise(0L))
-        (lt < (lit(q) + eps) * count(lit(1)) &&
-          le >= (lit(q) - eps) * count(lit(1))).as(s"p${(q * 100).toInt}_within_bound")
+        (lt < (lit(q) + eps) * count(lit(1)) + 1L &&
+          le >= (lit(q) - eps) * count(lit(1)) - 1L).as(s"p${(q * 100).toInt}_within_bound")
       }
       li.crossJoin(broadcast(ap))
         .agg(count(lit(1)).as("n_rows"), ok(0.5, 1), ok(0.9, 2), ok(0.99, 3))

@@ -231,21 +231,26 @@ object Relational extends QModule {
           min($"l_partkey").as("pk_min"), max($"l_partkey").as("pk_max"),
           min($"l_suppkey").as("sk_min"), max($"l_suppkey").as("sk_max"))
         .orderBy($"z_bucket")
-    }, sql = Some("""
+    }, sql = Some(s"""
       WITH b AS (
         SELECT MIN(l_partkey) AS pklo, MAX(l_partkey) AS pkhi,
                MIN(l_suppkey) AS sklo, MAX(l_suppkey) AS skhi FROM lineitem),
       nrm AS (
-        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        SELECT l_partkey, l_suppkey,
                (l_partkey - pklo) * 65535 // GREATEST(pkhi - pklo, 1) AS pn,
                (l_suppkey - sklo) * 65535 // GREATEST(skhi - sklo, 1) AS sn
         FROM lineitem, b),
+      -- zval as one ROW-LOCAL 32-term expression (no unnest-regroup: the
+      -- earlier GROUP BY (l_orderkey, l_linenumber, ...) form assumed
+      -- that key unique, and the synthetic sf0.001 lineitem violates it —
+      -- a duplicate full key collapsed two rows and desynced one bucket
+      -- count from the per-row Spark side)
       z AS (
         SELECT l_partkey, l_suppkey,
-               CAST(SUM((((pn >> i) & 1) << (2*i))
-                      + (((sn >> i) & 1) << (2*i + 1))) AS BIGINT) AS zval
-        FROM nrm, UNNEST(range(0, 16)) t(i)
-        GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+               ${(0 until 16).map(i =>
+                   s"(((pn >> $i) & 1) << ${2 * i}) + (((sn >> $i) & 1) << ${2 * i + 1})")
+                 .mkString(" + ")} AS zval
+        FROM nrm)
       SELECT zval // 67108864 AS z_bucket, COUNT(*) AS n,
              MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
              MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
