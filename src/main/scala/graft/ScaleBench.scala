@@ -977,7 +977,14 @@ object ScaleBench {
           System.getProperty("java.io.tmpdir"),
           s"graft_annbuild_corpus_${dirTag}_x$f")
         org.apache.commons.io.FileUtils.deleteQuietly(corpusDir)
+        // CLUSTERED BY vec_id on write (range partition + sort): each
+        // file/row-group covers a disjoint id range, so a point filter
+        // (the probe's query-vector fetch) prunes to one file via
+        // parquet min/max stats instead of decoding the whole corpus —
+        // the write-layout discipline any id-keyed table ships with; the
+        // qfetch_sec_per_q field below measures exactly this term
         scaledEmbeddingsBig(spark, embBase, f)
+          .sort(col("vec_id"))
           .write.parquet(corpusDir.getPath)
         val emb = spark.read.parquet(corpusDir.getPath)
         val n = emb.count()
@@ -1027,8 +1034,20 @@ object ScaleBench {
             }
             (System.nanoTime() - t3) / 1e9 / 5
           }
+          // query-vector fetch alone: one point filter on the corpus —
+          // with the clustered write above it row-group-prunes; on an
+          // unclustered corpus it decodes everything and dominates probe
+          // growth (the r13 breakdown)
+          def qfetchPass(): Double = {
+            val t4 = System.nanoTime()
+            (0L until 5L).foreach { q =>
+              emb.filter(col("vec_id") === q).queryExecution.toRdd.count()
+            }
+            (System.nanoTime() - t4) / 1e9 / 5
+          }
           val probeWarm = (1 to 2).map(_ => probePass()).min
           val scanWarm = (1 to 2).map(_ => scanPass()).min
+          val qfetchWarm = (1 to 2).map(_ => qfetchPass()).min
           // cold = physical-I/O cost: page cache dropped before the pass
           // (whether the drop took is in the record — a failed drop means
           // cold==warm and proves nothing)
@@ -1045,6 +1064,7 @@ object ScaleBench {
             s""""probe_cold_sec_per_q":${num(probeCold)},""" +
             s""""scan_sec_per_q":${num(scanWarm)},""" +
             s""""scan_cold_sec_per_q":${num(scanCold)},""" +
+            s""""qfetch_sec_per_q":${num(qfetchWarm)},""" +
             s""""cache_dropped":$coldOk,"index_bytes":$bytes}"""
         }
         val flat = arm("flat", parts = false)

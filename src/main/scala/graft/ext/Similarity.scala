@@ -834,7 +834,16 @@ object Similarity {
     * the exact re-rank. At 100 TB the codes⋈assignment join below is ONE
     * materialized index table partitioned by centroid_id on storage — a
     * query reads nprobe partitions of a 16×-compressed table, plus
-    * k·refine full rows. Probe selection, assignment, encoding and the
+    * k·refine full rows. The two remaining CORPUS-shaped probe terms and
+    * their at-scale answers (measured breakdown in PERF.md
+    * §ann-crossover): the query-vector fetch is a point filter that
+    * row-group-prunes iff the corpus is CLUSTERED by vec_id on write
+    * (qfetch measured flat at ~0.05 s/q from 512k to 8M vectors on a
+    * sorted corpus), and the candidate fetch runs against a
+    * vec_id-BUCKETED vector table where the ≤ k·refine ids prune to
+    * their buckets (SelectedBucketsCount plan-pinned in AnnIndexSpec;
+    * the in-plan broadcast-join form below is the small-corpus/oracle
+    * shape). Probe selection, assignment, encoding and the
     * ADC scan are all exact-integer with id tie-breaks, so the whole
     * candidate set replays verbatim in the oracle; all four index
     * artifacts (centroids, assignment, codebooks, codes) are train-once

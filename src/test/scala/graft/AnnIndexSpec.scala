@@ -296,6 +296,54 @@ class AnnIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(moved)
   }
 
+  test("candidate re-rank fetch: a vec_id-bucketed vector table bucket-prunes an id-list probe") {
+    // the at-scale answer to the probe's one remaining corpus-
+    // proportional term. The pruned index scan is nprobe/nlist regardless
+    // of corpus size (plan-pinned above), but the exact re-rank must
+    // fetch k·refine FULL vectors, and a plain parquet corpus pays a full
+    // scan for them. Deployment posture: the vector table ships bucketed
+    // by vec_id (the K9 machinery), and the ≤ k·refine candidate ids —
+    // bounded by construction, the same bounded class as the centroid
+    // snapshots — probe it as literals, which Spark's bucket pruning
+    // turns into reading only the candidates' buckets. This spec pins
+    // the SelectedBucketsCount contract so the serving-fetch story is
+    // plan-verified, not prose.
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_bucketfetch")
+    org.apache.commons.io.FileUtils.deleteQuietly(wh)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_vecstore")
+    try {
+      val tbl = graft.sources.Bucketed.ensureBucketed(
+        emb, "graft_spec_vecstore", wh.getPath, "vec_id", 16)
+      val candIds = Seq(3L, 17L, 101L, 255L, 256L, 331L, 408L, 499L)
+      // a filter-only query has no "interesting partitioning", so the
+      // DisableUnnecessaryBucketedScan planner rule would fall back to a
+      // plain scan and forfeit pruning — a serving session pins the scan
+      // bucketed (session conf, exactly like AQE toggles)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      val fetched = spark.table(tbl)
+        .filter(col("vec_id").isin(candIds: _*))
+      fetched.queryExecution.toRdd.count()
+      val p = fetched.queryExecution.executedPlan.toString
+      val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(p)
+      assert(sel.isDefined, "bucket pruning absent from the fetch plan:\n" + p)
+      val (nSel, nAll) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(nAll === 16 && nSel < nAll,
+        s"expected a pruned fetch, read $nSel of $nAll buckets")
+      assert(nSel <= candIds.size,
+        s"pruning should read at most one bucket per candidate id ($nSel)")
+      // content parity with the plain filter
+      assert(rows(fetched) === rows(emb.filter(col("vec_id").isin(candIds: _*))))
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_vecstore")
+      org.apache.commons.io.FileUtils.deleteQuietly(wh)
+    }
+  }
+
   test("a stale fingerprint triggers a rebuild") {
     AnnIndex.ensureIvfPq(spark, dir)
     val fp = new java.io.File(root, "meta/FINGERPRINT")
