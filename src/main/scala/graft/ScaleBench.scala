@@ -41,6 +41,11 @@ import graft.ext.{CorpusPipeline, Dedup}
   *        runMain graft.ScaleBench [sfDir] hot-only N (skew caps at ×N)
   *        runMain graft.ScaleBench [sfDir] ann [factors...]
   *                        (similarity tier: brute vs trained IVF curves)
+  *        runMain graft.ScaleBench [sfDir] annbuild [factors...]
+  *                        (persisted IVF×PQ lifecycle: build / warm-open /
+  *                        probe / pruned-scan / qfetch, flat vs partitioned,
+  *                        cache-dropped cold passes; factors > 64 use the
+  *                        rotation×perturbation corpus — §ann-crossover)
   *        runMain graft.ScaleBench [sfDir] text [factors...]
   *                        (text tier: tfidf / segment dedup / LM scorer)
   *        runMain graft.ScaleBench [sfDir] media [factors...]

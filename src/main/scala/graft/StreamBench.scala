@@ -70,6 +70,13 @@ import graft.streaming.{Event, EventStream}
   * state store: live buckets (one long each) over the ×factor corpus,
   * dropped set pinned against the batch greedy.
   *
+  * The `annins` mode measures the self-maintaining ANN ingest loop on
+  * the SATURATION path (exact-copy replays → dup rate ~100% after
+  * replay 1: state stops growing, cost ∝ survivors); `anninsgrow` is
+  * its GROWTH-path complement (rotated replays, threshold above max
+  * cosine → every member admitted: per-batch wall must stay flat while
+  * the index grows linearly). PERF.md §annins / §anninsgrow.
+  *
   * Usage: runMain graft.StreamBench [sfDir] [factors...] (default 1 4 16)
   */
 object StreamBench {
