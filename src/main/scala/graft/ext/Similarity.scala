@@ -1008,13 +1008,37 @@ object Similarity {
   /** Deterministic ≈cap-sized training sample: keep vec_ids whose 60-bit
     * md5 prefix lands in a 1/stride residue class. Hash-based (not a
     * vec_id prefix) so generated corpora with structured id ranges don't
-    * bias the sample toward one id region. */
+    * bias the sample toward one id region. The stride ROUNDS (not
+    * truncates) n/cap, so the sample size stays within ~[2/3, 3/2]·cap —
+    * the truncated form kept the WHOLE corpus for cap < n < 2·cap, and
+    * up to ~2·cap generally, overstating the O(cap) training bound just
+    * past the threshold (round-13 advice). */
   private[graft] def trainSample(corpus: DataFrame, n: Long,
                                  cap: Long = trainSampleCap): DataFrame =
     if (n <= cap) corpus
     else corpus.filter(pmod(
       expr("conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10)")
-        .cast("long"), lit(n / cap)) === 0)
+        .cast("long"), lit(math.max(1L, (n + cap / 2) / cap))) === 0)
+
+  /** Dense re-id of a (bounded) training sample: vec_id → its RANK within
+    * the sample. Both seeders below select seeds with a stride PREDICATE
+    * on vec_id (`vec_id % stride = 0 AND vec_id < stride·k`, stride =
+    * count/k) — correct on a dense 0..n-1 corpus, but on the hash-thinned
+    * sample the surviving ids are ~(n/cap)× sparser than the count-derived
+    * stride assumes, so only ~k·cap/n seeds pass the predicate: an 8.19 M
+    * corpus trained ~23 IVF lists instead of nlist≈2862 and ~2 PQ codes
+    * per subspace instead of 256 (round-13 advice, high). Ranking restores
+    * the density the predicate needs; the trained artifacts carry no
+    * vec_ids (centroids/codebooks only), so the re-id is invisible
+    * downstream. The window is a single-partition sort — acceptable ONLY
+    * because the sample is ≤ ~1.5·cap rows by construction (never the
+    * corpus); SeedDensitySpec pins that trained list/code counts track
+    * nlist/ksub through this path. */
+  private def denseReId(sample: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sample.withColumn("vec_id",
+      row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+  }
 
   /** Train the composed index's three artifacts from one corpus: coarse
     * centroids, PQ codebooks, and the FUSED (vec_id, centroid_id, codes)
@@ -1022,19 +1046,23 @@ object Similarity {
     * layout, the incremental-admission and ingest-dedup oracled queries,
     * and their specs all build through here, so the fused-index shape
     * can never silently diverge between them. Corpora above
-    * [[trainSampleCap]] train the quantizers on the deterministic sample
-    * (localCheckpointed once so the two Lloyd loops don't rescan the
-    * corpus per round); nlist still derives from the FULL corpus size —
-    * list granularity is a property of what the index serves, not of
-    * what trained it. */
+    * `sampleCap` (default [[trainSampleCap]]; the parameter exists so
+    * SeedDensitySpec can exercise the sampled path on a small fixture)
+    * train the quantizers on the deterministic sample, DENSELY RE-ID'd
+    * first ([[denseReId]]) so the stride seeders see the id density
+    * their predicates assume, and localCheckpointed once so the two
+    * Lloyd loops don't rescan the corpus per round; nlist still derives
+    * from the FULL corpus size — list granularity is a property of what
+    * the index serves, not of what trained it. */
   def trainAndFuse(corpus: DataFrame, nlist: Int = 0,
-                   m: Int = pqM, ksub: Int = pqKsub)
+                   m: Int = pqM, ksub: Int = pqKsub,
+                   sampleCap: Long = trainSampleCap)
       : (DataFrame, DataFrame, DataFrame) = {
     val n = corpus.count()
     val nl = if (nlist > 0) nlist else autoNlist(n)
     val train =
-      if (n <= trainSampleCap) corpus
-      else trainSample(corpus, n).localCheckpoint()
+      if (n <= sampleCap) corpus
+      else denseReId(trainSample(corpus, n, sampleCap)).localCheckpoint()
     val cent = ivfTrainedCentroids(train, nl)
     val cb = pqCodebooks(train, m, ksub)
     val fused = pqEncode(corpus, cb, m)

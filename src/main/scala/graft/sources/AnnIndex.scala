@@ -354,8 +354,12 @@ object AnnIndex {
     // layout is part of the fingerprint: a root built under the other
     // layout (or the pre-partitioning v1/v2 formats) rebuilds rather
     // than serving without its contract
+    // v5: the sampled training path (corpora above trainSampleCap)
+    // densely re-ids the sample before stride seeding and rounds the
+    // sample stride — indexes trained by the v4 code above the cap had
+    // collapsed seed sets (round-13 advice) and must rebuild
     val fingerprint =
-      s"v4 layout=${if (parts) "partitioned" else "flat"} " +
+      s"v5 layout=${if (parts) "partitioned" else "flat"} " +
         s"n=$n sig=$sig m=$m ksub=$ksub " +
         s"ivfIters=${Similarity.ivfKmeansIters} " +
         s"pqIters=${Similarity.pqKmeansIters} " +
