@@ -30,7 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * inputs (edge lists, degree tables) that every round re-reads; pins
   * live for the whole loop. The final round's file must outlive the
   * returned lazy frame (callers compose orderBy/joins on it), so the
-  * loop directory itself is removed by a JVM shutdown hook, not eagerly.
+  * loop directory is NOT removed when the loop body ends: a caller that
+  * has fully consumed the final frame calls [[close]] (deletes the dir
+  * and deregisters), and anything still open at process exit is swept by
+  * ONE JVM-wide shutdown hook over a static registry — the per-instance
+  * hook the round-13 advice flagged accumulated O(#loops) hook threads
+  * (and their dirs) in a long-lived session even after loops finished.
+  * Unclosed loops still hold pins + final round until exit by design
+  * (the lazy-frame contract); within a loop, disk stays O(1) in K.
   */
 private[graft] final class LoopCkpt(s: SparkSession, reliable: Boolean) {
   private val root: Option[Path] =
@@ -42,11 +49,12 @@ private[graft] final class LoopCkpt(s: SparkSession, reliable: Boolean) {
         "graft-loop-" + java.util.UUID.randomUUID().toString.take(12)))
     }
   private val fs = root.map(_.getFileSystem(s.sparkContext.hadoopConfiguration))
-  root.foreach { r =>
-    val f = fs.get
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try { f.delete(r, true); () } catch { case _: Throwable => () }))
-  }
+  root.foreach(r => LoopCkpt.register(r, fs.get))
+
+  /** Delete this loop's directory now and drop it from the exit sweep.
+    * Call ONLY once the final round's frame has been fully consumed —
+    * the frame reads the directory lazily. Idempotent. */
+  def close(): Unit = root.foreach(LoopCkpt.closeNow)
   private var seq = 0
   // at most ONE live (non-pinned) round file exists at any moment
   private var liveRound: Option[Path] = None
@@ -76,4 +84,35 @@ private[graft] final class LoopCkpt(s: SparkSession, reliable: Boolean) {
         }
         df.sparkSession.read.parquet(p.toString)
     }
+}
+
+private[graft] object LoopCkpt {
+  // live loop dirs awaiting close() — swept by the single exit hook
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Path,
+      org.apache.hadoop.fs.FileSystem)]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      live.forEach { case (r, f) =>
+        try { f.delete(r, true); () } catch { case _: Throwable => () }
+      }))
+
+  private def register(r: Path, f: org.apache.hadoop.fs.FileSystem): Unit = {
+    hookInstalled
+    live.add((r, f)); ()
+  }
+
+  private def closeNow(r: Path): Unit = {
+    val it = live.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 == r) {
+        try { e._2.delete(r, true); () } catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** Exit-sweep registry size, exposed for the lifecycle spec. */
+  private[graft] def liveCount: Int = live.size()
 }
