@@ -2032,8 +2032,8 @@ object Fuzz {
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_fuzz_ingest_$name")
       org.apache.commons.io.FileUtils.deleteQuietly(root)
-      graft.sources.AnnIndex.initIngest(standing, root)
-      graft.sources.AnnIndex.ingest(root, batch, k, thr, nprobe = np)
+      graft.sources.AnnIndex.initIngest(standing, root.getPath)
+      graft.sources.AnnIndex.ingest(root.getPath, batch, k, thr, nprobe = np)
     }, sql, "semantic_ingest")
   }
 

@@ -1006,7 +1006,7 @@ object ScaleBench {
           org.apache.commons.io.FileUtils.deleteQuietly(root)
           AnnIndex.clearFingerprintCache()
           val t0 = System.nanoTime()
-          AnnIndex.ensureIvfPqFor(emb, root, partitioned = Some(parts))
+          AnnIndex.ensureIvfPqFor(emb, root.getPath, partitioned = Some(parts))
           val buildSec = (System.nanoTime() - t0) / 1e9
           // warm-open = what a FRESH process pays against an existing
           // root: the fingerprint corpus scan (memo cleared, frame
@@ -1014,7 +1014,7 @@ object ScaleBench {
           AnnIndex.clearFingerprintCache()
           val embFresh = spark.read.parquet(corpusDir.getPath)
           val t1 = System.nanoTime()
-          val idx = AnnIndex.ensureIvfPqFor(embFresh, root,
+          val idx = AnnIndex.ensureIvfPqFor(embFresh, root.getPath,
             partitioned = Some(parts))
           val warmSec = (System.nanoTime() - t1) / 1e9
           def probePass(): Double = {

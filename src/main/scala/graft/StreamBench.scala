@@ -509,7 +509,7 @@ object StreamBench {
         val root = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_sb_anninsgrow_x$f")
         org.apache.commons.io.FileUtils.deleteQuietly(root)
-        AnnIndex.initIngest(emb.filter(col("vec_id") % 4 =!= 0), root)
+        AnnIndex.initIngest(emb.filter(col("vec_id") % 4 =!= 0), root.getPath)
         val held = emb.filter(col("vec_id") % 4 === 0)
           .select(col("vec_id"), col("embedding")).localCheckpoint()
         val heldN = held.count()
@@ -528,7 +528,7 @@ object StreamBench {
           (0 until 4).map { b =>
             val batch = replay.filter(pmod(expr("vec_id div 4"), lit(4)) === b)
             val tb = System.nanoTime()
-            val flags = AnnIndex.ingest(root, batch,
+            val flags = AnnIndex.ingest(root.getPath, batch,
               thresholdE9 = 1000000001L)
             totalDup += flags.filter(col("is_dup")).count()
             totalN += flags.count()
@@ -559,7 +559,7 @@ object StreamBench {
         val root = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_sb_annins_x$f")
         org.apache.commons.io.FileUtils.deleteQuietly(root)
-        AnnIndex.initIngest(emb.filter(col("vec_id") % 4 =!= 0), root)
+        AnnIndex.initIngest(emb.filter(col("vec_id") % 4 =!= 0), root.getPath)
         val held = emb.filter(col("vec_id") % 4 === 0)
           .select(col("vec_id"), col("embedding")).localCheckpoint()
         val heldN = held.count()
@@ -578,7 +578,7 @@ object StreamBench {
             // batch and silently drop rows from the stream
             val batch = replay.filter(pmod(expr("vec_id div 4"), lit(4)) === b)
             val tb = System.nanoTime()
-            val flags = AnnIndex.ingest(root, batch)
+            val flags = AnnIndex.ingest(root.getPath, batch)
             val dup = flags.filter(col("is_dup")).count()
             val n = flags.count()
             totalDup += dup; totalN += n

@@ -2051,12 +2051,12 @@ object SimilarityQueries extends QModule {
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_annretrain_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
       org.apache.commons.io.FileUtils.deleteQuietly(root)
-      graft.sources.AnnIndex.initIngest(standing, root)
-      graft.sources.AnnIndex.ingest(root, batch1,
+      graft.sources.AnnIndex.initIngest(standing, root.getPath)
+      graft.sources.AnnIndex.ingest(root.getPath, batch1,
         thresholdE9 = 1000000001L, batchId = Some(1L))
-      graft.sources.AnnIndex.ingest(root, batch2,
+      graft.sources.AnnIndex.ingest(root.getPath, batch2,
         thresholdE9 = 1000000001L, batchId = Some(2L))
-      val idx = graft.sources.AnnIndex.retrain(s, root)
+      val idx = graft.sources.AnnIndex.retrain(s, root.getPath)
       val nl = autoNlist(emb.count())
       ivfPqTopK(emb, 3L, 10, nlist = nl, nprobe = autoNprobe(nl),
         centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),

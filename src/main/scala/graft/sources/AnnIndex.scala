@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.ext.Similarity
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +35,21 @@ import org.apache.spark.sql.functions._
   * ADC → top-k·refine → exact re-rank — zero corpus-sized joins or
   * shuffles at query time.
   *
+  * FILESYSTEM CONTRACT — every root is a Hadoop path (`/local/dir`,
+  * `file:/...`, `hdfs://nn/...`, `s3a://bucket/...`) and all root
+  * management below goes through `org.apache.hadoop.fs.FileSystem`
+  * resolved from the session's Hadoop conf (the round-13 form used
+  * `java.io.File`, which cannot even open a non-local root). The
+  * stage-then-rename commit protocol is ATOMIC exactly where the store's
+  * `FileSystem.rename` is: HDFS and POSIX-mounted local/NFS roots
+  * qualify; object stores (s3a/gs) implement rename as copy+delete, so
+  * on those a crashed swap can leave a partial root — which the
+  * fingerprint gate then REBUILDS rather than serves (completeness is
+  * still checked, only the lost-work window widens). Deployments wanting
+  * zero-rebuild crash recovery on object storage should place roots on
+  * an HDFS/NFS tier, the same guidance Spark's own streaming-checkpoint
+  * and Delta commit protocols give.
+  *
   * Same cross-JVM safety contract as `Bucketed.ensureBucketed`: the
   * build stages under a process-unique path and renames into place; a
   * complete layout left by another process is adopted. The `meta/`
@@ -50,6 +66,88 @@ object AnnIndex {
   final case class IvfPq(centroids: DataFrame, codebooks: DataFrame,
                          index: DataFrame)
 
+  // --- Hadoop-FS plumbing --------------------------------------------------
+
+  private def fsFor(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def deleteQ(fs: FileSystem, p: Path): Unit =
+    try { fs.delete(p, true); () } catch { case _: java.io.IOException => () }
+
+  /** Guarded rename: never attempts a rename onto an existing target.
+    * `FileSystem.rename` onto an existing directory is where store
+    * semantics diverge (HDFS returns false; the local FS's copy fallback
+    * can move the source INSIDE the target) — checking first keeps the
+    * swap protocol's "fails while any root exists" reading portable, and
+    * the fingerprint adjudication after a failed rename absorbs the
+    * check-then-act window exactly as it absorbs racing builders. */
+  private def renameIfAbsent(fs: FileSystem, src: Path, dst: Path): Boolean =
+    !fs.exists(dst) && fs.rename(src, dst)
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(fs: FileSystem, p: Path, text: String,
+                          overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // --- single-writer lease --------------------------------------------------
+
+  /** A held writer lease older than this is presumed orphaned (its JVM
+    * died without the `finally` release) and may be taken over. Mutating
+    * entry points re-touch nothing mid-flight, so the lease is sized for
+    * the longest expected ingest/retrain, not a heartbeat cadence. */
+  private[graft] val lockLeaseMs: Long = 30L * 60L * 1000L
+
+  /** Acquire the root's single-writer lease or fail loudly naming the
+    * holder. The lock is the SIBLING `<root>.lock` (not inside the root:
+    * `ensureIvfPqFor` swaps the root directory itself by rename, and a
+    * lock file inside it would make every swap target "already exists").
+    * Creation uses `FileSystem.create(overwrite = false)` — atomic on
+    * HDFS and the local FS — so two concurrent writers resolve to
+    * exactly one lease. A lease older than [[lockLeaseMs]] is taken
+    * over (documented stale-holder protocol: crash-orphaned locks must
+    * not brick the root forever). */
+  private def acquireLock(fs: FileSystem, root: Path, op: String): Path = {
+    val lock = new Path(root.getParent, root.getName + ".lock")
+    val self = s"$op pid=${ProcessHandle.current().pid()} " +
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"since=${System.currentTimeMillis()}"
+    def tryCreate(): Boolean =
+      try { writeString(fs, lock, self, overwrite = false); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue }
+      val holder =
+        try readString(fs, lock) catch { case _: java.io.IOException => "<gone>" }
+      if (age > lockLeaseMs) {
+        deleteQ(fs, lock)
+        require(tryCreate(),
+          s"could not take over the stale writer lease at $lock " +
+            s"(previous holder: $holder)")
+      } else require(false,
+        s"$root is write-locked by a concurrent writer [$holder]; " +
+          "ingest/retrain/initIngest hold a single-writer lease per root " +
+          s"(stale after ${lockLeaseMs / 60000} min)")
+    }
+    lock
+  }
+
+  private def withLock[T](fs: FileSystem, root: Path, op: String)(body: => T): T = {
+    val lock = acquireLock(fs, root, op)
+    try body finally deleteQ(fs, lock)
+  }
+
+  // --- fingerprint cache ----------------------------------------------------
+
   /** (root, source-plan) → (row count, content signature); see the
     * fingerprint note in [[ensureIvfPqFor]]. */
   private val fingerprintCache =
@@ -61,6 +159,13 @@ object AnnIndex {
     * r12 number was a same-JVM cache hit that understated warm-open). */
   private[graft] def clearFingerprintCache(): Unit = fingerprintCache.clear()
 
+  /** Fault-injection hook for the crash-point sweep (IngestCrashSpec):
+    * called with a step name after each write/rename boundary inside
+    * [[ingest]]; a test installs a throwing hook to simulate a crash at
+    * that exact point, then replays. Default no-op; never set in
+    * production. */
+  private[graft] var ingestCrashHook: String => Unit = _ => ()
+
   /** Train-or-load the IVF×PQ index for the `embeddings` table of `dir`.
     *
     * DEPLOYMENT NOTE — the tmpdir root below is the SANDBOX convenience
@@ -68,17 +173,19 @@ object AnnIndex {
     * a lost one rebuilds). The production surface is
     * [[ensureIvfPqFor]]`(emb, root = <durable shared storage>)` /
     * [[initIngest]]`(emb, root = ...)` with the root on storage every
-    * executor and every successor JVM can reach (HDFS/NFS-backed mount);
-    * the fingerprint contract makes a relocated or copied root ADOPTED
-    * in place, never rebuilt (RelocatedRootSpec pins that), so moving an
-    * index onto durable storage is a plain directory copy. */
+    * executor and every successor JVM can reach (any Hadoop-resolvable
+    * URI — see the filesystem contract above for the atomic-rename
+    * caveat per store class); the fingerprint contract makes a relocated
+    * or copied root ADOPTED in place, never rebuilt (RelocatedRootSpec
+    * pins that), so moving an index onto durable storage is a plain
+    * directory copy. */
   def ensureIvfPq(s: SparkSession, dir: String,
                   m: Int = Similarity.pqM,
                   ksub: Int = Similarity.pqKsub): IvfPq =
     ensureIvfPqFor(
       graft.Tables.t(s, dir, "embeddings"),
-      new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_annidx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")),
+      System.getProperty("java.io.tmpdir") +
+        "/graft_annidx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"),
       m, ksub)
 
   /** Incremental admission: index a NEW embedding batch against the
@@ -127,6 +234,7 @@ object AnnIndex {
   /** Initialize a SELF-MAINTAINING ingest root: the trained index plus
     * the corpus vector table (`vectors/` — the exact-re-rank side the
     * codes can't provide) under one directory, ready for `ingest`.
+    * Takes the root's single-writer lease for the duration.
     *
     * Re-initializing an EXISTING ingest root rebuilds from the vector
     * table, not from `emb`: after admissions the corpus of record is
@@ -134,18 +242,22 @@ object AnnIndex {
     * index from anything narrower would leave vectors the index can't
     * see — permanently un-detectable duplicates. A parameter change on
     * a grown root therefore behaves exactly like `retrain`. */
-  def initIngest(emb: DataFrame, root: java.io.File,
+  def initIngest(emb: DataFrame, root: String,
                  m: Int = Similarity.pqM,
                  ksub: Int = Similarity.pqKsub,
                  partitioned: Option[Boolean] = None): Unit = {
     val s = emb.sparkSession
-    val vdir = new java.io.File(root, "vectors")
-    if (new java.io.File(vdir, "_SUCCESS").exists()) {
-      ensureIvfPqFor(s.read.parquet(vdir.getPath), root, m, ksub, partitioned)
-    } else {
-      ensureIvfPqFor(emb, root, m, ksub, partitioned)
-      emb.select(col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(vdir.getPath)
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
+    withLock(fs, rootP, "initIngest") {
+      val vdir = new Path(rootP, "vectors")
+      if (fs.exists(new Path(vdir, "_SUCCESS"))) {
+        ensureIvfPqFor(s.read.parquet(vdir.toString), root, m, ksub, partitioned)
+      } else {
+        ensureIvfPqFor(emb, root, m, ksub, partitioned)
+        emb.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(vdir.toString)
+      }
     }
   }
 
@@ -162,19 +274,24 @@ object AnnIndex {
     * appends proportional to the batch, and the quantizers refresh on
     * the epoch schedule via `retrain`.
     *
-    * Single-writer contract (a streaming foreachBatch sink satisfies it
-    * naturally); caller guarantees vec_ids unique across the corpus and
-    * all batches. The verdict path is fully DISTRIBUTED: verdicts are
-    * persisted to parquet (one batch-sized write — never a driver
-    * collect, so the same entry point serves a 10⁸-row bulk backfill)
-    * BEFORE either append, and both appends derive from that persisted
-    * copy — so the probe can never observe the batch itself in the index
-    * (a lazy re-evaluation after the vector append would flag batch
-    * members as duplicates of themselves) and no checkpointed blocks
-    * accumulate across a long-running stream. nprobe derives from the
-    * TRAINED list count, not the growing corpus size (overridable via
-    * `nprobe` — the recall/cost serving knob; Fuzz T38 randomizes it
-    * against the oracle).
+    * Single-writer contract, now SELF-ENFORCING: each call holds the
+    * root's lease (`<root>.lock`, create-exclusive; see [[acquireLock]])
+    * and a second concurrent writer fails loudly naming the holder — a
+    * streaming foreachBatch sink satisfies the contract naturally, the
+    * lease catches the operator who points two jobs at one root (the
+    * failure mode was interleaved appends surfacing much later as a
+    * confusing torn-append error). Caller guarantees vec_ids unique
+    * across the corpus and all batches. The verdict path is fully
+    * DISTRIBUTED: verdicts are persisted to parquet (one batch-sized
+    * write — never a driver collect, so the same entry point serves a
+    * 10⁸-row bulk backfill) BEFORE either append, and both appends
+    * derive from that persisted copy — so the probe can never observe
+    * the batch itself in the index (a lazy re-evaluation after the
+    * vector append would flag batch members as duplicates of themselves)
+    * and no checkpointed blocks accumulate across a long-running stream.
+    * nprobe derives from the TRAINED list count, not the growing corpus
+    * size (overridable via `nprobe` — the recall/cost serving knob; Fuzz
+    * T38 randomizes it against the oracle).
     *
     * Crash/replay semantics (effectively-once): the verdict parquet
     * doubles as the BATCH-START MARKER — it is written to
@@ -192,92 +309,122 @@ object AnnIndex {
     * become visible at job commit; `_temporary` is never read), so
     * "present" vs "absent" is a clean binary and a replay can never
     * re-append survivors — the nVec==nIdx invariant holds through any
-    * crash point, not just the between-appends window. */
-  def ingest(root: java.io.File, batch: DataFrame, k: Int = 5,
+    * crash point, not just the between-appends window (IngestCrashSpec
+    * sweeps every boundary via [[ingestCrashHook]]). Without a batchId
+    * there is no replay identity, so no durable marker is kept: the
+    * verdicts are computed under a transient `adhoc_*` pending dir,
+    * materialized (localCheckpoint — batch-sized, executor-resident),
+    * and the dir is deleted before returning (the r13 form leaked one
+    * batch-sized dir per adhoc call forever — round-13 advice). */
+  def ingest(root: String, batch: DataFrame, k: Int = 5,
              thresholdE9: Long = 400000000L,
              m: Int = Similarity.pqM,
              batchId: Option[Long] = None,
              nprobe: Int = 0): DataFrame = {
     val s = batch.sparkSession
-    val done = batchId.map(id => new java.io.File(root, s"ingested/batch_$id"))
-    val replayed = done.filter(d => new java.io.File(d, "_SUCCESS").exists())
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
+    val done = batchId.map(id => new Path(rootP, s"ingested/batch_$id"))
+    val replayed = done.filter(d => fs.exists(new Path(d, "_SUCCESS")))
     if (replayed.isDefined)
-      return s.read.parquet(replayed.get.getPath).orderBy(col("vec_id"))
-    val pending = done
-      .map(d => new java.io.File(d.getParentFile, d.getName + ".pending"))
-      .getOrElse(new java.io.File(root,
-        s"ingested/adhoc_${java.util.UUID.randomUUID().toString.take(12)}"))
-    val healing = new java.io.File(pending, "_SUCCESS").exists()
-    if (!healing) {
-      val idx = IvfPq(
-        s.read.parquet(s"$root/centroids"),
-        s.read.parquet(s"$root/codebooks"),
-        s.read.parquet(s"$root/index"))
-      val vectors = s.read.parquet(s"$root/vectors")
-      val nl = idx.centroids.count().toInt
-      Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
-          nlist = nl,
-          nprobe = if (nprobe > 0) nprobe else Similarity.autoNprobe(nl),
-          centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
-          index = Some(idx.index))
-        .write.mode("overwrite").parquet(pending.getPath)
+      return s.read.parquet(replayed.get.toString).orderBy(col("vec_id"))
+    withLock(fs, rootP, "ingest") {
+      // re-check under the lease: the finalize may have landed between
+      // the unlocked fast-path check and lease acquisition
+      val replayed2 = done.filter(d => fs.exists(new Path(d, "_SUCCESS")))
+      if (replayed2.isDefined)
+        return s.read.parquet(replayed2.get.toString).orderBy(col("vec_id"))
+      val pending = done
+        .map(d => new Path(d.getParent, d.getName + ".pending"))
+        .getOrElse(new Path(rootP,
+          s"ingested/adhoc_${java.util.UUID.randomUUID().toString.take(12)}"))
+      val healing = fs.exists(new Path(pending, "_SUCCESS"))
+      if (!healing) {
+        val idx = IvfPq(
+          s.read.parquet(s"$root/centroids"),
+          s.read.parquet(s"$root/codebooks"),
+          s.read.parquet(s"$root/index"))
+        val vectors = s.read.parquet(s"$root/vectors")
+        val nl = idx.centroids.count().toInt
+        Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
+            nlist = nl,
+            nprobe = if (nprobe > 0) nprobe else Similarity.autoNprobe(nl),
+            centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+            index = Some(idx.index))
+          .write.mode("overwrite").parquet(pending.toString)
+      }
+      ingestCrashHook("verdicts_written")
+      val verdicts = s.read.parquet(pending.toString)
+      val survivors = batch
+        .join(verdicts.filter(col("is_dup")).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      val survivorIds = verdicts.filter(!col("is_dup")).select(col("vec_id"))
+      // on the heal path, check whether an append already committed before
+      // re-applying it; a partial overlap would mean a torn append and is
+      // a loud failure, never a silent re-append
+      def applied(table: String): Boolean = {
+        if (!healing) return false
+        val expected = survivorIds.count()
+        val present = s.read.parquet(s"$root/$table")
+          .join(survivorIds, Seq("vec_id"), "left_semi").count()
+        require(present == 0L || present == expected,
+          s"torn $table append for batch ${batchId.getOrElse(-1L)}: " +
+            s"$present of $expected survivors present")
+        present == expected && expected > 0L
+      }
+      // right-size the append files: a micro-batch written at shuffle
+      // parallelism leaves up to `shuffle.partitions` near-empty files PER
+      // BATCH, and after K batches every later probe pays K× the listing/
+      // footer overhead — the measured anninsgrow ×64 curve crept 2.5→5.3
+      // s/batch from exactly this before the coalesce. One file per ~4M
+      // survivor rows (a few hundred MB of fused rows) keeps a long-lived
+      // ingest root at O(batches) files of real size, and epoch `retrain`
+      // compacts the accumulation away entirely. The survivor count is one
+      // cheap agg over the (batch-sized) pinned verdict parquet.
+      val nSurv = survivorIds.count()
+      val appendFiles = math.max(1L, nSurv / 4000000L +
+        (if (nSurv % 4000000L > 0) 1L else 0L)).toInt
+      if (!applied("vectors"))
+        survivors.select(col("vec_id"), col("embedding"))
+          .coalesce(appendFiles)
+          .write.mode("append").parquet(s"$root/vectors")
+      ingestCrashHook("vectors_appended")
+      if (!applied("index")) {
+        val idx = IvfPq(
+          s.read.parquet(s"$root/centroids"),
+          s.read.parquet(s"$root/codebooks"),
+          s.read.parquet(s"$root/index"))
+        val newRows = admit(idx, survivors, m)
+        val partitionedLayout =
+          try fs.listStatus(new Path(rootP, "index"))
+            .exists(_.getPath.getName.startsWith("centroid_id="))
+          catch { case _: java.io.IOException => false }
+        if (partitionedLayout)
+          newRows.repartition(col("centroid_id"))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(s"$root/index")
+        else newRows.coalesce(appendFiles)
+          .write.mode("append").parquet(s"$root/index")
+      }
+      ingestCrashHook("index_appended")
+      // finalize LAST: the rename is the only step that makes a replay
+      // return without healing
+      done.foreach { d =>
+        require(fs.rename(pending, d),
+          s"could not finalize ingest marker $d")
+      }
+      ingestCrashHook("finalized")
+      done match {
+        case Some(d) => s.read.parquet(d.toString).orderBy(col("vec_id"))
+        case None =>
+          // adhoc (no replay identity): materialize the verdicts off the
+          // transient dir, then remove it — nothing durable to leak
+          val out = s.read.parquet(pending.toString)
+            .orderBy(col("vec_id")).localCheckpoint()
+          deleteQ(fs, pending)
+          out
+      }
     }
-    val verdicts = s.read.parquet(pending.getPath)
-    val survivors = batch
-      .join(verdicts.filter(col("is_dup")).select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
-    val survivorIds = verdicts.filter(!col("is_dup")).select(col("vec_id"))
-    // on the heal path, check whether an append already committed before
-    // re-applying it; a partial overlap would mean a torn append and is
-    // a loud failure, never a silent re-append
-    def applied(table: String): Boolean = {
-      if (!healing) return false
-      val expected = survivorIds.count()
-      val present = s.read.parquet(s"$root/$table")
-        .join(survivorIds, Seq("vec_id"), "left_semi").count()
-      require(present == 0L || present == expected,
-        s"torn $table append for batch ${batchId.getOrElse(-1L)}: " +
-          s"$present of $expected survivors present")
-      present == expected && expected > 0L
-    }
-    // right-size the append files: a micro-batch written at shuffle
-    // parallelism leaves up to `shuffle.partitions` near-empty files PER
-    // BATCH, and after K batches every later probe pays K× the listing/
-    // footer overhead — the measured anninsgrow ×64 curve crept 2.5→5.3
-    // s/batch from exactly this before the coalesce. One file per ~4M
-    // survivor rows (a few hundred MB of fused rows) keeps a long-lived
-    // ingest root at O(batches) files of real size, and epoch `retrain`
-    // compacts the accumulation away entirely. The survivor count is one
-    // cheap agg over the (batch-sized) pinned verdict parquet.
-    val nSurv = survivorIds.count()
-    val appendFiles = math.max(1L, nSurv / 4000000L +
-      (if (nSurv % 4000000L > 0) 1L else 0L)).toInt
-    if (!applied("vectors"))
-      survivors.select(col("vec_id"), col("embedding"))
-        .coalesce(appendFiles)
-        .write.mode("append").parquet(s"$root/vectors")
-    if (!applied("index")) {
-      val idx = IvfPq(
-        s.read.parquet(s"$root/centroids"),
-        s.read.parquet(s"$root/codebooks"),
-        s.read.parquet(s"$root/index"))
-      val newRows = admit(idx, survivors, m)
-      val partitionedLayout = Option(new java.io.File(root, "index").listFiles())
-        .exists(_.exists(_.getName.startsWith("centroid_id=")))
-      if (partitionedLayout)
-        newRows.repartition(col("centroid_id"))
-          .write.mode("append").partitionBy("centroid_id")
-          .parquet(s"$root/index")
-      else newRows.coalesce(appendFiles)
-        .write.mode("append").parquet(s"$root/index")
-    }
-    // finalize LAST: the rename is the only step that makes a replay
-    // return without healing
-    done.foreach { d =>
-      require(pending.renameTo(d),
-        s"could not finalize ingest marker $d")
-    }
-    s.read.parquet(done.getOrElse(pending).getPath).orderBy(col("vec_id"))
   }
 
   /** Epoch retrain of an ingest root: rebuild quantizers, fingerprint
@@ -288,51 +435,59 @@ object AnnIndex {
     * accumulate is paid down here, on the epoch cadence, with one full
     * (re)build. Also heals any duplicate vector rows a crash-replay may
     * have left (they never affect verdicts — see `ingest` — but the
-    * row-count invariant is worth restoring). Same single-writer
-    * contract as `ingest`. */
-  def retrain(s: SparkSession, root: java.io.File,
+    * row-count invariant is worth restoring). Holds the root's
+    * single-writer lease, same as `ingest`. */
+  def retrain(s: SparkSession, root: String,
               m: Int = Similarity.pqM,
               ksub: Int = Similarity.pqKsub,
               partitioned: Option[Boolean] = None): IvfPq = {
-    val tmp = new java.io.File(root.getParentFile,
-      root.getName + s".retrain.${ProcessHandle.current().pid()}")
-    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-    val raw = s.read.parquet(s"$root/vectors")
-    val healVectors = raw.count() != raw.dropDuplicates("vec_id").count()
-    val vectors =
-      if (!healVectors) raw
-      else {
-        raw.dropDuplicates("vec_id")
-          .write.parquet(s"$tmp/vectors")
-        s.read.parquet(s"$tmp/vectors")
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
+    withLock(fs, rootP, "retrain") {
+      val tmp = new Path(rootP.getParent,
+        rootP.getName + s".retrain.${ProcessHandle.current().pid()}")
+      deleteQ(fs, tmp)
+      val raw = s.read.parquet(s"$root/vectors")
+      val healVectors = raw.count() != raw.dropDuplicates("vec_id").count()
+      val vectors =
+        if (!healVectors) raw
+        else {
+          raw.dropDuplicates("vec_id")
+            .write.parquet(s"$tmp/vectors")
+          s.read.parquet(s"$tmp/vectors")
+        }
+      ensureIvfPqFor(vectors, tmp.toString, m, ksub, partitioned)
+      // swap the rebuilt artifacts in; the vector table moves only when
+      // it was healed
+      val dirs = Seq("centroids", "codebooks", "index", "meta") ++
+        (if (healVectors) Seq("vectors") else Nil)
+      for (d <- dirs) {
+        deleteQ(fs, new Path(rootP, d))
+        require(fs.rename(new Path(tmp, d), new Path(rootP, d)),
+          s"retrain swap failed for $d under $root")
       }
-    ensureIvfPqFor(vectors, tmp, m, ksub, partitioned)
-    // swap the rebuilt artifacts in; the vector table moves only when
-    // it was healed
-    val dirs = Seq("centroids", "codebooks", "index", "meta") ++
-      (if (healVectors) Seq("vectors") else Nil)
-    for (d <- dirs) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root, d))
-      require(new java.io.File(tmp, d).renameTo(new java.io.File(root, d)),
-        s"retrain swap failed for $d under $root")
+      deleteQ(fs, tmp)
+      IvfPq(
+        s.read.parquet(s"$root/centroids"),
+        s.read.parquet(s"$root/codebooks"),
+        s.read.parquet(s"$root/index"))
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-    IvfPq(
-      s.read.parquet(s"$root/centroids"),
-      s.read.parquet(s"$root/codebooks"),
-      s.read.parquet(s"$root/index"))
   }
 
   /** Same contract over an arbitrary (vec_id, embedding) frame and an
     * explicit root — the build-cost harness (ScaleBench annbuild) and
     * any caller indexing a derived corpus. `partitioned` overrides the
     * size-derived layout choice (specs pin the partitioned plan on the
-    * small fixture this way). */
-  def ensureIvfPqFor(emb: DataFrame, root: java.io.File,
+    * small fixture this way). Unlocked by design: the protocol below is
+    * IDEMPOTENT across racing builders (deterministic training, adopt-
+    * the-winner swap), unlike the mutating ingest/retrain appends. */
+  def ensureIvfPqFor(emb: DataFrame, root: String,
                      m: Int = Similarity.pqM,
                      ksub: Int = Similarity.pqKsub,
                      partitioned: Option[Boolean] = None): IvfPq = {
     val s = emb.sparkSession
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
     // ONE pass computes the row count and a content signature (order-
     // independent hash-sum over (vec_id, embedding)): the fingerprint
     // must change when the corpus is REGENERATED at the same size —
@@ -344,7 +499,7 @@ object AnnIndex {
     // recomputes — external data changes under a LIVE process need a
     // restart (or a fresh frame) to be noticed, the standard cache
     // trade, documented here.
-    val fpKey = root.getPath + "#" + emb.queryExecution.analyzed.semanticHash()
+    val fpKey = root + "#" + emb.queryExecution.analyzed.semanticHash()
     val (n, sig) = fingerprintCache.computeIfAbsent(fpKey, _ => {
       val r = emb.agg(count(lit(1)), sum(hash(col("vec_id"),
         col("embedding")).cast("long"))).head()
@@ -364,15 +519,15 @@ object AnnIndex {
         s"ivfIters=${Similarity.ivfKmeansIters} " +
         s"pqIters=${Similarity.pqKmeansIters} " +
         s"trainCap=${Similarity.trainSampleCap}"
-    def metaOk(r: java.io.File): Boolean = {
-      val f = new java.io.File(r, "meta/FINGERPRINT")
-      f.exists() && java.nio.file.Files.readString(
-        f.toPath, java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+    def metaOk(r: Path): Boolean = {
+      val f = new Path(r, "meta/FINGERPRINT")
+      try fs.exists(f) && readString(fs, f) == fingerprint
+      catch { case _: java.io.IOException => false }
     }
-    if (!metaOk(root)) {
-      val stage = new java.io.File(
-        root.getParentFile, root.getName + s".stage.${ProcessHandle.current().pid()}")
-      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    if (!metaOk(rootP)) {
+      val stage = new Path(rootP.getParent,
+        rootP.getName + s".stage.${ProcessHandle.current().pid()}")
+      deleteQ(fs, stage)
       val (cent, cb, fused) = Similarity.trainAndFuse(emb, 0, m, ksub)
       cent.write.parquet(s"$stage/centroids")
       cb.select(col("m"), col("code"), col("ce6"))
@@ -388,12 +543,10 @@ object AnnIndex {
         fused.repartition(col("centroid_id"))
           .write.partitionBy("centroid_id").parquet(s"$stage/index")
       else fused.write.parquet(s"$stage/index")
-      // meta written LAST: rename is atomic, and a root missing its
+      // meta written LAST: rename is atomic (where the store is — see
+      // the filesystem contract above), and a root missing its
       // fingerprint reads as incomplete and is rebuilt
-      new java.io.File(stage, "meta").mkdirs()
-      java.nio.file.Files.writeString(
-        new java.io.File(stage, "meta/FINGERPRINT").toPath, fingerprint,
-        java.nio.charset.StandardCharsets.UTF_8)
+      writeString(fs, new Path(stage, "meta/FINGERPRINT"), fingerprint)
       // swap-in protocol, racing builders tolerated: try the rename
       // FIRST (fails while any root exists), and only delete a root
       // that still flunks the fingerprint at that moment — a COMPLETE
@@ -402,19 +555,19 @@ object AnnIndex {
       // before any delete, and the carry must SUCCEED or we abort —
       // falling through would destroy the only copy of every admitted
       // batch.
-      if (!stage.renameTo(root)) {
-        if (!metaOk(root)) {
-          val vec = new java.io.File(root, "vectors")
-          if (new java.io.File(vec, "_SUCCESS").exists())
-            require(vec.renameTo(new java.io.File(stage, "vectors")),
+      if (!renameIfAbsent(fs, stage, rootP)) {
+        if (!metaOk(rootP)) {
+          val vec = new Path(rootP, "vectors")
+          if (fs.exists(new Path(vec, "_SUCCESS")))
+            require(fs.rename(vec, new Path(stage, "vectors")),
               s"could not preserve $vec across the index rebuild")
-          org.apache.commons.io.FileUtils.deleteQuietly(root)
-          if (!stage.renameTo(root))
-            require(metaOk(root),
+          deleteQ(fs, rootP)
+          if (!renameIfAbsent(fs, stage, rootP))
+            require(metaOk(rootP),
               s"ANN index rename failed and no complete winner at $root")
         }
       }
-      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+      deleteQ(fs, stage)
     }
     IvfPq(
       s.read.parquet(s"$root/centroids"),

@@ -60,7 +60,7 @@ class AnnIndexSpec extends SparkSpec {
       "graft_annidx_spec_partitioned")
     org.apache.commons.io.FileUtils.deleteQuietly(proot)
     try {
-      val idx = AnnIndex.ensureIvfPqFor(emb, proot, partitioned = Some(true))
+      val idx = AnnIndex.ensureIvfPqFor(emb, proot.getPath, partitioned = Some(true))
       val nLists = new java.io.File(proot, "index").listFiles()
         .count(_.getName.startsWith("centroid_id="))
       assert(nLists === idx.centroids.count(),
@@ -129,9 +129,9 @@ class AnnIndexSpec extends SparkSpec {
       "graft_annidx_spec_ingest")
     org.apache.commons.io.FileUtils.deleteQuietly(root)
     try {
-      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root)
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root.getPath)
       val batch1 = emb.filter(col("vec_id") % 10 === 3)
-      val flags1 = AnnIndex.ingest(root, batch1)
+      val flags1 = AnnIndex.ingest(root.getPath, batch1)
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       // matches the stateless oracle form on the same inputs
       assert(flags1.count(!_._2) > 0, "need admitted survivors to replay")
@@ -139,7 +139,7 @@ class AnnIndexSpec extends SparkSpec {
       val batch2 = batch1
         .filter(col("vec_id").isin(admittedIds: _*))
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val flags2 = AnnIndex.ingest(root, batch2)
+      val flags2 = AnnIndex.ingest(root.getPath, batch2)
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       assert(flags2.size === 2 && flags2.values.forall(identity),
         s"copies of admitted vectors not caught by the grown index: $flags2")
@@ -160,11 +160,11 @@ class AnnIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(root)
     try {
       val standing = emb.filter(col("vec_id") % 10 =!= 3)
-      AnnIndex.initIngest(standing, root)
-      val flags1 = AnnIndex.ingest(root, emb.filter(col("vec_id") % 10 === 3))
+      AnnIndex.initIngest(standing, root.getPath)
+      val flags1 = AnnIndex.ingest(root.getPath, emb.filter(col("vec_id") % 10 === 3))
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       val nAfterIngest = spark.read.parquet(s"$root/vectors").count()
-      val idx = AnnIndex.retrain(spark, root)
+      val idx = AnnIndex.retrain(spark, root.getPath)
       // the fingerprint now reflects the GROWN corpus, the index covers
       // every vector, and the vector table was never touched
       val fp = java.nio.file.Files.readString(
@@ -178,7 +178,7 @@ class AnnIndexSpec extends SparkSpec {
       val adm = flags1.filter(!_._2).keys.toSeq.sorted.take(1)
       val copy = emb.filter(col("vec_id").isin(adm: _*))
         .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
-      val flags2 = AnnIndex.ingest(root, copy)
+      val flags2 = AnnIndex.ingest(root.getPath, copy)
         .collect().map(r => r.getBoolean(1))
       assert(flags2.length === 1 && flags2.head,
         "post-retrain index missed an exact duplicate of an admitted vector")
@@ -194,14 +194,14 @@ class AnnIndexSpec extends SparkSpec {
       "graft_annidx_spec_sig")
     org.apache.commons.io.FileUtils.deleteQuietly(root)
     try {
-      AnnIndex.ensureIvfPqFor(emb, root)
+      AnnIndex.ensureIvfPqFor(emb, root.getPath)
       val fp = new java.io.File(root, "meta/FINGERPRINT")
       val before = java.nio.file.Files.readString(fp.toPath,
         java.nio.charset.StandardCharsets.UTF_8)
       // same count, shifted ids = regenerated data
       val regenerated = emb.select((col("vec_id") + 1L).as("vec_id"),
         col("embedding"))
-      AnnIndex.ensureIvfPqFor(regenerated, root)
+      AnnIndex.ensureIvfPqFor(regenerated, root.getPath)
       val after = java.nio.file.Files.readString(fp.toPath,
         java.nio.charset.StandardCharsets.UTF_8)
       assert(before !== after, "content change did not refresh the index")
@@ -216,14 +216,14 @@ class AnnIndexSpec extends SparkSpec {
       "graft_annidx_spec_replay")
     org.apache.commons.io.FileUtils.deleteQuietly(root)
     try {
-      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root)
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root.getPath)
       val batch = emb.filter(col("vec_id") % 10 === 3)
-      val first = orderedRows(AnnIndex.ingest(root, batch, batchId = Some(7L)))
+      val first = orderedRows(AnnIndex.ingest(root.getPath, batch, batchId = Some(7L)))
       val nVec = spark.read.parquet(s"$root/vectors").count()
       val nIdx = spark.read.parquet(s"$root/index").count()
       // redelivery of the SAME micro-batch (foreachBatch restart): the
       // persisted verdicts come back and nothing is re-appended
-      val replay = orderedRows(AnnIndex.ingest(root, batch, batchId = Some(7L)))
+      val replay = orderedRows(AnnIndex.ingest(root.getPath, batch, batchId = Some(7L)))
       assert(replay === first)
       assert(spark.read.parquet(s"$root/vectors").count() === nVec,
         "replay re-appended vectors")
@@ -243,10 +243,10 @@ class AnnIndexSpec extends SparkSpec {
       "graft_annidx_spec_crash_replay")
     org.apache.commons.io.FileUtils.deleteQuietly(iroot)
     try {
-      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), iroot)
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), iroot.getPath)
       val batch = emb.filter(col("vec_id") % 10 === 3)
         .select(col("vec_id"), col("embedding"))
-      val flags = AnnIndex.ingest(iroot, batch, batchId = Some(7L))
+      val flags = AnnIndex.ingest(iroot.getPath, batch, batchId = Some(7L))
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).sortBy(_._1).toSeq
       val nVec = spark.read.parquet(s"$iroot/vectors").count()
       val nIdx = spark.read.parquet(s"$iroot/index").count()
@@ -255,7 +255,7 @@ class AnnIndexSpec extends SparkSpec {
       val fin = new java.io.File(iroot, "ingested/batch_7")
       val pend = new java.io.File(iroot, "ingested/batch_7.pending")
       assert(fin.renameTo(pend))
-      val replay = AnnIndex.ingest(iroot, batch, batchId = Some(7L))
+      val replay = AnnIndex.ingest(iroot.getPath, batch, batchId = Some(7L))
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).sortBy(_._1).toSeq
       assert(replay === flags, "heal path changed the verdicts")
       assert(new java.io.File(fin, "_SUCCESS").exists(), "marker not finalized")
@@ -287,7 +287,7 @@ class AnnIndexSpec extends SparkSpec {
       }
       val before = state
       AnnIndex.clearFingerprintCache()
-      val idx = AnnIndex.ensureIvfPqFor(emb, moved)
+      val idx = AnnIndex.ensureIvfPqFor(emb, moved.getPath)
       assert(state === before, "relocated root was rebuilt, not adopted")
       assert(orderedRows(Similarity.ivfPqTopK(emb, 0L, 10,
         centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),

@@ -848,7 +848,7 @@ class StreamingSpec extends SparkSpec {
       "graft_annidx_stream_ingest")
     org.apache.commons.io.FileUtils.deleteQuietly(root)
     try {
-      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root)
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root.getPath)
       val held = emb.filter(col("vec_id") % 10 === 3)
         .select($"vec_id", $"embedding").as[VecRow].collect()
       val verdicts = scala.collection.mutable.Map[Long, Boolean]()
@@ -856,7 +856,7 @@ class StreamingSpec extends SparkSpec {
       val q = stream.toDF().writeStream
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
           if (!df.isEmpty) {
-            val vs = AnnIndex.ingest(root, df)
+            val vs = AnnIndex.ingest(root.getPath, df)
               .collect().map(r => r.getLong(0) -> r.getBoolean(1))
             verdicts.synchronized { verdicts ++= vs }
           }
