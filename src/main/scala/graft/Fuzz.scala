@@ -2004,6 +2004,90 @@ object Fuzz {
     }, sql, "double_corr")
   }
 
+  /** T39: the ingest→retrain LIFECYCLE randomized end to end — the epoch
+    * half of the self-maintaining index (the fixed registry row
+    * sim_ann_ivfpq_retrain pins ONE path; this family randomizes it).
+    * Randomized: the residue layout (a residue that is NEVER ingested, an
+    * optional FIRST batch deduplicated at a random threshold with an
+    * explicit random nprobe, then 1-2 admit-all batches), the RETRAIN
+    * geometry (m, ksub — possibly different from the init's, the
+    * "parameter change on the epoch cadence" path), and the final probe's
+    * (query, k). The Spark side runs the REAL stateful lifecycle on a
+    * fresh root (initIngest → ingests → retrain → probe of the persisted
+    * artifacts); the oracle is a FROM-SCRATCH IVF×PQ build + probe over
+    * the SURVIVING corpus — standing ∪ dedup-batch survivors ∪ admitted
+    * residues — with the survivor set itself computed by the T38
+    * semantic-ingest SQL embedded as a corpus predicate
+    * (duckSemanticIngestOver), and the build text shared with the fixed
+    * rows (duckFullIvfPqProbeOver). A retrain that re-reads anything
+    * narrower than the grown corpus, leaks a stale quantizer, loses a
+    * batch, or mis-handles a changed geometry hash-diverges here. */
+  private def genRetrainLifecycle(r: Random, name: String): FuzzQuery = {
+    import graft.ext.{Similarity, SimilarityQueries}
+    val mod = pick(r, Seq(8, 10, 12))
+    val pool = scala.collection.mutable.ArrayBuffer.from(0 until mod)
+    val rs = (0 until mod).map(_ => pool.remove(r.nextInt(pool.size)))
+    val out = rs.head                          // residue never ingested
+    val dedup = r.nextBoolean()
+    val dedupRes = rs(1)
+    val nAdmit = 1 + r.nextInt(2)
+    val admits = rs.slice(2, 2 + nAdmit)
+    val ingested = (if (dedup) Seq(dedupRes) else Nil) ++ admits
+    val standingRes = (0 until mod).filterNot(x =>
+      x == out || ingested.contains(x))
+    val thr = pick(r, Seq(250000000L, 400000000L, 550000000L))
+    val kDedup = 1 + r.nextInt(5)
+    val np = 6 + r.nextInt(10)                 // explicit on BOTH sides
+    val (m2, ks2) = pick(r, Seq(
+      (Similarity.pqM, Similarity.pqKsub), (8, 16), (16, 16), (8, 32)))
+    val k = 3 + r.nextInt(8)
+    val qid = standingRes.head.toLong          // vec_id=r < mod is standing
+    val standingIn = standingRes.mkString(", ")
+    val corpusResIn = (standingRes ++ admits).mkString(", ")
+    val survivorsSql =
+      if (!dedup) ""
+      else {
+        val verdicts = SimilarityQueries.duckSemanticIngestOver(
+          s"(vec_id % $mod) IN ($standingIn)",
+          s"vec_id % $mod = $dedupRes", thr, kDedup, np)
+        s"""
+           OR (vec_id % $mod = $dedupRes AND vec_id IN (
+             SELECT vec_id FROM ($verdicts) dv WHERE NOT is_dup))"""
+      }
+    val corpusSql =
+      s"""SELECT vec_id, embedding FROM embeddings
+          WHERE (vec_id % $mod) IN ($corpusResIn)$survivorsSql"""
+    val sql = SimilarityQueries.duckFullIvfPqProbeOver(
+      corpusSql, qid, k, 8, m2, ks2)
+    FuzzQuery(name, (s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val standing = emb.filter(
+        (col("vec_id") % mod).isin(standingRes.map(Int.box): _*))
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_fuzz_retrain_$name")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root.getParentFile, root.getName + ".lock"))
+      graft.sources.AnnIndex.initIngest(standing, root.getPath)
+      if (dedup)
+        graft.sources.AnnIndex.ingest(root.getPath,
+          emb.filter(col("vec_id") % mod === dedupRes), kDedup, thr,
+          nprobe = np)
+      admits.zipWithIndex.foreach { case (res, i) =>
+        graft.sources.AnnIndex.ingest(root.getPath,
+          emb.filter(col("vec_id") % mod === res),
+          thresholdE9 = 1000000001L, batchId = Some(i + 1L))
+      }
+      val idx = graft.sources.AnnIndex.retrain(s, root.getPath,
+        m = m2, ksub = ks2)
+      val corpus = graft.sources.AnnIndex.vectorsOf(s, root.getPath)
+      val nl = Similarity.autoNlist(corpus.count())
+      Similarity.ivfPqTopK(corpus, qid, k, nlist = nl, m = m2, ksub = ks2,
+        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+        index = Some(idx.index))
+    }, sql, "retrain_lifecycle")
+  }
+
   /** T38: randomized semantic-ingest differential — the self-maintaining
     * ANN index's admission kernel under a random standing/batch split,
     * duplicate threshold, k, and probe width. The Spark side runs the
@@ -2045,7 +2129,7 @@ object Fuzz {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz${seed}%03d_$i%03d"
-      r.nextInt(38) match {
+      r.nextInt(39) match {
         case 0 => genScan(r, name)
         case 1 => genJoin(r, name)
         case 2 => genAgg(r, name, joined = false)
@@ -2083,7 +2167,8 @@ object Fuzz {
         case 34 => genProfile(r, name)
         case 35 => genCalendarRollup(r, name)
         case 36 => genDoubleCorr(r, name)
-        case _ => genSemanticIngest(r, name)
+        case 37 => genSemanticIngest(r, name)
+        case _ => genRetrainLifecycle(r, name)
       }
     }
   }

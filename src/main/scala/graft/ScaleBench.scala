@@ -1062,8 +1062,15 @@ object ScaleBench {
           val scanCold = scanPass()
           val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
             new java.io.File(root, "index"))
+          // the ACTUAL trained list count, not the autoNlist formula: the
+          // r13 sweep silently measured seed-collapsed indexes (a few
+          // dozen lists where the formula said thousands — round-13
+          // advice); recording the trained count in-record makes any
+          // training/formula divergence visible in the evidence itself
+          val trainedNl = idx.centroids.count()
           org.apache.commons.io.FileUtils.deleteQuietly(root)
           s""""$layout":{"build_sec":${num(buildSec)},""" +
+            s""""trained_nlist":$trainedNl,""" +
             s""""warm_ensure_sec":${num(warmSec)},""" +
             s""""probe_sec_per_q":${num(probeWarm)},""" +
             s""""probe_cold_sec_per_q":${num(probeCold)},""" +

@@ -873,7 +873,28 @@ object Similarity {
                 assigned: Option[DataFrame] = None,
                 codebooks: Option[DataFrame] = None,
                 codes: Option[DataFrame] = None,
-                index: Option[DataFrame] = None): DataFrame = {
+                index: Option[DataFrame] = None): DataFrame =
+    pqExactRerank(embeddings,
+      ivfPqCandidateIds(embeddings, queryVecId, k, nlist, nprobe, m, ksub,
+        refine, centroids, assigned, codebooks, codes, index),
+      queryVecId, k)
+
+  /** The candidate stage of [[ivfPqTopK]] in isolation: the query's
+    * ≤ k·refine ADC-survivor vec_ids, BEFORE the exact re-rank — the
+    * bounded id set a serving layer fetches full vectors for. Exposed so
+    * `AnnIndex.probeTopK` can run the fetch against a vec_id-BUCKETED
+    * vector table with literal-id bucket pruning (the at-scale re-rank
+    * form; AnnIndexSpec pins SelectedBucketsCount on the real ingest
+    * root) instead of the in-plan broadcast-join fetch below. Same
+    * all-integer determinism contract as the composed probe. */
+  def ivfPqCandidateIds(embeddings: DataFrame, queryVecId: Long, k: Int,
+                        nlist: Int = 0, nprobe: Int = 0,
+                        m: Int = pqM, ksub: Int = pqKsub, refine: Int = 8,
+                        centroids: Option[DataFrame] = None,
+                        assigned: Option[DataFrame] = None,
+                        codebooks: Option[DataFrame] = None,
+                        codes: Option[DataFrame] = None,
+                        index: Option[DataFrame] = None): DataFrame = {
     val nl = if (nlist > 0) nlist else autoNlist(embeddings.count())
     val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val cent = centroids.getOrElse(ivfTrainedCentroids(embeddings, nl))
@@ -888,9 +909,7 @@ object Similarity {
     }
     val probed = probedLists(cent, embeddings, queryVecId, np)
     val listed = joined.join(broadcast(probed), Seq("centroid_id"))
-    val cand = pqAdcCandidates(listed, cb, embeddings, queryVecId,
-      m, ksub, k * refine)
-    pqExactRerank(embeddings, cand, queryVecId, k)
+    pqAdcCandidates(listed, cb, embeddings, queryVecId, m, ksub, k * refine)
   }
 
   /** Batch ANN join over the COMPOSED IVF×PQ index: every panel member
@@ -1127,7 +1146,16 @@ object SimilarityQueries extends QModule {
     * Fuzz T38 generator, which randomizes every parameter - so the
     * oracle text and the registry row can never drift apart. */
   private[graft] def duckSemanticIngest(mod: Int, res: Int,
-      thresholdE9: Long, k: Int, nprobe: Int): String = {
+      thresholdE9: Long, k: Int, nprobe: Int): String =
+    duckSemanticIngestOver(s"vec_id % $mod <> $res", s"vec_id % $mod = $res",
+      thresholdE9, k, nprobe)
+
+  /** [[duckSemanticIngest]] generalized to arbitrary standing/batch
+    * predicates over `embeddings` — Fuzz T39 probes a dedup batch against
+    * a multi-residue standing set (the residues later admit-all batches
+    * will fill), which the single-residue form can't express. */
+  private[graft] def duckSemanticIngestOver(standingWhere: String,
+      batchWhere: String, thresholdE9: Long, k: Int, nprobe: Int): String = {
     val npSql = if (nprobe > 0) nprobe.toString else "np"
     s"""
       WITH base AS (
@@ -1138,7 +1166,7 @@ object SimilarityQueries extends QModule {
         FROM (SELECT vec_id,
                      list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
-              FROM embeddings WHERE vec_id % $mod <> $res) t0),
+              FROM embeddings WHERE $standingWhere) t0),
       pbase AS (
         SELECT vec_id, ve6,
                greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
@@ -1147,14 +1175,14 @@ object SimilarityQueries extends QModule {
         FROM (SELECT vec_id,
                      list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
-              FROM embeddings WHERE vec_id % $mod = $res) t0),
+              FROM embeddings WHERE $batchWhere) t0),
       iprm AS (
         SELECT nl, greatest(6, (nl * 3) // 8) AS np,
                greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
         FROM (SELECT greatest(16, least(4096,
                        CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
                      COUNT(*) AS n
-              FROM embeddings WHERE vec_id % $mod <> $res) t),
+              FROM embeddings WHERE $standingWhere) t),
       c0 AS (
         SELECT vec_id AS centroid_id, ve6 AS ce6
         FROM base, iprm s
@@ -1198,7 +1226,7 @@ object SimilarityQueries extends QModule {
         FROM pnbase, UNNEST(range(0, ${pqM})) t(mi)),
       pprm AS (
         SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
-        FROM embeddings WHERE vec_id % $mod <> $res),
+        FROM embeddings WHERE $standingWhere),
       p0 AS (
         SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
         FROM subs, pprm
@@ -1247,7 +1275,7 @@ object SimilarityQueries extends QModule {
           JOIN embeddings q ON q.vec_id = c.query_id) t
         WHERE rk <= $k GROUP BY query_id)
       SELECT p.vec_id, coalesce(h.best >= $thresholdE9, FALSE) AS is_dup
-      FROM (SELECT vec_id FROM embeddings WHERE vec_id % $mod = $res) p
+      FROM (SELECT vec_id FROM embeddings WHERE $batchWhere) p
       LEFT JOIN hits h ON h.query_id = p.vec_id
       ORDER BY p.vec_id
     """
@@ -1262,8 +1290,24 @@ object SimilarityQueries extends QModule {
     * full-corpus index through the ingest lifecycle: init on the
     * standing 9/10 -> admit two batches -> epoch retrain) - one SQL
     * verifies that the lifecycle converges to the from-scratch build. */
-  private def duckFullIvfPqProbe(qid: Int): String = s"""
-      WITH base AS (
+  private def duckFullIvfPqProbe(qid: Int): String =
+    duckFullIvfPqProbeOver("SELECT vec_id, embedding FROM embeddings",
+      qid, 10, 8, Similarity.pqM, Similarity.pqKsub)
+
+  /** The from-scratch IVF×PQ build + probe as DuckDB SQL, parameterized
+    * by the CORPUS (any `SELECT vec_id, embedding …` text), the query
+    * id, k, refine, and the PQ geometry (m, ksub). The fixed registry
+    * rows (`sim_ann_ivfpq`, `sim_ann_ivfpq_retrain`) instantiate it at
+    * the defaults over the whole table; Fuzz T39 instantiates it over
+    * the SURVIVING corpus of a randomized ingest→retrain lifecycle with
+    * randomized retrain geometry — so the lifecycle oracle and the
+    * fixed rows can never drift apart. */
+  private[graft] def duckFullIvfPqProbeOver(corpusSql: String, qid: Long,
+      k: Int, refine: Int, m: Int, ksub: Int): String = {
+    val ds = Similarity.pqDim / m
+    s"""
+      WITH corp AS ($corpusSql),
+      base AS (
         SELECT vec_id, ve6,
                greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
                                   AS BIGINT) AS DOUBLE)),
@@ -1271,14 +1315,14 @@ object SimilarityQueries extends QModule {
         FROM (SELECT vec_id,
                      list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS ve6
-              FROM embeddings) t0),
+              FROM corp) t0),
       iprm AS (
         SELECT nl, greatest(6, (nl * 3) // 8) AS np,
                greatest(CAST(floor(n / nl) AS BIGINT), 1) AS stride
         FROM (SELECT greatest(16, least(4096,
                        CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS nl,
                      COUNT(*) AS n
-              FROM embeddings) t),
+              FROM corp) t),
       c0 AS (
         SELECT vec_id AS centroid_id, ve6 AS ce6
         FROM base, iprm s
@@ -1308,17 +1352,17 @@ object SimilarityQueries extends QModule {
         FROM base),
       subs AS (
         SELECT vec_id, CAST(mi AS INT) AS m,
-               list_slice(ne6, mi * ${pqDim / pqM} + 1,
-                          mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
-        FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
+               list_slice(ne6, mi * $ds + 1,
+                          mi * $ds + $ds) AS sub
+        FROM nbase, UNNEST(range(0, $m)) t(mi)),
       pprm AS (
-        SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
-        FROM embeddings),
+        SELECT greatest(CAST(floor(COUNT(*) / $ksub) AS BIGINT), 1) AS stride
+        FROM corp),
       p0 AS (
         SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
         FROM subs, pprm
-        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
-      ${duckPqRounds(pqKmeansIters)}
+        WHERE vec_id % stride = 0 AND vec_id < stride * $ksub),
+      ${duckPqRounds(pqKmeansIters, ds)}
       enc AS (
         SELECT vec_id, m, code FROM (
           SELECT s.vec_id, s.m, c.code,
@@ -1342,13 +1386,14 @@ object SimilarityQueries extends QModule {
         JOIN probed pr ON a.centroid_id = pr.centroid_id
         WHERE e.vec_id <> $qid
         GROUP BY e.vec_id),
-      cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${10 * 8})
+      cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${k * refine})
       SELECT vec_id, cosine_e9 FROM (
         SELECT b.vec_id, CAST(floor($duckCosine * 1e9 + 0.5) AS BIGINT) AS cosine_e9
-        FROM embeddings b JOIN cand USING (vec_id)
-        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = $qid) a(embedding)
-        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT 10) t
+        FROM corp b JOIN cand USING (vec_id)
+        CROSS JOIN (SELECT embedding FROM corp WHERE vec_id = $qid) a(embedding)
+        ORDER BY cosine_e9 DESC, b.vec_id ASC LIMIT $k) t
     """
+  }
 
   /** One SQL CTE pair (assign + recenter) per Lloyd round — generated
     * from the SAME iteration count the Spark side trains with, so the
@@ -1379,8 +1424,9 @@ object SimilarityQueries extends QModule {
     * from the SAME iteration count the Spark trainer uses, replaying all
     * `pqM` subspaces' training in one (m, code)-keyed table. `subs`/`p0`
     * are defined by the enclosing query. */
-  private def duckPqRounds(iters: Int): String = {
-    val ds = Similarity.pqDim / Similarity.pqM
+  private def duckPqRounds(iters: Int,
+                           ds: Int = Similarity.pqDim / Similarity.pqM)
+      : String = {
     (1 to iters).map { i =>
       s"""pa$i AS (
          |  SELECT m, code, sub FROM (

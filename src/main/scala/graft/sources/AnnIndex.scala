@@ -231,32 +231,128 @@ object AnnIndex {
     * `partitioned = Some(true)` below it. */
   val partitionThreshold = 1000000L
 
+  // --- the ingest root's vector tables: bucketed base + delta sidecar ------
+
+  /** Bucket count for the ingest root's vector BASE table. 16 keeps a
+    * point probe's candidate fetch at ≤ k·refine buckets of a few files
+    * each at local scale; a 100 TB deployment raises it with corpus size
+    * at `initIngest`/`retrain` time (the count is persisted next to the
+    * data and a changed count re-registers cleanly — see
+    * [[vectorBaseTable]]). */
+  val defaultVecBuckets = 16
+
+  /** Catalog identifier for a root's bucketed vector base. The bucket
+    * count is part of the NAME: Spark's catalog pins the bucket spec at
+    * CREATE time, so a root rebuilt under a different count must land in
+    * a fresh identifier rather than serve wrong bucket ids through a
+    * stale entry (wrong bucket ids co-locate wrong rows SILENTLY — the
+    * same hazard Bucketed.ensureBucketed's fingerprint gates). */
+  private def vecTableName(root: String, buckets: Int): String =
+    s"graft_vecb${buckets}_" + root.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Write `df` as the root's bucketed vector base (one bucketed-sorted
+    * layout on vec_id at `dir/vectors`): the at-scale answer to the
+    * probe's exact-re-rank fetch — a bounded candidate-id set prunes to
+    * its buckets instead of scanning the corpus (SelectedBucketsCount,
+    * plan-pinned on the REAL root in AnnIndexSpec). The bucket count is
+    * recorded in `_GRAFT_BUCKETS` AFTER the data so its presence implies
+    * a complete bucketed layout (legacy/partial layouts fall back to the
+    * unpruned fetch). */
+  private val stageSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def writeVectorBase(df: DataFrame, dir: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    // a crashed previous write can leave a partial (no _GRAFT_BUCKETS)
+    // base behind; this is only called when (re)creating the base
+    // wholesale, so clear the target first — CTAS refuses a non-empty
+    // location otherwise
+    deleteQ(fsFor(s, new Path(s"$dir/vectors")), new Path(s"$dir/vectors"))
+    val stageTable =
+      s"graft_vecstage_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}"
+    s.sql(s"DROP TABLE IF EXISTS $stageTable")
+    df.select(col("vec_id"), col("embedding"))
+      .repartition(buckets, col("vec_id"))
+      .write.format("parquet")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$dir/vectors")
+      .saveAsTable(stageTable)
+    s.sql(s"DROP TABLE $stageTable") // external: catalog entry only, files stay
+    val p = new Path(s"$dir/vectors")
+    writeString(fsFor(s, p), new Path(p, "_GRAFT_BUCKETS"), s"buckets=$buckets")
+  }
+
+  /** The root's vector base as a CATALOG-BACKED bucketed table (bucket
+    * metadata lives in the catalog, not the files): registers an
+    * external CLUSTERED BY table over `root/vectors` on first use per
+    * (root, bucket count), exactly the K9 adoption DDL. Returns None for
+    * a legacy (pre-bucketing) root — callers fall back to the plain
+    * parquet scan until the next `retrain` rewrites the base bucketed. */
+  private def vectorBaseTable(s: SparkSession, root: String): Option[DataFrame] = {
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
+    val meta = new Path(rootP, "vectors/_GRAFT_BUCKETS")
+    if (!fs.exists(meta)) return None
+    val buckets = readString(fs, meta).stripPrefix("buckets=").trim.toInt
+    val name = vecTableName(root, buckets)
+    if (!s.catalog.tableExists(name))
+      s.sql(s"""CREATE TABLE $name (vec_id BIGINT, embedding ARRAY<FLOAT>)
+               |USING parquet
+               |CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $buckets BUCKETS
+               |LOCATION '$root/vectors'""".stripMargin)
+    Some(s.table(name))
+  }
+
+  /** The root's corpus of record: the bucketed base PLUS the append-only
+    * delta sidecar (`vectors_delta/` — each `ingest` appends its
+    * survivors there as coalesced plain parquet). The split is the LSM
+    * posture: per-batch appends into a bucketed table would write up to
+    * one file PER BUCKET per batch (the small-files accretion the
+    * measured anninsgrow creep came from, ×buckets), so batches land in
+    * the flat delta at ~1 file/batch and `retrain` folds the delta into
+    * a fresh bucketed base on the epoch cadence. Readers that need the
+    * whole corpus (probe re-rank side, retrain, heal membership) take
+    * this union; the delta is batch-accumulation-sized, so the pruned
+    * base fetch + a small delta scan is the serving cost. */
+  def vectorsOf(s: SparkSession, root: String): DataFrame = {
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
+    val base = s.read.parquet(s"$root/vectors")
+      .select(col("vec_id"), col("embedding"))
+    val delta = new Path(rootP, "vectors_delta")
+    if (fs.exists(new Path(delta, "_SUCCESS")) || (fs.exists(delta) &&
+      fs.listStatus(delta).exists(_.getPath.getName.endsWith(".parquet"))))
+      base.unionByName(s.read.parquet(delta.toString)
+        .select(col("vec_id"), col("embedding")))
+    else base
+  }
+
   /** Initialize a SELF-MAINTAINING ingest root: the trained index plus
     * the corpus vector table (`vectors/` — the exact-re-rank side the
-    * codes can't provide) under one directory, ready for `ingest`.
-    * Takes the root's single-writer lease for the duration.
+    * codes can't provide; bucketed by vec_id, see [[vectorsOf]]) under
+    * one directory, ready for `ingest`. Takes the root's single-writer
+    * lease for the duration.
     *
     * Re-initializing an EXISTING ingest root rebuilds from the vector
-    * table, not from `emb`: after admissions the corpus of record is
-    * `vectors/` (standing + every admitted batch), and rebuilding the
+    * tables, not from `emb`: after admissions the corpus of record is
+    * base+delta (standing + every admitted batch), and rebuilding the
     * index from anything narrower would leave vectors the index can't
     * see — permanently un-detectable duplicates. A parameter change on
     * a grown root therefore behaves exactly like `retrain`. */
   def initIngest(emb: DataFrame, root: String,
                  m: Int = Similarity.pqM,
                  ksub: Int = Similarity.pqKsub,
-                 partitioned: Option[Boolean] = None): Unit = {
+                 partitioned: Option[Boolean] = None,
+                 vecBuckets: Int = defaultVecBuckets): Unit = {
     val s = emb.sparkSession
     val rootP = new Path(root)
     val fs = fsFor(s, rootP)
     withLock(fs, rootP, "initIngest") {
       val vdir = new Path(rootP, "vectors")
       if (fs.exists(new Path(vdir, "_SUCCESS"))) {
-        ensureIvfPqFor(s.read.parquet(vdir.toString), root, m, ksub, partitioned)
+        ensureIvfPqFor(vectorsOf(s, root), root, m, ksub, partitioned)
       } else {
         ensureIvfPqFor(emb, root, m, ksub, partitioned)
-        emb.select(col("vec_id"), col("embedding"))
-          .write.mode("overwrite").parquet(vdir.toString)
+        writeVectorBase(emb, root, vecBuckets)
       }
     }
   }
@@ -344,7 +440,7 @@ object AnnIndex {
           s.read.parquet(s"$root/centroids"),
           s.read.parquet(s"$root/codebooks"),
           s.read.parquet(s"$root/index"))
-        val vectors = s.read.parquet(s"$root/vectors")
+        val vectors = vectorsOf(s, root)
         val nl = idx.centroids.count().toInt
         Similarity.semanticDupFlags(batch, vectors, k, thresholdE9,
             nlist = nl,
@@ -365,7 +461,10 @@ object AnnIndex {
       def applied(table: String): Boolean = {
         if (!healing) return false
         val expected = survivorIds.count()
-        val present = s.read.parquet(s"$root/$table")
+        val tbl =
+          if (table == "vectors") vectorsOf(s, root) // base + delta sidecar
+          else s.read.parquet(s"$root/$table")
+        val present = tbl
           .join(survivorIds, Seq("vec_id"), "left_semi").count()
         require(present == 0L || present == expected,
           s"torn $table append for batch ${batchId.getOrElse(-1L)}: " +
@@ -384,10 +483,14 @@ object AnnIndex {
       val nSurv = survivorIds.count()
       val appendFiles = math.max(1L, nSurv / 4000000L +
         (if (nSurv % 4000000L > 0) 1L else 0L)).toInt
+      // survivors land in the DELTA sidecar, not the bucketed base: a
+      // bucketed append writes up to one file per bucket per batch (the
+      // small-files accretion, ×buckets); the flat delta stays at ~1
+      // file/batch and `retrain` folds it into a fresh bucketed base
       if (!applied("vectors"))
         survivors.select(col("vec_id"), col("embedding"))
           .coalesce(appendFiles)
-          .write.mode("append").parquet(s"$root/vectors")
+          .write.mode("append").parquet(s"$root/vectors_delta")
       ingestCrashHook("vectors_appended")
       if (!applied("index")) {
         val idx = IvfPq(
@@ -440,38 +543,115 @@ object AnnIndex {
   def retrain(s: SparkSession, root: String,
               m: Int = Similarity.pqM,
               ksub: Int = Similarity.pqKsub,
-              partitioned: Option[Boolean] = None): IvfPq = {
+              partitioned: Option[Boolean] = None,
+              vecBuckets: Int = defaultVecBuckets): IvfPq = {
     val rootP = new Path(root)
     val fs = fsFor(s, rootP)
     withLock(fs, rootP, "retrain") {
       val tmp = new Path(rootP.getParent,
         rootP.getName + s".retrain.${ProcessHandle.current().pid()}")
       deleteQ(fs, tmp)
-      val raw = s.read.parquet(s"$root/vectors")
+      // the corpus of record is base + delta; the epoch rebuild FOLDS the
+      // delta into a fresh bucketed base (compacting every batch's append
+      // files), heals any crash-left duplicate rows, and re-sorts the
+      // bucket runs — the LSM compaction half of the ingest design
+      val raw = vectorsOf(s, root)
       val healVectors = raw.count() != raw.dropDuplicates("vec_id").count()
-      val vectors =
-        if (!healVectors) raw
-        else {
-          raw.dropDuplicates("vec_id")
-            .write.parquet(s"$tmp/vectors")
-          s.read.parquet(s"$tmp/vectors")
-        }
+      val folded = if (healVectors) raw.dropDuplicates("vec_id") else raw
+      writeVectorBase(folded, tmp.toString, vecBuckets)
+      val vectors = s.read.parquet(s"$tmp/vectors")
       ensureIvfPqFor(vectors, tmp.toString, m, ksub, partitioned)
-      // swap the rebuilt artifacts in; the vector table moves only when
-      // it was healed
-      val dirs = Seq("centroids", "codebooks", "index", "meta") ++
-        (if (healVectors) Seq("vectors") else Nil)
+      // swap the rebuilt artifacts in; vectors always moves now (the
+      // folded base replaces base + delta)
+      val dirs = Seq("centroids", "codebooks", "index", "meta", "vectors")
       for (d <- dirs) {
         deleteQ(fs, new Path(rootP, d))
         require(fs.rename(new Path(tmp, d), new Path(rootP, d)),
           s"retrain swap failed for $d under $root")
       }
+      deleteQ(fs, new Path(rootP, "vectors_delta"))
       deleteQ(fs, tmp)
+      // the base files changed under any catalog-registered bucketed
+      // table over them: invalidate this session's cached relation +
+      // file listing (refreshByPath alone misses the FileStatusCache; a
+      // probe from ANOTHER live session refreshes on its side — standard
+      // Spark external-table semantics; fresh JVMs list fresh)
+      s.catalog.refreshByPath(s"$root/vectors")
+      val rebuiltName = vecTableName(root, vecBuckets)
+      if (s.catalog.tableExists(rebuiltName)) s.catalog.refreshTable(rebuiltName)
       IvfPq(
         s.read.parquet(s"$root/centroids"),
         s.read.parquet(s"$root/codebooks"),
         s.read.parquet(s"$root/index"))
     }
+  }
+
+  /** Point-query serving probe over an ingest root, with the AT-SCALE
+    * re-rank fetch: candidate selection runs through the persisted
+    * IVF×PQ index exactly as `Similarity.ivfPqTopK` (probe-pruned scan,
+    * native ADC, k·refine cut), but the exact-re-rank vector fetch —
+    * the one term that touched the corpus — goes to the root's
+    * vec_id-BUCKETED base table as a literal-id filter, which Spark's
+    * bucket pruning turns into reading only the candidates' buckets
+    * (SelectedBucketsCount; plan-pinned on a real ingest root in
+    * AnnIndexSpec), plus a scan of the batch-sized delta sidecar. At
+    * 100 TB the fetch cost is ≤ k·refine buckets' worth of files + the
+    * since-last-retrain delta, independent of corpus size.
+    *
+    * The candidate-id collect here is BOUNDED BY CONSTRUCTION at
+    * k·refine rows (the ADC stage cuts to that before any fetch) and
+    * guarded by a loud require — the same bounded class as the centroid
+    * snapshots on the CollectHygieneSpec allowlist; the batch-verdict
+    * path (`ingest`) remains fully distributed. The small groupBy on the
+    * fetched ids keeps the bucketed scan "interesting" to the planner
+    * (DisableUnnecessaryBucketedScan would otherwise fall back to a
+    * plain scan and forfeit pruning) — it aggregates ≤ k·refine rows and
+    * is exchange-free BECAUSE the scan is bucketed. Legacy roots whose
+    * base predates the bucketed layout fall back to the plain fetch
+    * until their next `retrain` rewrites the base. */
+  def probeTopK(s: SparkSession, root: String, queryVecId: Long,
+                k: Int = 10, nprobe: Int = 0, refine: Int = 8,
+                m: Int = Similarity.pqM,
+                ksub: Int = Similarity.pqKsub): DataFrame = {
+    val idx = IvfPq(
+      s.read.parquet(s"$root/centroids"),
+      s.read.parquet(s"$root/codebooks"),
+      s.read.parquet(s"$root/index"))
+    val all = vectorsOf(s, root)
+    val nl = idx.centroids.count().toInt
+    val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(nl)
+    val cap = k * refine
+    val ids = Similarity.ivfPqCandidateIds(all, queryVecId, k,
+        nlist = nl, nprobe = np, m = m, ksub = ksub, refine = refine,
+        centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
+        index = Some(idx.index))
+      .limit(cap + 1).collect().map(_.getLong(0))
+    require(ids.length <= cap,
+      s"candidate stage returned more than k*refine = $cap ids")
+    val fetched = vectorBaseTable(s, root) match {
+      case Some(base) =>
+        val pruned = base.filter(col("vec_id").isin(ids.map(Long.box): _*))
+          .groupBy(col("vec_id"))
+          .agg(first(col("embedding")).as("embedding"))
+        val rootP = new Path(root)
+        val fs = fsFor(s, rootP)
+        val delta = new Path(rootP, "vectors_delta")
+        if (fs.exists(delta))
+          pruned.unionByName(s.read.parquet(delta.toString)
+            .select(col("vec_id"), col("embedding"))
+            .filter(col("vec_id").isin(ids.map(Long.box): _*)))
+        else pruned
+      case None =>
+        all.filter(col("vec_id").isin(ids.map(Long.box): _*))
+    }
+    val qv = all.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q"))
+    fetched.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        Similarity.cosineE9(Similarity.cosine("embedding", "q"))
+          .as("cosine_e9"))
+      .orderBy(col("cosine_e9").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** Same contract over an arbitrary (vec_id, embedding) frame and an
@@ -561,6 +741,15 @@ object AnnIndex {
           if (fs.exists(new Path(vec, "_SUCCESS")))
             require(fs.rename(vec, new Path(stage, "vectors")),
               s"could not preserve $vec across the index rebuild")
+          // an ingest root also carries the delta sidecar and the batch
+          // replay markers — admitted batches and replay idempotence must
+          // survive a param-changing re-init exactly like the base table
+          for (d <- Seq("vectors_delta", "ingested")) {
+            val p = new Path(rootP, d)
+            if (fs.exists(p))
+              require(fs.rename(p, new Path(stage, d)),
+                s"could not preserve $p across the index rebuild")
+          }
           deleteQ(fs, rootP)
           if (!renameIfAbsent(fs, stage, rootP))
             require(metaOk(rootP),

@@ -145,7 +145,7 @@ class AnnIndexSpec extends SparkSpec {
         s"copies of admitted vectors not caught by the grown index: $flags2")
       // and the state really is on disk: vectors grew by the survivors,
       // index rows match vectors rows (copies were NOT re-admitted)
-      val nVec = spark.read.parquet(s"$root/vectors").count()
+      val nVec = AnnIndex.vectorsOf(spark, root.getPath).count()
       val nIdx = spark.read.parquet(s"$root/index").count()
       assert(nVec === nIdx)
       assert(nVec ===
@@ -163,7 +163,7 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.initIngest(standing, root.getPath)
       val flags1 = AnnIndex.ingest(root.getPath, emb.filter(col("vec_id") % 10 === 3))
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-      val nAfterIngest = spark.read.parquet(s"$root/vectors").count()
+      val nAfterIngest = AnnIndex.vectorsOf(spark, root.getPath).count()
       val idx = AnnIndex.retrain(spark, root.getPath)
       // the fingerprint now reflects the GROWN corpus, the index covers
       // every vector, and the vector table was never touched
@@ -172,7 +172,7 @@ class AnnIndexSpec extends SparkSpec {
         java.nio.charset.StandardCharsets.UTF_8)
       assert(fp.contains(s"n=$nAfterIngest"), fp)
       assert(idx.index.count() === nAfterIngest)
-      assert(spark.read.parquet(s"$root/vectors").count() === nAfterIngest)
+      assert(AnnIndex.vectorsOf(spark, root.getPath).count() === nAfterIngest)
       // the retrained root still ingests: an exact copy of an admitted
       // member is caught by the rebuilt index too
       val adm = flags1.filter(!_._2).keys.toSeq.sorted.take(1)
@@ -219,13 +219,13 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root.getPath)
       val batch = emb.filter(col("vec_id") % 10 === 3)
       val first = orderedRows(AnnIndex.ingest(root.getPath, batch, batchId = Some(7L)))
-      val nVec = spark.read.parquet(s"$root/vectors").count()
+      val nVec = AnnIndex.vectorsOf(spark, root.getPath).count()
       val nIdx = spark.read.parquet(s"$root/index").count()
       // redelivery of the SAME micro-batch (foreachBatch restart): the
       // persisted verdicts come back and nothing is re-appended
       val replay = orderedRows(AnnIndex.ingest(root.getPath, batch, batchId = Some(7L)))
       assert(replay === first)
-      assert(spark.read.parquet(s"$root/vectors").count() === nVec,
+      assert(AnnIndex.vectorsOf(spark, root.getPath).count() === nVec,
         "replay re-appended vectors")
       assert(spark.read.parquet(s"$root/index").count() === nIdx,
         "replay re-appended index rows")
@@ -248,7 +248,7 @@ class AnnIndexSpec extends SparkSpec {
         .select(col("vec_id"), col("embedding"))
       val flags = AnnIndex.ingest(iroot.getPath, batch, batchId = Some(7L))
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).sortBy(_._1).toSeq
-      val nVec = spark.read.parquet(s"$iroot/vectors").count()
+      val nVec = AnnIndex.vectorsOf(spark, iroot.getPath).count()
       val nIdx = spark.read.parquet(s"$iroot/index").count()
       assert(nVec === nIdx)
       // manufacture the crash state: appends committed, marker pending
@@ -259,7 +259,7 @@ class AnnIndexSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).sortBy(_._1).toSeq
       assert(replay === flags, "heal path changed the verdicts")
       assert(new java.io.File(fin, "_SUCCESS").exists(), "marker not finalized")
-      assert(spark.read.parquet(s"$iroot/vectors").count() === nVec,
+      assert(AnnIndex.vectorsOf(spark, iroot.getPath).count() === nVec,
         "heal path re-appended vectors")
       assert(spark.read.parquet(s"$iroot/index").count() === nIdx,
         "heal path re-appended index rows")
@@ -342,6 +342,69 @@ class AnnIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_spec_vecstore")
       org.apache.commons.io.FileUtils.deleteQuietly(wh)
     }
+  }
+
+  test("probeTopK: the REAL ingest root's re-rank fetch bucket-prunes (SelectedBucketsCount) and matches ivfPqTopK") {
+    // round-13 verdict item 2: the bucketed-fetch demonstration above
+    // runs on a synthetic side table; the SERVED path must show the same
+    // plan on an actual initIngest/ingest-grown root. initIngest writes
+    // the vector base bucketed by vec_id; probeTopK fetches its ≤
+    // k·refine candidates from it as literal ids (bucket-pruned) plus
+    // the batch-sized delta sidecar — and must be row-identical to the
+    // in-plan broadcast-fetch probe over the same corpus + artifacts.
+    val emb = t(spark, dir, "embeddings")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_annidx_spec_probetopk")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    try {
+      AnnIndex.initIngest(emb.filter(col("vec_id") % 10 =!= 3), root.getPath)
+      // grow the root so the delta sidecar is non-empty (threshold above
+      // max cosine: everything admitted)
+      AnnIndex.ingest(root.getPath, emb.filter(col("vec_id") % 10 === 3),
+        thresholdE9 = 1000000001L, batchId = Some(1L)).count()
+      // pruning is visible when the candidate set is smaller than the
+      // bucket count (k·refine = 10 ids over 16 buckets here; at scale a
+      // deployment's bucket count dwarfs k·refine, so the fetch reads ≤
+      // k·refine buckets of a corpus-sized table)
+      val probe = AnnIndex.probeTopK(spark, root.getPath, 0L, k = 5, refine = 2)
+      probe.queryExecution.toRdd.count()
+      val p = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==", 2)(0)
+      val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(p)
+      assert(sel.isDefined,
+        "bucket pruning absent from the served probe plan:\n" + p)
+      val (nSel, nAll) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(nAll === AnnIndex.defaultVecBuckets && nSel < nAll,
+        s"expected a pruned fetch, read $nSel of $nAll buckets")
+      assert(nSel <= 10,
+        s"pruning should read at most one bucket per candidate id ($nSel)")
+      // content parity with the in-plan broadcast-fetch probe over the
+      // identical corpus and persisted artifacts
+      val all = AnnIndex.vectorsOf(spark, root.getPath)
+      val idxP = AnnIndex.IvfPq(
+        spark.read.parquet(s"$root/centroids"),
+        spark.read.parquet(s"$root/codebooks"),
+        spark.read.parquet(s"$root/index"))
+      val nl = idxP.centroids.count().toInt
+      assert(orderedRows(AnnIndex.probeTopK(spark, root.getPath, 0L, k = 10))
+        === orderedRows(
+        Similarity.ivfPqTopK(all, 0L, 10, nlist = nl,
+          centroids = Some(idxP.centroids), codebooks = Some(idxP.codebooks),
+          index = Some(idxP.index))))
+      // after retrain (delta folded into a fresh bucketed base), the
+      // served probe still prunes and still matches
+      AnnIndex.retrain(spark, root.getPath)
+      val probe2 = AnnIndex.probeTopK(spark, root.getPath, 0L, k = 5, refine = 2)
+      probe2.queryExecution.toRdd.count()
+      val p2 = probe2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==", 2)(0)
+      assert("""SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(p2).isDefined,
+        "bucket pruning lost after retrain:\n" + p2)
+      assert(!new java.io.File(root, "vectors_delta").exists(),
+        "retrain left the delta sidecar behind")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
   }
 
   test("a stale fingerprint triggers a rebuild") {

@@ -47,7 +47,13 @@ class CollectHygieneSpec extends AnyFunSuite {
     "sources/Csv.scala" -> 1,
     "sources/Compact.scala" -> 1,
     "ext/Similarity.scala" -> 2,
-    "ext/TextAnalysis.scala" -> 1)
+    "ext/TextAnalysis.scala" -> 1,
+    // probeTopK's candidate-id fetch: bounded at k·refine by the ADC cut
+    // and guarded by a loud require — the ids become the bucket-pruning
+    // literals of the point-serving re-rank fetch (AnnIndexSpec pins the
+    // SelectedBucketsCount plan). The ingest/retrain paths stay
+    // collect-free (pinned below).
+    "sources/AnnIndex.scala" -> 1)
 
   test("every engine .collect() site is on the audited allowlist") {
     val root = Paths.get("src/main/scala/graft")
@@ -69,10 +75,21 @@ class CollectHygieneSpec extends AnyFunSuite {
         "Distribute the new path, or re-audit and extend the pin + scaladoc.")
   }
 
-  test("AnnIndex has no driver collect at all (the r12 finding stays fixed)") {
+  test("AnnIndex's only collect is probeTopK's bounded candidate fetch (ingest stays distributed)") {
     val txt = Files.readString(Paths.get(
       "src/main/scala/graft/sources/AnnIndex.scala"))
-    assert(!txt.contains(".collect()"),
-      "AnnIndex regained a driver collect — the ingest verdict path must stay distributed")
+    val sites = """\.collect\(\)""".r.findAllMatchIn(txt).map(_.start).toSeq
+    assert(sites.size == 1,
+      s"AnnIndex collect count drifted (${sites.size}) — the ingest " +
+        "verdict path must stay distributed; only probeTopK's k·refine-" +
+        "capped id fetch is audited")
+    val probeStart = txt.indexOf("def probeTopK")
+    val probeEnd = txt.indexOf("def ensureIvfPqFor")
+    assert(probeStart >= 0 && probeEnd > probeStart)
+    assert(sites.head > probeStart && sites.head < probeEnd,
+      "the audited collect moved out of probeTopK — re-audit")
+    // and the boundedness guard is adjacent to the site
+    assert(txt.contains("more than k*refine"),
+      "probeTopK lost its loud candidate-cap guard")
   }
 }

@@ -39,7 +39,7 @@ class FuzzSpec extends SparkSpec {
   test("every template and coin-flip branch executes on Spark (sf0.001)") {
     val qs = Fuzz.corpus(42L, 200)
     val byTemplate = qs.groupBy(_.template)
-    // all 38 generator templates must be present in the pinned corpus...
+    // all 39 generator templates must be present in the pinned corpus...
     assert(byTemplate.keySet == Set("scan", "join", "agg", "join_agg",
       "window", "setop", "distinct", "semi_anti",
       "full_join", "join3", "case_str", "session", "hopping", "rollup",
@@ -48,7 +48,7 @@ class FuzzSpec extends SparkSpec {
       "spgemm", "graph_iter", "hybrid_skew", "sketch_bound", "sketch_state",
       "outer_interval", "cc_fixpoint", "cdc_extremum", "interval_family",
       "changeset", "profile", "calendar_rollup", "double_corr",
-      "semantic_ingest"),
+      "semantic_ingest", "retrain_lifecycle"),
       s"corpus template coverage changed: ${byTemplate.keySet}")
     // ...and one query per (template, branch) must execute as a Spark
     // plan — a Spark-only planning regression in any generator surfaces
@@ -180,13 +180,13 @@ class FuzzSpec extends SparkSpec {
       // SUM(BIGINT) and LIST_SUM(list<BIGINT>) to HUGEINT — the r4/r5
       // driver-hash bug class). The 11-char lookback covers both
       // CAST(SUM( and CAST(LIST_SUM( spellings.
-      // semantic_ingest replays the ANN training/probe pipeline: its
-      // integer list_sums appear only inside window ORDER BY / argmax
-      // comparisons (HUGEINT widening is exact, and a comparison never
-      // reaches an output column — the query's outputs are vec_id BIGINT
-      // and is_dup BOOLEAN derived from an explicitly CAST cosine_e9),
-      // so the output-widening rule doesn't apply to those sites
-      if (q.template != "semantic_ingest")
+      // semantic_ingest / retrain_lifecycle replay the ANN training/probe
+      // pipeline: their integer list_sums appear only inside window
+      // ORDER BY / argmax comparisons (HUGEINT widening is exact, and a
+      // comparison never reaches an output column — the outputs are
+      // vec_id BIGINT plus an explicitly CAST cosine_e9 / is_dup), so
+      // the output-widening rule doesn't apply to those sites
+      if (q.template != "semantic_ingest" && q.template != "retrain_lifecycle")
         assert(!"""SUM\(""".r.findAllMatchIn(up).exists(m =>
           !up.substring(math.max(0, m.start - 11), m.start).contains("CAST")),
           s"${q.name}: SUM without widening CAST: ${q.sql}")

@@ -52,7 +52,7 @@ class IngestProtocolSpec extends SparkSpec {
     try {
       AnnIndex.initIngest(standing, root.getPath)
       val flags = flagsOf(AnnIndex.ingest(root.getPath, batch, batchId = Some(7L)))
-      val nVec = spark.read.parquet(s"$root/vectors").count()
+      val nVec = AnnIndex.vectorsOf(spark, root.getPath).count()
       assert(nVec === spark.read.parquet(s"$root/index").count())
       (flags, nVec)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
@@ -81,7 +81,7 @@ class IngestProtocolSpec extends SparkSpec {
         val replay = flagsOf(
           AnnIndex.ingest(root.getPath, batch, batchId = Some(7L)))
         assert(replay === refFlags, s"verdicts diverged after crash at $cp")
-        val vec = spark.read.parquet(s"$root/vectors")
+        val vec = AnnIndex.vectorsOf(spark, root.getPath)
         val nVec = vec.count()
         val nIdx = spark.read.parquet(s"$root/index").count()
         assert(nVec === refVec && nIdx === refVec,
@@ -111,7 +111,7 @@ class IngestProtocolSpec extends SparkSpec {
       val replay = flagsOf(
         AnnIndex.ingest(root.getPath, batch, batchId = Some(7L)))
       assert(replay === refFlags)
-      assert(spark.read.parquet(s"$root/vectors").count() === refVec)
+      assert(AnnIndex.vectorsOf(spark, root.getPath).count() === refVec)
       assert(spark.read.parquet(s"$root/index").count() === refVec)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
   }
