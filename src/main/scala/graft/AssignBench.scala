@@ -15,12 +15,27 @@ import graft.ext.Similarity
   * Prints one JSON line per shape with best-of-2 wall seconds — the
   * numbers quoted in PERF.md §IVF-assignment.
   *
+  * "sweep" mode (PERF.md §assignment-budget, r13 verdict item 7):
+  * assignment cost vs nlist at the chosen corpus size — the exact flat
+  * argmax is O(n·nlist·dim) multiplies, so at large nlist this term IS
+  * the epoch-build budget. Per nlist the sweep measures the exact path,
+  * the two-level coarse-pruned path (√nlist groups, 3/8 probed —
+  * `Similarity.ivfTrainedAssignPruned`), the speedup, and the
+  * exact-vs-pruned agreement fraction. Run at two factors for the
+  * (n, nlist) surface.
+  *
   * Usage: runMain graft.AssignBench [sfDir] [factor]
+  *        runMain graft.AssignBench [sfDir] [factor] sweep [nlists...]
   */
 object AssignBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(1000)
+    val sweepMode = args.contains("sweep")
+    val sweepNlists = args.dropWhile(_ != "sweep").drop(1).map(_.toInt) match {
+      case e if e.isEmpty => Seq(64, 256, 1024, 4096)
+      case xs => xs.toSeq
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,6 +51,58 @@ object AssignBench {
       .repartition(32)
       .cache()
     val n = emb.count() // materialize the cache before timing
+
+    if (sweepMode) {
+      def num(v: Double, p: Int): String = Fmt.num(v, p)
+      def bestOf2(mk: => DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      for (nlist <- sweepNlists) {
+        // stride "centroids" re-used as the ce6 table: assignment cost
+        // depends only on n × nlist × dim arithmetic, not on centroid
+        // quality, and stride init is O(1 scan) at any nlist (a Lloyd
+        // train at nlist=4096 would dominate the sweep's wall)
+        val cents = Similarity.ivfCentroids(emb, nlist)
+          .select(col("centroid_id"), expr(
+            "transform(centroid, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+            .as("ce6"))
+          .localCheckpoint()
+        val g = math.max(1, math.floor(math.sqrt(
+          cents.count().toDouble)).toInt)
+        val c = math.max(2, g / 8)
+        // the group table is the train-once handle (once per epoch);
+        // its build cost is index-parameter-sized and reported separately
+        val tg0 = System.nanoTime()
+        val grouped = Similarity.ivfSuperGroups(cents, g).localCheckpoint()
+        val groupBuildSec = (System.nanoTime() - tg0) / 1e9
+        def prunedDf = Similarity.ivfTrainedAssignPruned(emb, cents,
+          grouped = Some(grouped))
+        // warm both paths (codegen compile + broadcast build)
+        Similarity.ivfTrainedAssign(emb, cents).queryExecution.toRdd.count()
+        prunedDf.queryExecution.toRdd.count()
+        val tExact = bestOf2(Similarity.ivfTrainedAssign(emb, cents))
+        val tPruned = bestOf2(prunedDf)
+        val exact = Similarity.ivfTrainedAssign(emb, cents)
+          .select(col("vec_id"), col("centroid_id").as("ce"))
+        val pruned = prunedDf
+          .select(col("vec_id"), col("centroid_id").as("cp"))
+        val agree = exact.join(pruned, "vec_id")
+          .agg(avg(when(col("ce") === col("cp"), 1.0).otherwise(0.0)))
+          .head().getDouble(0)
+        println(s"""{"metric":"assign_budget","n_vectors":$n,""" +
+          s""""nlist":$nlist,"groups":$g,"probe":$c,""" +
+          s""""exact_sec":${num(tExact, 3)},"pruned_sec":${num(tPruned, 3)},""" +
+          s""""group_build_sec":${num(groupBuildSec, 3)},""" +
+          s""""speedup":${num(tExact / tPruned, 2)},""" +
+          s""""agreement":${num(agree, 4)}}""")
+      }
+      spark.stop()
+      return
+    }
+
     val cents = Similarity.ivfCentroids(base, 16).localCheckpoint()
 
     // The r5 shape, kept HERE only as the measurement baseline: expand

@@ -46,6 +46,10 @@ import graft.ext.{CorpusPipeline, Dedup}
   *                        probe / pruned-scan / qfetch, flat vs partitioned,
   *                        cache-dropped cold passes; factors > 64 use the
   *                        rotation×perturbation corpus — §ann-crossover)
+  *        runMain graft.ScaleBench [sfDir] annrerank [factors...]
+  *                        (the exact-re-rank candidate fetch in isolation:
+  *                        broadcast-join scan vs bucketed literal-id
+  *                        pruning, warm/cold — §ann-crossover re-rank rows)
   *        runMain graft.ScaleBench [sfDir] text [factors...]
   *                        (text tier: tfidf / segment dedup / LM scorer)
   *        runMain graft.ScaleBench [sfDir] media [factors...]
@@ -334,6 +338,7 @@ object ScaleBench {
     val bloomMode = args.contains("bloom")
     val annMode = args.contains("ann")
     val annBuildMode = args.contains("annbuild")
+    val annRerankMode = args.contains("annrerank")
     val textMode = args.contains("text")
     val mediaMode = args.contains("media")
     val incrMode = args.contains("incr")
@@ -350,7 +355,7 @@ object ScaleBench {
     val factors = {
       val fs = args.drop(1)
         .filterNot(a => a == "hot-only" || a == "bloom" || a == "ann" ||
-          a == "annbuild" ||
+          a == "annbuild" || a == "annrerank" ||
           a == "text" || a == "media" || a == "incr" || a == "html" ||
           a == "frame" || a == "rank" || a == "layout" || a == "overlap" ||
           a == "graph" || a == "skew" || a == "sketch" || a == "neardup" ||
@@ -1083,6 +1088,82 @@ object ScaleBench {
         val part = arm("partitioned", parts = true)
         println(s"""{"op":"annbuild","factor":$f,"n_vectors":$n,""" +
           s""""nlist":$nl,"nprobe":$np,""" + flat + "," + part + "}")
+        org.apache.commons.io.FileUtils.deleteQuietly(corpusDir)
+      }
+      spark.stop()
+      return
+    }
+
+    // "annrerank" mode: the probe's exact-re-rank FETCH term in isolation
+    // — the one remaining corpus-shaped probe cost (r13 verdict item 2).
+    // Per factor the scaled corpus is written twice: CLUSTERED plain
+    // parquet (the in-plan broadcast-join fetch's best case) and a
+    // vec_id-BUCKETED table (the ingest root's base layout), then a fixed
+    // spread of k·refine = 80 candidate ids is fetched through both
+    // shapes, warm and cold: the broadcast-join fetch scans the corpus
+    // regardless of how few ids it wants; the bucketed literal-id fetch
+    // reads only the candidates' buckets (SelectedBucketsCount — the
+    // probeTopK serving path). 256 buckets so the 80 ids actually prune
+    // (buckets must exceed the candidate count to matter; recorded).
+    if (annRerankMode) {
+      val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val buckets = 256
+      for (f <- factors) {
+        val corpusDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_annrerank_corpus_${dirTag}_x$f")
+        org.apache.commons.io.FileUtils.deleteQuietly(corpusDir)
+        scaledEmbeddingsBig(spark, Tables.t(spark, dir, "embeddings"), f)
+          .sort(col("vec_id"))
+          .write.parquet(corpusDir.getPath)
+        val emb = spark.read.parquet(corpusDir.getPath)
+          .select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val whDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_annrerank_bucketed_${dirTag}_x$f")
+        val tbl = s"graft_annrerank_${dirTag}_x$f".replaceAll("[^A-Za-z0-9_]", "_")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.commons.io.FileUtils.deleteQuietly(whDir)
+        graft.sources.Bucketed.ensureBucketed(emb, tbl, whDir.getPath,
+          "vec_id", buckets)
+        // 80 candidate ids spread across the id range (k=10 · refine=8,
+        // the probe's candidate-cut shape)
+        val ids = (0 until 80).map(i => i.toLong * (n / 80L))
+        val idsDf = spark.range(0, 80).select(
+          (col("id") * (n / 80L)).as("vec_id")).localCheckpoint()
+        spark.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        def joinFetch(): Double = {
+          val t0 = System.nanoTime()
+          emb.join(broadcast(idsDf), Seq("vec_id"))
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def bucketFetch(): Double = {
+          val t0 = System.nanoTime()
+          spark.table(tbl)
+            .filter(col("vec_id").isin(ids.map(Long.box): _*))
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        joinFetch(); bucketFetch() // warm codegen + listings
+        val joinWarm = (1 to 3).map(_ => joinFetch()).min
+        val bucketWarm = (1 to 3).map(_ => bucketFetch()).min
+        val coldOk = dropPageCache()
+        val joinCold = joinFetch()
+        dropPageCache()
+        val bucketCold = bucketFetch()
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        println(s"""{"op":"annrerank","factor":$f,"n_vectors":$n,""" +
+          s""""n_cand":80,"buckets":$buckets,""" +
+          s""""join_fetch_warm_sec":${num(joinWarm)},""" +
+          s""""join_fetch_cold_sec":${num(joinCold)},""" +
+          s""""bucket_fetch_warm_sec":${num(bucketWarm)},""" +
+          s""""bucket_fetch_cold_sec":${num(bucketCold)},""" +
+          s""""cache_dropped":$coldOk}""")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.commons.io.FileUtils.deleteQuietly(whDir)
         org.apache.commons.io.FileUtils.deleteQuietly(corpusDir)
       }
       spark.stop()

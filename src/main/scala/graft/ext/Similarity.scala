@@ -340,6 +340,105 @@ object Similarity {
     assignByDot(spread(embeddings).select(col("vec_id"), col("embedding"),
       e6Vec("embedding").as("ve6")), centroids)
 
+  /** Coarse GROUPS over a trained centroid table — the second level of
+    * the two-level quantizer ([[ivfTrainedAssignPruned]]): the nlist
+    * centroids are themselves Lloyd-clustered into g ≈ √nlist groups
+    * (their ce6 vectors re-floated as a tiny (vec_id, embedding) corpus
+    * and densely re-id'd, since surviving centroid ids are sparse — the
+    * same density contract the trainers' stride seeders assume), then
+    * each centroid is assigned to its group by the EXACT integer dot.
+    * Returns (gid, gce6, members:[(id, ce6)]); one row per group. Cost:
+    * Lloyd over nlist rows + one nlist×g assignment — index-parameter
+    * sized, never corpus sized. */
+  def ivfSuperGroups(centroids: DataFrame, groups: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nl = centroids.count()
+    val g = if (groups > 0) groups
+      else math.max(1, math.floor(math.sqrt(nl.toDouble)).toInt)
+    val asEmb = denseReId(centroids.select(col("centroid_id").as("vec_id"),
+      expr("transform(ce6, x -> CAST(x / 1000000.0D AS FLOAT))")
+        .as("embedding")))
+    val supers = ivfTrainedCentroids(asEmb, g)
+      .select(col("centroid_id").as("gid0"), col("ce6").as("ce6"))
+      .localCheckpoint()
+    // Lloyd supers alone give geometric coherence but WILDLY unequal
+    // sizes on clustered data (measured: top 3/8 of the groups held ~94%
+    // of the members, so pruning saved nothing — §assignment-budget).
+    // BALANCE by re-chunking: order centroids by (assigned super, id) so
+    // same-super members stay adjacent, then cut equal chunks of
+    // ceil(nlist/g); the per-vector pruned cost becomes STRICTLY
+    // (g + probe·nlist/g)·dim. The window is a single-partition sort
+    // over the ≤nlist-row centroid table (index parameters, same bounded
+    // class as the trainer's convergence snapshots). Each chunk's group
+    // centroid is the per-dimension floor-mean of its members.
+    val cap = (nl + g - 1) / g
+    val chunked = assignByDot(
+        centroids.select(col("centroid_id").as("cid"), col("ce6").as("ve6")),
+        supers.select(col("gid0").as("centroid_id"), col("ce6")))
+      .select(col("centroid_id").as("gid0"), col("cid"), col("ve6"))
+      .withColumn("gid", ((row_number().over(
+        Window.orderBy(col("gid0"), col("cid"))) - 1) / cap).cast("long"))
+    val gce = chunked
+      .select(col("gid"), posexplode(col("ve6")).as(Seq("d", "v")))
+      .groupBy(col("gid"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("(s - pmod(s, cnt)) div cnt"))
+      .groupBy(col("gid"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)")
+        .as("gce6"))
+    chunked.groupBy(col("gid"))
+      .agg(collect_list(struct(col("cid").as("id"), col("ve6").as("ce6")))
+        .as("members"))
+      .join(gce, Seq("gid"))
+      .select(col("gid"), col("gce6"), col("members"))
+  }
+
+  /** Two-level (coarse-pruned) assignment — the large-nlist epoch-build
+    * knob. Flat assignment ([[ivfTrainedAssign]]) is O(nlist·dim)
+    * multiplies per vector: at 100M vectors × 10k lists that term IS the
+    * epoch budget (§assignment-budget measures the curve). This path
+    * scores g ≈ √nlist group centroids exactly, keeps the top
+    * `probeGroups`, and runs the exact argmax only over those groups'
+    * members — (g + probeGroups·nlist/g)·dim per vector, one native
+    * codegen expression (`VectorArgmaxTwoLevelDot`), same map-only
+    * no-Exchange plan shape as the flat path.
+    *
+    * APPROXIMATE by design at probeGroups < g (the true nearest list is
+    * missed iff its group ranks below the probe cut — agreement measured
+    * in TwoLevelAssignSpec and §assignment-budget; a missed assignment
+    * puts the vector in a near-best list, the standard two-level
+    * quantizer trade that costs probe recall only marginally). With
+    * probeGroups >= g it is EXACTLY the flat argmax (spec-pinned row for
+    * row), so the knob degrades to exact. Opt-in: every oracled path
+    * keeps the flat exact assignment. */
+  def ivfTrainedAssignPruned(embeddings: DataFrame, centroids: DataFrame,
+                             groups: Int = 0, probeGroups: Int = 0,
+                             grouped: Option[DataFrame] = None): DataFrame = {
+    val nl = centroids.count()
+    val g = if (groups > 0) groups
+      else math.max(1, math.floor(math.sqrt(nl.toDouble)).toInt)
+    // default probe width g/8: the two-level savings ceiling is
+    // ~(g/probe)× on the member term (probing 3/8 of the groups caps the
+    // whole path at 2.7× — measured, §assignment-budget), so the default
+    // sits at the aggressive-but-standard 12.5% with agreement measured;
+    // callers trade assignment fidelity for build cost through this knob
+    val c = if (probeGroups > 0) probeGroups else math.max(2, g / 8)
+    // `grouped` is the train-once handle (ivfSuperGroups output,
+    // materialized) — the group build is index-parameter-sized but pays
+    // Lloyd rounds; a serving/build loop computes it once per epoch, not
+    // per assignment pass (AssignBench sweep measures the difference)
+    val packed = grouped.getOrElse(ivfSuperGroups(centroids, g))
+      .agg(collect_list(struct(col("gid"), col("gce6"), col("members")))
+        .as("grps"))
+    spread(embeddings)
+      .select(col("vec_id"), col("embedding"), e6Vec("embedding").as("ve6"))
+      .crossJoin(broadcast(packed))
+      .withColumn("centroid_id",
+        graft.functions.VectorFunctions.vecArgmaxTwoLevelI64(
+          col("ve6"), col("grps"), c))
+      .drop("grps")
+  }
+
   /** Assign each vector to its nearest centroid — genuinely map-only AND
     * codegen'd: the centroid table (with its norm precomputed once per
     * centroid) is packed into ONE broadcast array row and the e9-cosine

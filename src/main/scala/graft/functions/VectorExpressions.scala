@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, PqAdcSum, PqNearestCodes, Shims, SimHashSignature, VectorArgmaxDotLong, VectorArgmaxE9Cosine, VectorLshSignature}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, MinHashSignature, PqAdcSum, PqNearestCodes, Shims, SimHashSignature, VectorArgmaxDotLong, VectorArgmaxE9Cosine, VectorArgmaxTwoLevelDot, VectorLshSignature}
 
 /** Public surface for the native vector expressions (implementations:
   * org.apache.spark.sql.graftshim.FloatVectorDot / VectorLshSignature —
@@ -37,6 +37,13 @@ object VectorFunctions {
     * training assignment; cents = array of (centroid_id, ce6) structs). */
   def vecArgmaxDotI64(vec: Column, cents: Column): Column =
     Shims.column(VectorArgmaxDotLong(Shims.expression(vec), Shims.expression(cents)))
+
+  /** Column API for the native two-level coarse-pruned integer-dot
+    * argmax (large-nlist assignment; groups = packed array of
+    * (gid, gce6, members:[(id, ce6)]) structs, probe = groups kept). */
+  def vecArgmaxTwoLevelI64(vec: Column, groups: Column, probe: Int): Column =
+    Shims.column(VectorArgmaxTwoLevelDot(Shims.expression(vec),
+      Shims.expression(groups), probe))
 
   /** Column API for the native per-subspace PQ code assignment (encode +
     * training; cbs = packed array of (m, code, ce6) structs). */

@@ -211,25 +211,31 @@ object AnnIndex {
 
   /** Below this corpus size the index stays FLAT. The partitioned
     * layout's win is an I/O property — a probe reads nprobe/nlist of the
-    * index FILES instead of all of them — while the DPP subquery and
-    * per-partition listing/scheduling are a fixed overhead, so there is
-    * a crossover, and it is MEASURED (ScaleBench annbuild, both layouts
-    * per ×factor, sf0.1 base, page cache dropped before the cold
-    * passes — PERF.md §ann-crossover): per-query probe flat vs
-    * partitioned, warm/cold —
-    *   512k vectors (4.8 MB index):  0.73/0.59 vs 0.79/0.63 — flat wins;
-    *   2.05M   (10 MB):  1.31/1.07 vs 1.20/1.12 — partitioned wins warm,
-    *                     pruned-scan component wins cold (0.146 vs 0.167);
-    *   8.19M   (41 MB):  2.82/2.67 vs 2.58/2.11 — partitioned wins
-    *                     everything, cold probe by 21%.
-    * The boundary sits between 512k and 2M locally, so the default
-    * switches at 1M. Local NVMe + a 125 GiB page cache UNDERSTATE the
-    * partitioned win — every measured index re-warms within one pass —
-    * so on cluster object storage (the 100 TB posture: index in the
-    * terabytes, nothing stays cached) the crossover only moves DOWN;
-    * 1M is the conservative local bound, and a deployment may pass
-    * `partitioned = Some(true)` below it. */
-  val partitionThreshold = 1000000L
+    * index FILES instead of all of them — but each inverted list becomes
+    * its own file, so the decision variable is really BYTES PER LIST:
+    * pruning wins when a list is big enough to amortize its per-file
+    * open/listing cost, and loses when lists are tiny. Measured with
+    * honestly-trained indexes (r14, after the seed-collapse fix — the
+    * r13 sweep unknowingly measured ~23-list indexes and over-credited
+    * partitioning; ScaleBench annbuild now records `trained_nlist` so
+    * that divergence is visible in-record; PERF.md §ann-crossover):
+    * per-query probe flat vs partitioned, warm/cold, sf0.1 base,
+    * cache-dropped cold passes —
+    *   512k vectors (nlist 715, ~8 KB/list): 0.88/0.78 vs 0.79/0.80 — wash;
+    *   2.05M (nlist 1431, ~13 KB/list): 0.93/1.06 vs 1.07/0.76 — mixed;
+    *   8.19M (nlist 2862, ~25 KB/list): 2.06/2.13 vs 2.19/2.21 — flat
+    *     edges ahead; the pruned WARM scan still wins (0.59 vs 0.88 s/q)
+    *     but the COLD scan pays 1073 file opens (1.30 vs 0.66 s/q).
+    * At autoNlist sizing, lists stay KB-scale until the nlist cap
+    * (4096) saturates; from there list bytes grow ∝ n (~8.5 B/row
+    * measured), reaching the ~MB-scale where per-open cost amortizes at
+    * n ≈ 10⁹ (≈2 MB/list). The default therefore partitions at 1 G
+    * vectors; deployments on object storage (higher per-open latency,
+    * but terabyte indexes with 100 MB lists) should gate on estimated
+    * bytes/list ≥ ~4 MB rather than row count, passing `partitioned`
+    * explicitly — the plumbing (DPP-pruned probe plan) is identical and
+    * stays plan-pinned in AnnIndexSpec at any size via the override. */
+  val partitionThreshold = 1000000000L
 
   // --- the ingest root's vector tables: bucketed base + delta sidecar ------
 
