@@ -1000,6 +1000,17 @@ object ScaleBench {
         val n = emb.count()
         val nl = Similarity.autoNlist(n)
         val np = Similarity.autoNprobe(nl)
+        // brute-force truth for recall@10 over the 5 fixed probe queries
+        // — recall is a property of the TRAINED INDEX CONTENT (identical
+        // across layouts), measured here because every factor above
+        // trainSampleCap trains on the deterministic sample: the column
+        // proves sampled training holds quality at scale, not just list
+        // counts (the r13 seed collapse was invisible without it)
+        val truth = (0L until 5L).map { q =>
+          q -> Similarity.topK(emb, q, 10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }.toMap
+        var recallAt10 = -1.0
         // both layouts per factor: flat (small-corpus default) and
         // centroid_id-partitioned (the at-scale default with
         // listing-time list pruning) — the curve is the evidence behind
@@ -1073,6 +1084,16 @@ object ScaleBench {
           // advice); recording the trained count in-record makes any
           // training/formula divergence visible in the evidence itself
           val trainedNl = idx.centroids.count()
+          if (layout == "flat") {
+            val hits = (0L until 5L).map { q =>
+              val got = Similarity.ivfPqTopK(emb, q, 10, nlist = nl,
+                  nprobe = np, centroids = Some(idx.centroids),
+                  codebooks = Some(idx.codebooks), index = Some(idx.index))
+                .select("vec_id").collect().map(_.getLong(0)).toSet
+              got.intersect(truth(q)).size
+            }.sum
+            recallAt10 = hits / 50.0
+          }
           org.apache.commons.io.FileUtils.deleteQuietly(root)
           s""""$layout":{"build_sec":${num(buildSec)},""" +
             s""""trained_nlist":$trainedNl,""" +
@@ -1087,7 +1108,8 @@ object ScaleBench {
         val flat = arm("flat", parts = false)
         val part = arm("partitioned", parts = true)
         println(s"""{"op":"annbuild","factor":$f,"n_vectors":$n,""" +
-          s""""nlist":$nl,"nprobe":$np,""" + flat + "," + part + "}")
+          s""""nlist":$nl,"nprobe":$np,"recall_at10":${num(recallAt10)},""" +
+          flat + "," + part + "}")
         org.apache.commons.io.FileUtils.deleteQuietly(corpusDir)
       }
       spark.stop()

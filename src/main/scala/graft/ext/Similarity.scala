@@ -1178,9 +1178,21 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     val n = corpus.count()
     val nl = if (nlist > 0) nlist else autoNlist(n)
+    // the dense re-id is UNCONDITIONAL (not just on the sampled path):
+    // a sub-cap corpus with id-filtered rows can starve the stride
+    // predicate outright — measured crash shape: standing set
+    // `vec_id % 7 <> 0` at n=428 derives stride 21 = 3·7, so every seed
+    // candidate is a multiple of 7 and ALL are excluded → empty centroid
+    // table → null assignment (found by fuzz seed 202). The window stays
+    // bounded because the train set never exceeds ~1.5·sampleCap rows.
+    // On dense 0..n-1 corpora the re-id is the identity, so every
+    // full-table oracle is unchanged; the trained-quantizer oracle
+    // builders seed on the same dense rank (`rid`) for parity on
+    // filtered corpora.
     val train =
-      if (n <= sampleCap) corpus
-      else denseReId(trainSample(corpus, n, sampleCap)).localCheckpoint()
+      denseReId(
+        if (n <= sampleCap) corpus else trainSample(corpus, n, sampleCap))
+        .localCheckpoint()
     val cent = ivfTrainedCentroids(train, nl)
     val cb = pqCodebooks(train, m, ksub)
     val fused = pqEncode(corpus, cb, m)
@@ -1259,6 +1271,7 @@ object SimilarityQueries extends QModule {
     s"""
       WITH base AS (
         SELECT vec_id, ve6,
+               row_number() OVER (ORDER BY vec_id) - 1 AS rid,
                greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
                                   AS BIGINT) AS DOUBLE)),
                         CAST(1e-12 AS DOUBLE)) AS nrm
@@ -1283,9 +1296,9 @@ object SimilarityQueries extends QModule {
                      COUNT(*) AS n
               FROM embeddings WHERE $standingWhere) t),
       c0 AS (
-        SELECT vec_id AS centroid_id, ve6 AS ce6
+        SELECT rid AS centroid_id, ve6 AS ce6
         FROM base, iprm s
-        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+        WHERE rid % s.stride = 0 AND rid < s.stride * s.nl),
       ${duckLloydRounds(ivfKmeansIters)}
       aF AS (
         SELECT vec_id, centroid_id FROM (
@@ -1304,12 +1317,12 @@ object SimilarityQueries extends QModule {
           FROM pbase q CROSS JOIN c$ivfKmeansIters c CROSS JOIN iprm p) t
         WHERE rk <= $npSql),
       nbase AS (
-        SELECT vec_id,
+        SELECT vec_id, rid,
                list_transform(ve6,
                  v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
         FROM base),
       subs AS (
-        SELECT vec_id, CAST(mi AS INT) AS m,
+        SELECT vec_id, rid, CAST(mi AS INT) AS m,
                list_slice(ne6, mi * ${pqDim / pqM} + 1,
                           mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
         FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
@@ -1327,9 +1340,9 @@ object SimilarityQueries extends QModule {
         SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
         FROM embeddings WHERE $standingWhere),
       p0 AS (
-        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        SELECT m, CAST(rid // stride AS INT) AS code, sub AS ce6
         FROM subs, pprm
-        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+        WHERE rid % stride = 0 AND rid < stride * ${pqKsub}),
       ${duckPqRounds(pqKmeansIters)}
       enc AS (
         SELECT vec_id, m, code FROM (
@@ -1408,6 +1421,7 @@ object SimilarityQueries extends QModule {
       WITH corp AS ($corpusSql),
       base AS (
         SELECT vec_id, ve6,
+               row_number() OVER (ORDER BY vec_id) - 1 AS rid,
                greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
                                   AS BIGINT) AS DOUBLE)),
                         CAST(1e-12 AS DOUBLE)) AS nrm
@@ -1423,9 +1437,9 @@ object SimilarityQueries extends QModule {
                      COUNT(*) AS n
               FROM corp) t),
       c0 AS (
-        SELECT vec_id AS centroid_id, ve6 AS ce6
+        SELECT rid AS centroid_id, ve6 AS ce6
         FROM base, iprm s
-        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+        WHERE rid % s.stride = 0 AND rid < s.stride * s.nl),
       ${duckLloydRounds(ivfKmeansIters)}
       aF AS (
         SELECT vec_id, centroid_id FROM (
@@ -1445,12 +1459,12 @@ object SimilarityQueries extends QModule {
           FROM c$ivfKmeansIters CROSS JOIN qiv CROSS JOIN iprm p) t
         WHERE rk <= np),
       nbase AS (
-        SELECT vec_id,
+        SELECT vec_id, rid,
                list_transform(ve6,
                  v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
         FROM base),
       subs AS (
-        SELECT vec_id, CAST(mi AS INT) AS m,
+        SELECT vec_id, rid, CAST(mi AS INT) AS m,
                list_slice(ne6, mi * $ds + 1,
                           mi * $ds + $ds) AS sub
         FROM nbase, UNNEST(range(0, $m)) t(mi)),
@@ -1458,9 +1472,9 @@ object SimilarityQueries extends QModule {
         SELECT greatest(CAST(floor(COUNT(*) / $ksub) AS BIGINT), 1) AS stride
         FROM corp),
       p0 AS (
-        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        SELECT m, CAST(rid // stride AS INT) AS code, sub AS ce6
         FROM subs, pprm
-        WHERE vec_id % stride = 0 AND vec_id < stride * $ksub),
+        WHERE rid % stride = 0 AND rid < stride * $ksub),
       ${duckPqRounds(pqKmeansIters, ds)}
       enc AS (
         SELECT vec_id, m, code FROM (
@@ -2049,6 +2063,7 @@ object SimilarityQueries extends QModule {
     }, sql = Some(s"""
       WITH base AS (
         SELECT vec_id, ve6,
+               row_number() OVER (ORDER BY vec_id) - 1 AS rid,
                greatest(sqrt(CAST(CAST(list_sum(list_transform(ve6, v -> v * v))
                                   AS BIGINT) AS DOUBLE)),
                         CAST(1e-12 AS DOUBLE)) AS nrm
@@ -2073,9 +2088,9 @@ object SimilarityQueries extends QModule {
                      COUNT(*) AS n
               FROM embeddings WHERE vec_id % 10 <> 3) t),
       c0 AS (
-        SELECT vec_id AS centroid_id, ve6 AS ce6
+        SELECT rid AS centroid_id, ve6 AS ce6
         FROM base, iprm s
-        WHERE vec_id % s.stride = 0 AND vec_id < s.stride * s.nl),
+        WHERE rid % s.stride = 0 AND rid < s.stride * s.nl),
       ${duckLloydRounds(ivfKmeansIters)}
       aF AS (
         SELECT vec_id, centroid_id FROM (
@@ -2095,12 +2110,12 @@ object SimilarityQueries extends QModule {
           FROM c$ivfKmeansIters CROSS JOIN qiv CROSS JOIN iprm p) t
         WHERE rk <= np),
       nbase AS (
-        SELECT vec_id,
+        SELECT vec_id, rid,
                list_transform(ve6,
                  v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS ne6
         FROM base),
       subs AS (
-        SELECT vec_id, CAST(mi AS INT) AS m,
+        SELECT vec_id, rid, CAST(mi AS INT) AS m,
                list_slice(ne6, mi * ${pqDim / pqM} + 1,
                           mi * ${pqDim / pqM} + ${pqDim / pqM}) AS sub
         FROM nbase, UNNEST(range(0, ${pqM})) t(mi)),
@@ -2118,9 +2133,9 @@ object SimilarityQueries extends QModule {
         SELECT greatest(CAST(floor(COUNT(*) / ${pqKsub}) AS BIGINT), 1) AS stride
         FROM embeddings WHERE vec_id % 10 <> 3),
       p0 AS (
-        SELECT m, CAST(vec_id // stride AS INT) AS code, sub AS ce6
+        SELECT m, CAST(rid // stride AS INT) AS code, sub AS ce6
         FROM subs, pprm
-        WHERE vec_id % stride = 0 AND vec_id < stride * ${pqKsub}),
+        WHERE rid % stride = 0 AND rid < stride * ${pqKsub}),
       ${duckPqRounds(pqKmeansIters)}
       enc AS (
         SELECT vec_id, m, code FROM (
@@ -2207,6 +2222,26 @@ object SimilarityQueries extends QModule {
         centroids = Some(idx.centroids), codebooks = Some(idx.codebooks),
         index = Some(idx.index))
     }, sql = Some(duckFullIvfPqProbe(3))),
+
+    // The SERVED point-query path, oracled end to end: initIngest builds
+    // a real ingest root (Hadoop-FS protocol, vec_id-BUCKETED vector
+    // base), then AnnIndex.probeTopK answers through the persisted
+    // artifacts with the bucket-pruned exact-re-rank fetch
+    // (SelectedBucketsCount plan-pinned in AnnIndexSpec) — the same
+    // from-scratch oracle as sim_ann_ivfpq, so a divergence anywhere in
+    // the serving chain (root protocol, bucketed base round-trip,
+    // candidate-id collect, pruned fetch, delta union) hash-fails here
+    // rather than hiding behind the spec-level ivfPqTopK parity pin.
+    // The root is rebuilt from scratch each run so the replay is
+    // deterministic.
+    Q("sim_ann_probe_serving", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_annprobe_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      graft.sources.AnnIndex.initIngest(emb, root.getPath)
+      graft.sources.AnnIndex.probeTopK(s, root.getPath, 0L, k = 10)
+    }, sql = Some(duckFullIvfPqProbe(0))),
 
     // Per-language embedding centroid (mean pooling — the "cluster/domain
     // prototype" step of a training-mix pipeline). Elements are e6-quantized

@@ -360,6 +360,11 @@ object AnnIndex {
         ensureIvfPqFor(emb, root, m, ksub, partitioned)
         writeVectorBase(emb, root, vecBuckets)
       }
+      // a re-initialized root replaces the base files under any catalog
+      // table registered by an earlier probe in this session — same
+      // staleness class as retrain's swap (see there)
+      val name = vecTableName(root, vecBuckets)
+      if (s.catalog.tableExists(name)) s.catalog.refreshTable(name)
     }
   }
 
@@ -695,12 +700,13 @@ object AnnIndex {
     // layout is part of the fingerprint: a root built under the other
     // layout (or the pre-partitioning v1/v2 formats) rebuilds rather
     // than serving without its contract
-    // v5: the sampled training path (corpora above trainSampleCap)
-    // densely re-ids the sample before stride seeding and rounds the
-    // sample stride — indexes trained by the v4 code above the cap had
-    // collapsed seed sets (round-13 advice) and must rebuild
+    // v6: trainAndFuse now densely re-ids the train set UNCONDITIONALLY
+    // (v5 re-id'd only the above-cap sample): a sub-cap id-filtered
+    // corpus could starve the stride seeders to an empty centroid table
+    // (fuzz seed 202); v5-and-earlier indexes over filtered corpora were
+    // seeded on raw ids and must rebuild
     val fingerprint =
-      s"v5 layout=${if (parts) "partitioned" else "flat"} " +
+      s"v6 layout=${if (parts) "partitioned" else "flat"} " +
         s"n=$n sig=$sig m=$m ksub=$ksub " +
         s"ivfIters=${Similarity.ivfKmeansIters} " +
         s"pqIters=${Similarity.pqKmeansIters} " +

@@ -415,7 +415,7 @@ class AnnIndexSpec extends SparkSpec {
     val idx = AnnIndex.ensureIvfPq(spark, dir)
     val txt = java.nio.file.Files.readString(fp.toPath,
       java.nio.charset.StandardCharsets.UTF_8)
-    assert(txt.startsWith("v5 "), s"fingerprint not refreshed: $txt")
+    assert(txt.startsWith("v6 "), s"fingerprint not refreshed: $txt")
     assert(idx.index.count() === t(spark, dir, "embeddings").count())
   }
 }

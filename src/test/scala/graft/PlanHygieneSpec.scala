@@ -521,6 +521,9 @@ class PlanHygieneSpec extends SparkSpec {
     // nlist-row centroid table + 1-row query broadcasts under the
     // trained-IVF assignment and probe
     "sim_ann_ivf_kmeans",
+    // 1-row query-vector broadcast under probeTopK's exact re-rank (the
+    // corpus side is the ≤ k·refine bucket-pruned fetch, never a scan)
+    "sim_ann_probe_serving",
     // same ≤nlist-row centroid broadcasts (count scalar, packed-cents
     // row, probe fan-out); the query↔corpus joins are equi-joins
     "sim_ann_join", "p5_semantic_decontam",

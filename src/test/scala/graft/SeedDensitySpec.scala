@@ -58,6 +58,20 @@ class SeedDensitySpec extends SparkSpec {
         "~[2/3, 3/2]·cap bound")
   }
 
+  test("id-filtered sub-cap corpus cannot starve the seed predicate (fuzz-202 crash shape)") {
+    // standing = vec_id % 7 <> 0 at n≈428 derives stride 21 = 3·7, so on
+    // RAW ids every seed candidate (multiple of 21) is a multiple of 7
+    // and all are excluded — empty centroid table, null assignment,
+    // engine crash (found by fuzz seed 202). trainAndFuse now densely
+    // re-ids the train set unconditionally; this pins the exact shape.
+    val standing = emb.filter(col("vec_id") % 7 =!= 0)
+    val (cent, cb, fused) = Similarity.trainAndFuse(standing)
+    val nCent = cent.count()
+    assert(nCent >= 15, s"seed predicate starved: $nCent lists trained")
+    assert(fused.count() === standing.count())
+    assert(cb.groupBy(col("m")).count().count() === Similarity.pqM.toLong)
+  }
+
   test("below-cap corpora never sample: trainAndFuse(sampleCap=default) is full-corpus") {
     // parity guard: the fix must be invisible to every oracled corpus —
     // same artifacts as an explicit full-corpus train
