@@ -42,27 +42,50 @@ object CorpusPipeline {
     * each branch replays the regex/tokenize scan (the pipeline's
     * CPU-heaviest map). On a real cluster a persisted table / reliable
     * checkpoint plays this role (same plan, durable). */
-  private def qualityGate(docs: DataFrame): DataFrame = {
+  private[graft] def qualityGate(docs: DataFrame,
+                                 spread: Boolean = true): DataFrame = {
     // the regex/tokenize scan below is the pipeline's CPU-heaviest map —
     // spread an under-partitioned (single-file) source first so it runs
-    // on all cores, not one (Tables.spread: no-op on a real corpus)
-    val q = graft.Tables.spread(docs)
+    // on all cores, not one. r15: the repartition is UNCONDITIONAL
+    // (pass spread=false for an input that is already well-partitioned)
+    // instead of the Tables.spread runtime probe: probing partition
+    // count via df.rdd plans the subtree on every query construction,
+    // and under AQE it MATERIALIZES any shuffle stages in the subtree —
+    // p3 now feeds the gate its un-checkpointed exact-dedup chain, where
+    // the probe would have silently executed the fingerprint aggregation
+    // twice. At every current scale the probe resolved to "repartition"
+    // anyway (single-file source / single-partition join output).
+    // r15: the materialization barrier moved from the GATED set to the
+    // SCORED scan — the former shape computed the tokenize/regex pass
+    // twice (once under the median aggregate, once under the join branch
+    // feeding the checkpoint); checkpointing q itself runs the regex
+    // exactly once, the median aggregates over the checkpointed blocks,
+    // and the gate is a lazy broadcast-probe filter each consumer replays
+    // for the cost of a block read (no regex). On a cluster the persisted
+    // stage table holds the scored scan, same plan.
+    val q = (if (spread)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs)
       .withColumn("n_tok", size(tokens(col("text"))))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tok"),
         (hits(col("text"), enPat).cast("double") / col("n_tok")).as("r"))
+      .localCheckpoint()
     val med = q.groupBy(col("lang"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("m"))
     q.join(broadcast(med), Seq("lang")).filter(col("r") >= col("m"))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tok"))
-      .localCheckpoint()
   }
 
   /** Near-dup purge, shared by p1 and p3: capped posting-list Jaccard
     * pairs → connected-component collapse → keep each cluster's min-id
     * representative. */
   private def collapseNearDups(docs: DataFrame): DataFrame = {
+    // spread = false: the input is always a gated view over a spread
+    // checkpointed stage (qualityGate), so the shingle builder's
+    // repartition would re-shuffle the text for nothing (r15)
     val clusters = Dedup.dupClusters(
-      Dedup.jaccardPairs(docs.select(col("doc_id"), col("text"))))
+      Dedup.jaccardPairs(docs.select(col("doc_id"), col("text")),
+        spread = false))
     val drop = clusters.filter(col("rep_id") =!= col("doc_id")).select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
@@ -186,17 +209,24 @@ object CorpusPipeline {
                             gated: DataFrame, clean: DataFrame,
                             uniq: DataFrame)
 
-  private def curationStages(docs: DataFrame, evalSplit: Long): Stages = {
+  private def curationStages(docs: DataFrame, evalSplit: Long,
+                             ckptExact: Boolean): Stages = {
     val eval = docs.filter(col("doc_id") < evalSplit)
     val corpus0 = docs.filter(col("doc_id") >= evalSplit)
 
-    // 1. exact dedup: min-id per normalized fingerprint
+    // 1. exact dedup: min-id per normalized fingerprint.
+    // `ckptExact`: in the p3 chain `exact` has exactly ONE consumer (the
+    // quality gate's tokenize scan), so materializing it is a wasted
+    // full-text write + an extra job — the gate's own checkpoint fuses
+    // the semi-join into its scan (r15). The funnel (p4) counts `exact`
+    // AND chains the gate off it — two consumers — so it keeps the
+    // barrier.
     val keepIds = corpus0
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exact = corpus0.join(keepIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val exact0 = corpus0.join(keepIds, Seq("doc_id"), "left_semi")
+    val exact = if (ckptExact) exact0.localCheckpoint() else exact0
 
     // 2. per-language median quality gate (median over the deduped set;
     //    SHARED stage definition with curate/p1)
@@ -206,7 +236,7 @@ object CorpusPipeline {
     //    canonical k-gram definition — Dedup.shingles — so the gram
     //    window can never drift from the dedup tier's)
     val evalG = Dedup.shingles(eval, 8).select(col("shingle").as("g")).distinct()
-    val contaminated = Dedup.shingles(gated, 8)
+    val contaminated = Dedup.shingles(gated, 8, spread = false)
       .withColumnRenamed("shingle", "g")
       .join(broadcast(evalG), Seq("g"))
       .select(col("doc_id")).distinct()
@@ -225,7 +255,7 @@ object CorpusPipeline {
     * [[curateForWrite]] for why the tail sort is presentation-only. */
   def fullCurateForWrite(docs: DataFrame, evalSplit: Long = 100L,
                          shardBudget: Int = 2000): DataFrame = {
-    val st = curationStages(docs, evalSplit)
+    val st = curationStages(docs, evalSplit, ckptExact = false)
     TextAnalysis.packShards(
       st.uniq.select(col("doc_id"), col("lang"), col("n_tok")),
       budget = shardBudget)
@@ -236,7 +266,7 @@ object CorpusPipeline {
     * data go?). Built from the SAME [[curationStages]] frames as p3,
     * one count per stage, assembled with unions of 1-row aggregates. */
   def curationFunnel(docs: DataFrame, evalSplit: Long = 100L): DataFrame = {
-    val st = curationStages(docs, evalSplit)
+    val st = curationStages(docs, evalSplit, ckptExact = true)
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
     stage("1_corpus", st.corpus0)

@@ -27,14 +27,41 @@ object Dedup {
     * exactly the testdata shape) it would otherwise serialize on one task.
     * The repartition shuffles only the raw docs (cheap) and is what you'd
     * do at 100 TB too for an under-split input. */
-  def shingles(docs: DataFrame, k: Int = 5): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+  /** `spread = false` skips the repartition for callers whose input is
+    * ALREADY a spread materialized stage (p1/p3's gated checkpoint) —
+    * the exchange there re-shuffled the full text for nothing. A runtime
+    * partition-count probe (`df.rdd.getNumPartitions`, the Tables.spread
+    * idiom) is deliberately NOT used here: the probe plans the whole
+    * subtree on every query construction, which the bench times (r15:
+    * +~50 ms/pass on raw-scan callers). Static caller knowledge is free. */
+  /** Distinct k-shingle array expression over a `toks` column. Callers
+    * MUST guard with `size(toks) >= k` first (sequence(1, n-k+1) descends
+    * through 0 otherwise and `slice` rejects start 0) — and must keep the
+    * expression INLINE in its consumer rather than projecting it to an
+    * alias that a Generate explodes: exploding a bare attribute lets
+    * InferFiltersFromGenerate infer `size(shs) > 0`, inline the alias,
+    * and push the inferred predicate BELOW the guard filter (filters
+    * reorder freely), evaluating slice(…, 0, k) on unguarded rows — the
+    * exact crash EdgeCasesSpec's eval-only p3 case caught when r15 first
+    * factored this through a projected column. Inline generator
+    * expressions are exempt from that inference (SPARK-36715 limits it
+    * to cheap extractions). */
+  private def shingleArrExpr(k: Int): Column = expr(
+    s"array_distinct(transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k))))")
+
+  /** (doc_id, toks) of docs with at least k tokens — the guarded base
+    * both the explode and the map-side size projection build on (r15). */
+  private def tokBase(docs: DataFrame, k: Int, spread: Boolean): DataFrame =
+    (if (spread)
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+     else docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k))))"))
-        .as("shingle"))
+
+  def shingles(docs: DataFrame, k: Int = 5, spread: Boolean = true): DataFrame =
+    tokBase(docs, k, spread)
+      .select(col("doc_id"), explode(shingleArrExpr(k)).as("shingle"))
 
   /** Exact n-gram Jaccard over an inverted shingle index: pairs with
     * 10·|∩| >= threshNum·|∪| (integer predicate — no float boundary).
@@ -58,8 +85,17 @@ object Dedup {
     * of 10 changes nothing — DedupSkewSpec plants a 50-doc hot phrase to
     * prove the guard works. */
   def jaccardPairs(docs: DataFrame, k: Int = 5, threshNum: Int = 3,
-                   maxDf: Int = 10): DataFrame = {
-    val sh = shingles(docs, k)
+                   maxDf: Int = 10, spread: Boolean = true): DataFrame = {
+    val sh = shingles(docs, k, spread)
+    // sizes via explode→groupBy(doc_id), NOT a map-side size(arr)
+    // projection: r15 measured the "cheaper" map-side form 3.4-3.8×
+    // SLOWER end-to-end — the aggregate's exchange is what makes the
+    // sizes table (a) tiny and broadcastable to BOTH sizes joins below
+    // (the map-side form's size estimate is the raw text scan's, so AQE
+    // stops broadcasting it), and (b) ReuseExchange-shared between those
+    // joins (the map-side form re-ran the whole split+shingle transform
+    // once PER join). The extra shuffle is 5 k rows; the thing it buys
+    // is one-shot computation + broadcast of the heavy map.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // size >= 2: singleton posting lists (the vast majority — most
     // shingles are unique) contribute zero pairs, so drop them BEFORE
@@ -162,16 +198,25 @@ object Dedup {
       rounds += 1
       if (rounds > maxRounds) throw new IllegalStateException(
         s"dupClusters: no convergence after $maxRounds rounds")
-      val nbrMin = edges
-        .join(lab.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("brep")).as("nrep"))
-        .withColumnRenamed("a", "doc_id")
-      // carry the convergence flag inside the same pass: one join + one
-      // cheap count over the checkpointed rows, instead of a second
-      // next-vs-lab join job per round
-      val stepped0 = lab.withColumnRenamed("rep", "prev").join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"), col("prev"),
-          least(col("prev"), col("nrep")).as("rep1"))
+      // ONE fused pass per round (r15): neighbor-label contributions and
+      // the node's own previous label go through the SAME union+groupBy,
+      // so the former [join edges⋈lab → groupBy → join lab] three-stage
+      // round is now [join edges⋈lab → union → groupBy] — one join and
+      // one broadcast build fewer per round (guide §2.4). `prev` is
+      // unique per doc_id (exactly one self row), so min-over-self
+      // recovers it exactly; rep1 = min(prev, all neighbor labels) is
+      // the identical fixpoint step. The convergence flag still rides
+      // the same pass.
+      val nbr = edges
+        .join(lab.select(col("doc_id").as("b"), col("rep").as("v")), Seq("b"))
+        .select(col("a").as("doc_id"), col("v"), lit(false).as("self"))
+      val stepped0 = nbr
+        .unionAll(lab.select(col("doc_id"), col("rep").as("v"),
+          lit(true).as("self")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("v")).as("rep1"),
+          min(when(col("self"), col("v"))).as("prev"))
+        .select(col("doc_id"), col("prev"), col("rep1"))
       // in jump mode stepped feeds BOTH sides of the pointer self-join —
       // checkpoint it so the neighbor join+agg computes once per round,
       // not twice (the jump's budget is one extra self-join, nothing more)
@@ -211,6 +256,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, k: Int = 5, threshNum: Int = 8,
                        maxDf: Int = 10): DataFrame = {
     val sh = shingles(docs, k)
+    // aggregate-shaped sizes — same r15 rationale as in jaccardPairs
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val posting = sh.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ds"))

@@ -120,18 +120,29 @@ object TextAnalysis extends QModule {
                  span: Long = 128L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = base.withColumn("bkt", floor(col("doc_id") / span).cast("long"))
-    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = b.groupBy(col("lang"), col("bkt"))
-      .agg(sum(col("n_tok")).as("bkt_tok"))
-      .select(col("lang"), col("bkt"),
-        coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)).as("off"))
+    // r15 shape: the within-bucket running sum is computed FIRST, and the
+    // per-bucket totals are derived from it (total = max of a running sum
+    // over non-negative n_tok = its last value), so BOTH levels hang off
+    // ONE (lang,bkt) exchange of the grid — the former shape aggregated
+    // `b` on one branch and windowed it on another, computing the whole
+    // upstream (gate filter + survivor anti-join in p1/p3) twice and
+    // shuffling the grid twice (guide §2.4). The windowed frame is
+    // already hash-partitioned by (lang,bkt), so the totals aggregate
+    // needs no second exchange; only the KB-sized bucket-offset table
+    // pays a (tiny) per-lang window.
     val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    b.join(broadcast(offsets), Seq("lang", "bkt"))
-      .withColumn("cum", col("off") + sum(col("n_tok")).over(wIn))
+    val rows = b.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy(col("lang"), col("bkt"))
+      .agg(max(col("cum_in")).as("bkt_tok"))
+      .select(col("lang"), col("bkt"),
+        coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)).as("off"))
+    rows.join(broadcast(offsets), Seq("lang", "bkt"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
-        floor((col("cum") - col("n_tok")) / budget).cast("long").as("shard_id"))
+        floor((col("off") + col("cum_in") - col("n_tok")) / budget)
+          .cast("long").as("shard_id"))
   }
 
   /** Per-doc segment dedup stats (t_segment_dedup): split each doc into
@@ -160,18 +171,25 @@ object TextAnalysis extends QModule {
   }
 
   /** t_tfidf's engine, composable (the Q below delegates; ScaleBench's
-    * text mode reuses it over scaled corpora): two hash aggs (term
-    * counts, doc frequencies), broadcast doc count, per-doc top-3 window
-    * keyed by doc_id — no global sort, no self-join. Tail
-    * orderBy(doc_id, rk) is ORACLE PRESENTATION — drop for production
-    * (rank order is already explicit in the rk column). */
+    * text mode reuses it over scaled corpora): one hash agg (term
+    * counts), doc frequency as count-over-window riding the SAME
+    * token-keyed exchange (r15: the former separate dfreq aggregate +
+    * tf⋈dfreq join shuffled tf by token TWICE — once to build dfreq,
+    * once to probe it; a whole-partition count window needs the token
+    * shuffle exactly once and computes the identical df — guide §2.4:
+    * two operations keyed the same way share one exchange), broadcast
+    * doc count, per-doc top-3 window keyed by doc_id — no global sort,
+    * no self-join. Tail orderBy(doc_id, rk) is ORACLE PRESENTATION —
+    * drop for production (rank order is already explicit in the rk
+    * column). */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "token").crossJoin(broadcast(total))
+    val scored = tf.withColumn("df", count(lit(1)).over(wDf))
+      .crossJoin(broadcast(total))
       .withColumn("tfidf_e6",
         floor(col("tf") * (col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
           .cast("long"))

@@ -52,20 +52,36 @@ object Graph extends QModule {
                          microInit: Long = 1000000L,
                          reliable: Boolean = false): DataFrame = {
     val lc = new LoopCkpt(edges0.sparkSession, reliable)
-    val edges = lc.pin(edges0)
-    val deg = lc.pin(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    var rank = deg.select(col("src").as("node"), lit(microInit).as("r"))
-    for (i <- 1 to iters) {
-      val next = rank
-        .join(deg, col("node") === col("src")).drop("src")
-        .withColumn("contrib", expr("r div outdeg"))
-        .join(edges, col("node") === col("src"))
+    // outdeg is attached to every edge by ONE count-over-window pass
+    // (shuffle by src, no sort-heavy frame) and pinned WITH the edges —
+    // r15: the former groupBy+join shape paid a deg aggregation shuffle,
+    // a second pin, and a rank⋈deg join (broadcast build + probe) in
+    // EVERY iteration for a value that never changes across rounds
+    // (guide §2.4: two operations keyed the same way share one exchange).
+    val wDeg = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val edges = lc.pin(
+      edges0.withColumn("outdeg", count(lit(1)).over(wDeg)))
+    // iteration 1 constant-folded (r15): every node starts at the SAME
+    // microInit, so round 1's per-edge contribution is a pure function of
+    // outdeg — no rank table exists yet to join. Arithmetic is identical
+    // (microInit div outdeg, summed by dst), GraphSpec pins the values.
+    var rank = {
+      val next = edges
         .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("in_sum"))
+        .agg(sum(expr(s"${microInit}L div outdeg")).as("in_sum"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85 * in_sum) div 100")).as("r"))
       // the final iteration stays lazy: the caller composes (orderBy,
       // further joins) on a plan whose inputs are all materialized
+      if (iters > 1) lc.round(next) else next
+    }
+    for (i <- 2 to iters) {
+      val next = rank
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div outdeg")).as("in_sum"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * in_sum) div 100")).as("r"))
       rank = if (i < iters) lc.round(next) else next
     }
     rank.select(col("node"), col("r").as("rank_fp"))

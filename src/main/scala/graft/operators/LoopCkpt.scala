@@ -72,7 +72,16 @@ private[graft] final class LoopCkpt(s: SparkSession, reliable: Boolean) {
 
   private def ckpt(df: DataFrame, pinned: Boolean): DataFrame =
     root match {
-      case None => df.localCheckpoint()
+      // eager = false (r15): the local tier's plan truncation is the
+      // LogicalRDD wrapper, created either way — eager only adds a
+      // forcing count() job per round. Under AQE the round's shuffle
+      // stages still materialize at .toRdd time; the final map stage
+      // defers to the round's first consumer (the loop's convergence
+      // count, or the next round's join), which every loop issues
+      // immediately — so nothing is ever recomputed, one scheduler
+      // round-trip per round is saved, and fault-tolerance is unchanged
+      // (executor-local blocks either way).
+      case None => df.localCheckpoint(eager = false)
       case Some(r) =>
         seq += 1
         val p = new Path(r, f"$seq%04d")
